@@ -1,0 +1,158 @@
+"""Typed configuration layer.
+
+The reference hardcodes every parameter as const locals inside each test
+function (ref: src/heston_calibration.cpp:32-68, src/main.cpp:31). Here the
+framework exposes real dataclasses so pricing / calibration / benchmarking
+are driven by config values rather than edited source.
+
+Static (Python) fields control trace-time structure: grid sizes, step counts,
+dividend schedules. Dynamic (traced) values — model parameters, spot, strike —
+flow through as JAX arrays so one compiled executable serves every parameter
+set (this is what makes the finite-difference Jacobian free of re-compiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class HestonParams:
+    """Heston model parameters (kappa, eta, sigma, rho, v0) + rates.
+
+    Canonical test set matches the reference fixture
+    (ref: src/solver.cpp:322-341): S0=K=100, v0=0.04, T=1, r_d=0.025,
+    r_f=0, rho=-0.9, sigma=0.3, kappa=1.5, eta=0.04.
+    """
+
+    kappa: float = 1.5   # mean-reversion speed
+    eta: float = 0.04    # long-run variance
+    sigma: float = 0.3   # vol-of-vol
+    rho: float = -0.9    # correlation
+    v0: float = 0.04     # initial variance
+    r_d: float = 0.025   # domestic rate
+    r_f: float = 0.0     # foreign rate
+
+    def bumpable(self) -> Tuple[float, float, float, float, float]:
+        """The 5 calibrated parameters, in the reference's Jacobian column
+        order (ref: src/jacobian_computation.cpp:299-303, param 4 = v0)."""
+        return (self.kappa, self.eta, self.sigma, self.rho, self.v0)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Non-uniform sinh grid specification.
+
+    Defaults replicate `create_test_grid` / the per-strike grids used in
+    calibration (ref: src/grid.cpp:99-110, src/heston_calibration.cpp:124):
+    S_max = 8K, c = K/5, V_max = 5, d = V_max/500.
+    """
+
+    m1: int = 50          # number of S intervals (m1+1 nodes)
+    m2: int = 25          # number of V intervals (m2+1 nodes)
+    s_max_mult: float = 8.0    # S domain upper bound = s_max_mult * K
+    c_mult: float = 0.2        # sinh concentration c = c_mult * K
+    v_max: float = 5.0         # V domain upper bound
+    d_div: float = 500.0       # sinh concentration d = v_max / d_div
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.m2 + 1, self.m1 + 1)
+
+    @property
+    def total_size(self) -> int:
+        return (self.m1 + 1) * (self.m2 + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DividendSchedule:
+    """Discrete dividend schedule (static at trace time).
+
+    The reference threads host vectors of dates/amounts/percentages through
+    the steppers and re-maps the surface inside the dividend window
+    (ref: src/solver.hpp:310-474). Here the schedule is static so the
+    per-time-step event table is computed at trace time.
+    """
+
+    dates: Tuple[float, ...] = ()
+    amounts: Tuple[float, ...] = ()
+    percentages: Tuple[float, ...] = ()
+
+    def __post_init__(self):
+        if not (len(self.dates) == len(self.amounts) == len(self.percentages)):
+            raise ValueError("dividend schedule fields must have equal length")
+
+    def __len__(self) -> int:
+        return len(self.dates)
+
+    def events_for_step(self, n: int, delta_t: float) -> list:
+        """Dividends processed before PDE step n (1-based).
+
+        Window: n*dt <= date < (n+1)*dt, processed in date order — replicates
+        the host while-loop (ref: src/solver.hpp:363) and the device window
+        check (ref: src/device_solver.hpp:433-437).
+        """
+        t = n * delta_t
+        out = []
+        for date, amt, pct in zip(self.dates, self.amounts, self.percentages):
+            if t <= date < (n + 1) * delta_t:
+                out.append((amt, pct))
+        return out
+
+
+# The golden-test dividend schedule (ref: src/solver.cpp:788-790)
+GOLDEN_DIVIDENDS = DividendSchedule(
+    dates=(0.2, 0.4, 0.6, 0.8),
+    amounts=(0.5, 0.3, 0.2, 0.1),
+    percentages=(0.02, 0.02, 0.02, 0.02),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """ADI time-stepping configuration.
+
+    theta = 0.8 is the reference's universal choice
+    (ref: src/solver.cpp:342)."""
+
+    n_steps: int = 20
+    theta: float = 0.8
+    maturity: float = 1.0
+    # A2 v-direction operator variant:
+    #   "central" — the v-major operator used by the single-option golden path
+    #     (no upwinding; ref: src/hes_A2_mat.cpp:37-109)
+    #   "upwind"  — the shuffled/production operator that adds backward-upwind
+    #     convection rows where v > 1 (ref: src/hes_A2_mat.cpp:410-421,
+    #     src/hes_a2_shuffled_kernels.hpp:129-138)
+    a2_variant: str = "upwind"
+    # Banded-solver engine: "scan" (sequential Thomas, exact reference
+    # recurrence order), "pcr" (log-depth associative-scan), "pallas"
+    # (fused TPU kernel).
+    solver_engine: str = "scan"
+
+    @property
+    def delta_t(self) -> float:
+        return self.maturity / self.n_steps
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationConfig:
+    """Levenberg–Marquardt settings (ref: src/heston_calibration.cpp:55-68,
+    286-290, 398-408)."""
+
+    max_iter: int = 15
+    tol: float = 0.1
+    eps: float = 1e-6          # FD bump size
+    lambda_init: float = 0.01
+    lambda_down: float = 0.1
+    lambda_up: float = 10.0
+    lambda_min: float = 1e-7
+    lambda_max: float = 1e7
+    # parameter clamps (ref: src/heston_calibration.cpp:286-290)
+    kappa_min: float = 1e-3
+    eta_min: float = 1e-2
+    sigma_min: float = 1e-2
+    rho_min: float = -1.0
+    rho_max: float = 1.0
+    v0_min: float = 1e-2

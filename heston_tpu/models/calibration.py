@@ -1,0 +1,316 @@
+"""Levenberg–Marquardt calibration of the 5 Heston parameters.
+
+Re-design of the reference's calibration stack (ref:
+src/jacobian_computation.cpp, src/heston_calibration.cpp) for TPU:
+
+* FD Jacobian: the reference runs 6 sequential PDE solves inside each GPU
+  team (base + 5 bumps, ref: src/jacobian_computation.cpp:204-364). Here the
+  bump axis is a SECOND vmap axis: one jitted executable solves all
+  6 x num_options PDEs concurrently. The v0 bump rebuilds the variance grid
+  and re-locates the extraction node automatically, because grid build and
+  node lookup are part of the traced pricing function (replacing
+  rebuild_variance_views + find_v0_index, ref: src/grid_pod.hpp:25-87).
+* Normal equations: JtJ (5x5) and Jtr (5) by einsum; Marquardt damping
+  JtJ_ii *= (1 + lambda) and a 5x5 linear solve (the reference uses
+  KokkosBlas gemm/gemv + a hand-rolled device Gaussian elimination,
+  ref: src/jacobian_computation.cpp:107-195; a 5x5 jnp.linalg.solve is the
+  right tool on TPU). With a sharded option book the residual/Jacobian
+  contractions reduce over ICI via psum (see heston_tpu.parallel).
+* Damped accept/reject loop with parameter clamps on host — same control
+  flow as the reference (ref: src/heston_calibration.cpp:206-417).
+
+Multi-maturity chains: the reference gives each (maturity, strike) point its
+own step count N = round(T_i * steps_per_year) (ref:
+src/heston_calibration.cpp:2165-2213). vmap needs a uniform trip count, so
+points are grouped by maturity (one compiled executable per distinct
+maturity — reused across LM iterations) and the per-group results are
+concatenated; see `CalibrationTargets`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from heston_tpu.config import (
+    CalibrationConfig,
+    DividendSchedule,
+    GridSpec,
+    HestonParams,
+    SolverConfig,
+)
+from heston_tpu.models import douglas
+
+Array = jnp.ndarray
+
+N_PARAMS = 5  # (kappa, eta, sigma, rho, v0)
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibrationTargets:
+    """Market data to fit: one entry per (strike, maturity) point."""
+
+    strikes: np.ndarray          # (n_points,)
+    maturities: np.ndarray       # (n_points,)
+    prices: np.ndarray           # (n_points,)
+    s0: float
+    r_d: float
+    r_f: float = 0.0
+    american: bool = False
+    dividends: Optional[DividendSchedule] = None
+
+    def groups(self) -> List[Tuple[float, np.ndarray]]:
+        """(maturity, point-index array) per distinct maturity, in order."""
+        out = []
+        for t in sorted(set(self.maturities.tolist())):
+            out.append((t, np.nonzero(self.maturities == t)[0]))
+        return out
+
+
+def _bumped_param_matrix(theta_vec: Array, eps: float) -> Array:
+    """Rows: [base, kappa+eps, eta+eps, sigma+eps, rho+eps, v0+eps].
+
+    Column order matches the reference Jacobian
+    (ref: src/jacobian_computation.cpp:292-361)."""
+    base = jnp.broadcast_to(theta_vec, (N_PARAMS + 1, N_PARAMS))
+    bump = jnp.concatenate(
+        [jnp.zeros((1, N_PARAMS), theta_vec.dtype),
+         eps * jnp.eye(N_PARAMS, dtype=theta_vec.dtype)], axis=0)
+    return base + bump
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "solver", "american", "dividends", "eps"),
+)
+def jacobian_and_prices(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    theta_vec: Array,          # (5,) = (kappa, eta, sigma, rho, v0)
+    r_d,
+    r_f,
+    eps: float = 1e-6,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> Tuple[Array, Array]:
+    """Returns (J [n_strikes, 5], base_prices [n_strikes]).
+
+    6 * n_strikes PDE solves in one fused executable — the vmap x vmap
+    equivalent of compute_jacobian (ref: src/jacobian_computation.cpp:204)."""
+
+    def price_one(k, pvec):
+        return douglas.price_option(
+            spec, solver, k, s0, pvec[0], pvec[1], pvec[2], pvec[3], pvec[4],
+            r_d, r_f, american=american, dividends=dividends,
+        )
+
+    pmat = _bumped_param_matrix(theta_vec, eps)              # (6, 5)
+    # axes: bump (6) x strikes (B)
+    prices = jax.vmap(
+        lambda pvec: jax.vmap(lambda k: price_one(k, pvec))(strikes)
+    )(pmat)                                                   # (6, B)
+    base = prices[0]
+    jac = ((prices[1:] - base[None, :]) / eps).T              # (B, 5)
+    return jac, base
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "solver", "american", "dividends"),
+)
+def base_prices(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    theta_vec: Array,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> Array:
+    """Batched pricing at one parameter set
+    (ref: src/jacobian_computation.cpp:368 compute_base_prices)."""
+
+    def price_one(k):
+        return douglas.price_option(
+            spec, solver, k, s0, theta_vec[0], theta_vec[1], theta_vec[2],
+            theta_vec[3], theta_vec[4], r_d, r_f,
+            american=american, dividends=dividends,
+        )
+
+    return jax.vmap(price_one)(strikes)
+
+
+@jax.jit
+def lm_update(jac: Array, residual: Array, lam) -> Array:
+    """Damped normal-equations step: solve (JtJ * (1+lam on diag)) d = Jtr
+    (ref: src/jacobian_computation.cpp:107-195)."""
+    jtj = jac.T @ jac
+    jtj = jtj * (1.0 + lam * jnp.eye(N_PARAMS, dtype=jac.dtype))
+    jtr = jac.T @ residual
+    return jnp.linalg.solve(jtj, jtr)
+
+
+def clamp_params(vec: np.ndarray, cfg: CalibrationConfig) -> np.ndarray:
+    """Parameter clamps (ref: src/heston_calibration.cpp:286-290)."""
+    return np.array([
+        max(cfg.kappa_min, vec[0]),
+        max(cfg.eta_min, vec[1]),
+        max(cfg.sigma_min, vec[2]),
+        min(cfg.rho_max, max(cfg.rho_min, vec[3])),
+        max(cfg.v0_min, vec[4]),
+    ])
+
+
+@dataclasses.dataclass
+class CalibrationResult:
+    params: HestonParams
+    initial_params: HestonParams
+    final_error: float
+    iterations: int
+    converged: bool
+    fitted_prices: np.ndarray
+    market_prices: np.ndarray
+    strikes: np.ndarray
+    history: List[Dict]
+    total_pde_solves: int
+
+
+def _solve_groups(fn_per_group, targets: CalibrationTargets):
+    """Run a per-maturity-group function and reassemble point order."""
+    n = len(targets.strikes)
+    out_j = np.zeros((n, N_PARAMS))
+    out_p = np.zeros(n)
+    for (mat, idx), res in fn_per_group:
+        if res[0] is not None:
+            out_j[idx] = res[0]
+        out_p[idx] = res[1]
+    return out_j, out_p
+
+
+def calibrate(
+    targets: CalibrationTargets,
+    spec: GridSpec,
+    solver: SolverConfig,
+    init: HestonParams,
+    cfg: CalibrationConfig = CalibrationConfig(),
+    steps_per_year: Optional[int] = None,
+    verbose: bool = False,
+    pricing_fns=None,
+) -> CalibrationResult:
+    """Full LM driver (ref: src/heston_calibration.cpp:26-512 and the
+    multi-maturity variants :2428-2935).
+
+    `pricing_fns`: optional override (jac_fn, price_fn) with the signatures
+    of `jacobian_and_prices` / `base_prices` partially applied over sharding
+    (see heston_tpu.parallel.sharded) — the LM loop is agnostic to how the
+    option book is distributed.
+    """
+    jac_fn = jacobian_and_prices if pricing_fns is None else pricing_fns[0]
+    price_fn = base_prices if pricing_fns is None else pricing_fns[1]
+
+    spy = steps_per_year if steps_per_year is not None else solver.n_steps
+    groups = targets.groups()
+
+    def solver_for(mat: float) -> SolverConfig:
+        n = max(1, int(round(spy * mat)))
+        return dataclasses.replace(solver, n_steps=n, maturity=mat)
+
+    market = np.asarray(targets.prices)
+    theta_vec = np.array(init.bumpable())
+    lam = cfg.lambda_init
+    history: List[Dict] = []
+    converged = False
+    final_error = float("inf")
+    iters = 0
+    fitted = np.zeros_like(market)
+
+    def eval_jacobian(tv):
+        J = np.zeros((len(market), N_PARAMS))
+        P = np.zeros(len(market))
+        for mat, idx in groups:
+            j, p = jac_fn(
+                spec, solver_for(mat), jnp.asarray(targets.strikes[idx]),
+                targets.s0, jnp.asarray(tv), targets.r_d, targets.r_f,
+                eps=cfg.eps, american=targets.american,
+                dividends=targets.dividends,
+            )
+            J[idx] = np.asarray(j)
+            P[idx] = np.asarray(p)
+        return J, P
+
+    def eval_prices(tv):
+        P = np.zeros(len(market))
+        for mat, idx in groups:
+            P[idx] = np.asarray(price_fn(
+                spec, solver_for(mat), jnp.asarray(targets.strikes[idx]),
+                targets.s0, jnp.asarray(tv), targets.r_d, targets.r_f,
+                american=targets.american, dividends=targets.dividends,
+            ))
+        return P
+
+    for it in range(cfg.max_iter):
+        iters = it + 1
+        J, base = eval_jacobian(theta_vec)
+        fitted = base
+        residual = market - base
+        current_error = float(residual @ residual)
+
+        delta = np.asarray(lm_update(jnp.asarray(J), jnp.asarray(residual),
+                                     lam))
+        new_vec = clamp_params(theta_vec + delta, cfg)
+        delta_norm = float(np.linalg.norm(delta))
+
+        if verbose:
+            print(f"iter {iters}: sse={current_error:.6e} "
+                  f"|delta|={delta_norm:.3e} lambda={lam:.1e}")
+
+        if delta_norm < cfg.tol or current_error < cfg.tol:
+            theta_vec = new_vec
+            converged = True
+            final_error = current_error
+            history.append(dict(iter=iters, sse=current_error,
+                                delta_norm=delta_norm, lam=lam,
+                                accepted=True))
+            break
+
+        new_prices = eval_prices(new_vec)
+        new_resid = market - new_prices
+        new_error = float(new_resid @ new_resid)
+        accepted = new_error < current_error
+        if accepted:
+            theta_vec = new_vec
+            fitted = new_prices
+            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
+        else:
+            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
+        final_error = min(new_error, current_error)
+        history.append(dict(iter=iters, sse=current_error,
+                            new_sse=new_error, delta_norm=delta_norm,
+                            lam=lam, accepted=accepted))
+
+    calibrated = dataclasses.replace(
+        init, kappa=float(theta_vec[0]), eta=float(theta_vec[1]),
+        sigma=float(theta_vec[2]), rho=float(theta_vec[3]),
+        v0=float(theta_vec[4]))
+    n_solves = len(market) * (N_PARAMS + 2) * iters - len(market)
+    return CalibrationResult(
+        params=calibrated,
+        initial_params=init,
+        final_error=final_error,
+        iterations=iters,
+        converged=converged,
+        fitted_prices=fitted,
+        market_prices=market,
+        strikes=np.asarray(targets.strikes),
+        history=history,
+        total_pde_solves=n_solves,
+    )

@@ -1,0 +1,295 @@
+"""Douglas (DO) ADI time-stepping for the 2-D Heston PDE.
+
+One DO step (theta-weighted, A0 explicit; ref: src/solver.hpp:19-95,
+src/device_solver.hpp:196-266):
+
+    Y0   = U + dt * (A0 U + A1 U + A2 U + b * e^{r_f dt (n-1)})   [+ lambda]
+    rhs1 = Y0 + theta*dt * (b1 e^{r_f dt n} - A1 U - b1 e^{r_f dt (n-1)})
+    Y1   = (I - theta*dt*A1)^{-1} rhs1        (tridiagonal along s)
+    rhs2 = Y1 + theta*dt * (b2 e^{r_f dt n} - A2 U - b2 e^{r_f dt (n-1)})
+    U'   = (I - theta*dt*A2)^{-1} rhs2        (pentadiagonal along v)
+
+American early exercise uses the Ikonen–Toivanen lambda multiplier
+(ref: src/solver.hpp:267-280, src/device_solver.hpp:357-372):
+
+    U      = max(U' - dt*lambda, U_payoff)
+    lambda = max(0, lambda + (U_payoff - U') / dt);  lambda[s = s_max] = 0
+
+Discrete dividends re-map the surface via S -> S(1-pct) - cash with linear
+interpolation on the s-grid before the PDE step whose window contains the
+dividend date (ref: src/solver.hpp:358-429). The schedule is static, so the
+time loop is split into `lax.fori_loop` segments with the (traced) dividend
+re-maps applied between segments — no data-dependent control flow under jit.
+
+TPU-native structure: everything here is pure and shape-static, jitted once
+and `vmap`-ed over the option book (and over parameter bumps for the
+calibration Jacobian). The reference's one-team-per-option batching
+(ref: src/device_solver.hpp:53-185) becomes a leading batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from heston_tpu.config import (
+    DividendSchedule,
+    GridSpec,
+    HestonParams,
+    SolverConfig,
+)
+from heston_tpu.ops import banded, operators
+from heston_tpu.ops.grid import Grid, find_node, make_grid
+
+Array = jnp.ndarray
+
+
+class PreparedInstance(NamedTuple):
+    """Everything one option instance needs to run the DO time loop."""
+
+    grid: Grid
+    ops: operators.HestonOperators
+    a1_fac: banded.TridiagFactor
+    a2_fac: banded.PentaFactor
+    u0: Array        # payoff surface max(s - K, 0), (m2+1, m1+1)
+    idx_s: Array     # spot node index (int32 scalar)
+    idx_v: Array     # variance node index (int32 scalar)
+
+
+def prepare_instance(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strike,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+) -> PreparedInstance:
+    """Build grid, operators, factorizations and payoff for one option."""
+    grid = make_grid(spec, s0, strike, v0)
+    ops = operators.build_operators(
+        grid,
+        kappa,
+        eta,
+        sigma,
+        rho,
+        r_d,
+        r_f,
+        solver.theta,
+        solver.delta_t,
+        solver.n_steps,
+        solver.a2_variant,
+    )
+    a1_fac = banded.tridiag_factor(ops.a1_iml, ops.a1_imd, ops.a1_imu)
+    a2_fac = banded.penta_factor(
+        ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2
+    )
+    u0 = jnp.maximum(grid.vec_s[None, :] - strike, 0.0) * jnp.ones(
+        (spec.m2 + 1, 1), grid.vec_s.dtype
+    )
+    return PreparedInstance(
+        grid=grid,
+        ops=ops,
+        a1_fac=a1_fac,
+        a2_fac=a2_fac,
+        u0=u0,
+        idx_s=find_node(grid.vec_s, s0),
+        idx_v=find_node(grid.vec_v, v0),
+    )
+
+
+def apply_dividend(u: Array, vec_s: Array, amount, pct) -> Array:
+    """Surface re-map for one discrete dividend.
+
+    For each s-node: new_s = s*(1-pct) - amount, then linear interpolation of
+    the old surface at new_s. Replicates the reference exactly, including
+    idx==0 -> left extrapolation and new_s <= 0 -> 0
+    (ref: src/solver.hpp:382-425)."""
+    m1 = vec_s.shape[-1] - 1
+    new_s = vec_s * (1.0 - pct) - amount
+    # first index with vec_s[k] > new_s (strict); 0 if none (matches the
+    # reference's untouched idx = 0 fall-through)
+    idx = jnp.searchsorted(vec_s, new_s, side="right").astype(jnp.int32)
+    idx = jnp.where(idx > m1, 0, idx)
+    idx_lo = jnp.maximum(idx - 1, 0)
+
+    s_lo = vec_s[idx_lo]
+    s_hi = vec_s[idx]
+    w = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
+
+    u_lo = jnp.take(u, idx_lo, axis=-1)
+    u_hi = jnp.take(u, idx, axis=-1)
+    interp = (1.0 - w) * u_lo + w * u_hi
+
+    left = u[..., 0:1] * jnp.ones_like(new_s)
+    out = jnp.where(idx == 0, left, interp)
+    return jnp.where(new_s > 0.0, out, 0.0)
+
+
+def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
+             r_f, american: bool):
+    """One Douglas step; n is the 1-based (possibly traced) step index."""
+    ops = inst.ops
+    dt = solver.delta_t
+    theta = solver.theta
+    dtype = u.dtype
+    nf = jnp.asarray(n, dtype)
+    e_nm1 = jnp.exp(r_f * dt * (nf - 1.0))
+    e_n = jnp.exp(r_f * dt * nf)
+
+    a0r = operators.a0_multiply(ops, u)
+    a1r = operators.a1_multiply(ops, u)
+    a2r = operators.a2_multiply(ops, u)
+
+    y0 = u + dt * (a0r + a1r + a2r + ops.b * e_nm1)
+    if american:
+        y0 = y0 + dt * lam
+
+    rhs1 = y0 + theta * dt * (ops.b1 * e_n - (a1r + ops.b1 * e_nm1))
+    y1 = banded.tridiag_solve(inst.a1_fac, rhs1, solver.solver_engine)
+
+    rhs2 = y1 + theta * dt * (ops.b2 * e_n - (a2r + ops.b2 * e_nm1))
+    u_bar = banded.penta_solve(inst.a2_fac, rhs2, solver.solver_engine)
+
+    if american:
+        u_new = jnp.maximum(u_bar - dt * lam, inst.u0)
+        lam_new = jnp.maximum(0.0, lam + (inst.u0 - u_bar) / dt)
+        lam_new = lam_new.at[..., :, -1].set(0.0)   # lambda(s_max) = 0
+        return u_new, lam_new
+    return u_bar, lam
+
+
+def run_time_loop(
+    inst: PreparedInstance,
+    solver: SolverConfig,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> Array:
+    """Run all N DO steps (with dividend re-maps between segments)."""
+    u = inst.u0
+    lam = jnp.zeros_like(u)
+
+    def body(n, carry):
+        uu, ll = carry
+        return _do_step(n, uu, ll, inst, solver, r_f, american)
+
+    def run_range(n0, n1, carry):
+        if n1 <= n0:
+            return carry
+        if n1 - n0 == 1:
+            return body(n0, carry)
+        return lax.fori_loop(n0, n1, body, carry)
+
+    carry = (u, lam)
+    n_next = 1
+    if dividends is not None and len(dividends) > 0:
+        for n in range(1, solver.n_steps + 1):
+            events = dividends.events_for_step(n, solver.delta_t)
+            if not events:
+                continue
+            carry = run_range(n_next, n, carry)
+            uu, ll = carry
+            for amount, pct in events:
+                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct)
+            carry = run_range(n, n + 1, (uu, ll))
+            n_next = n + 1
+    carry = run_range(n_next, solver.n_steps + 1, carry)
+    return carry[0]
+
+
+def price_option(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strike,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> Array:
+    """Price a single call option; returns a scalar. Pure & vmappable."""
+    inst = prepare_instance(
+        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f
+    )
+    u = run_time_loop(inst, solver, r_f, american, dividends)
+    return u[inst.idx_v, inst.idx_s]
+
+
+def price_surface(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strike,
+    s0,
+    params: HestonParams,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+):
+    """Full terminal surface + grid (for exports / inspection)."""
+    inst = prepare_instance(
+        spec, solver, strike, s0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f,
+    )
+    u = run_time_loop(inst, solver, params.r_f, american, dividends)
+    return u, inst.grid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "solver", "american", "dividends"),
+)
+def price_batch(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> Array:
+    """Batched pricing over a strike vector (the reference's one-team-per-
+    option parallelism, ref: src/device_solver.hpp:53-185, as a vmap)."""
+
+    def one(k):
+        return price_option(
+            spec, solver, k, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            american=american, dividends=dividends,
+        )
+
+    return jax.vmap(one)(strikes)
+
+
+def price_batch_params(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    params: HestonParams,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> Array:
+    """Convenience wrapper taking a HestonParams dataclass."""
+    return price_batch(
+        spec, solver, strikes, s0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f,
+        american=american, dividends=dividends,
+    )

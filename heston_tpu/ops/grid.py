@@ -1,0 +1,127 @@
+"""Sinh-stretched non-uniform grids with spot/variance-node insertion.
+
+Re-designs the reference grid construction (ref: src/grid.cpp:16-96) as pure,
+trace-able JAX functions: shapes are static, values may be traced (so the
+calibration v0-bump simply re-runs the same compiled grid code with v0+eps,
+replacing the reference's on-device bubble-sort rebuild,
+ref: src/grid_pod.hpp:25-73).
+
+Construction (identical semantics to the reference):
+
+  S-grid:  xi_i = asinh(-K/c) + i * dxi,  dxi = (asinh((S-K)/c) - asinh(-K/c))/m1
+           s_i = K + c*sinh(xi_i)
+           then S_0 is appended, the m1+2 values are sorted, and the LARGEST
+           value is dropped (push/sort/pop, ref: src/grid.cpp:34-37) — note
+           this intentionally discards the nominal S_max node.
+  V-grid:  eta_j = j * deta, deta = asinh(V/d)/m2; v_j = d*sinh(eta_j)
+           then V_0 inserted the same way (ref: src/grid.cpp:53-56).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from heston_tpu.config import GridSpec
+
+
+class Grid(NamedTuple):
+    """Grid node vectors and spacings.
+
+    vec_s: (m1+1,) stock nodes, ascending.
+    vec_v: (m2+1,) variance nodes, ascending.
+    dels:  (m1,)  forward differences of vec_s.
+    delv:  (m2,)  forward differences of vec_v.
+    """
+
+    vec_s: jnp.ndarray
+    vec_v: jnp.ndarray
+    dels: jnp.ndarray
+    delv: jnp.ndarray
+
+    @property
+    def m1(self) -> int:
+        return self.vec_s.shape[-1] - 1
+
+    @property
+    def m2(self) -> int:
+        return self.vec_v.shape[-1] - 1
+
+
+def _insert_and_crop(nodes: jnp.ndarray, value) -> jnp.ndarray:
+    """Append `value`, sort ascending, drop the largest node.
+
+    Exactly the reference's push_back / sort / pop_back
+    (ref: src/grid.cpp:34-37). Keeps the shape static for jit/vmap.
+    """
+    extended = jnp.concatenate([nodes, jnp.asarray(value, nodes.dtype)[None]])
+    return jnp.sort(extended)[:-1]
+
+
+def make_s_nodes(m1: int, s_max: jnp.ndarray, s0, strike, c) -> jnp.ndarray:
+    """Stock-direction sinh nodes with S_0 inserted."""
+    dtype = jnp.result_type(float)
+    strike = jnp.asarray(strike, dtype)
+    c = jnp.asarray(c, dtype)
+    lo = jnp.arcsinh(-strike / c)
+    hi = jnp.arcsinh((jnp.asarray(s_max, dtype) - strike) / c)
+    dxi = (hi - lo) / m1
+    i = jnp.arange(m1 + 1, dtype=dtype)
+    xi = lo + i * dxi
+    nodes = strike + c * jnp.sinh(xi)
+    return _insert_and_crop(nodes, jnp.asarray(s0, dtype))
+
+
+def make_v_nodes(m2: int, v_max, v0, d) -> jnp.ndarray:
+    """Variance-direction sinh nodes with V_0 inserted."""
+    dtype = jnp.result_type(float)
+    d = jnp.asarray(d, dtype)
+    deta = jnp.arcsinh(jnp.asarray(v_max, dtype) / d) / m2
+    j = jnp.arange(m2 + 1, dtype=dtype)
+    nodes = d * jnp.sinh(j * deta)
+    return _insert_and_crop(nodes, jnp.asarray(v0, dtype))
+
+
+def make_grid(spec: GridSpec, s0, strike, v0) -> Grid:
+    """Build the full pricing grid for one option instance.
+
+    All value inputs may be traced scalars; `spec` fields are static.
+    Mirrors Grid::Grid (ref: src/grid.cpp:16-61) including the S_0 / V_0
+    insertion and delta recomputation.
+    """
+    dtype = jnp.result_type(float)
+    strike = jnp.asarray(strike, dtype)
+    vec_s = make_s_nodes(
+        spec.m1, spec.s_max_mult * strike, s0, strike, spec.c_mult * strike
+    )
+    vec_v = make_v_nodes(spec.m2, spec.v_max, v0, spec.v_max / spec.d_div)
+    return Grid(
+        vec_s=vec_s,
+        vec_v=vec_v,
+        dels=jnp.diff(vec_s),
+        delv=jnp.diff(vec_v),
+    )
+
+
+def rebuild_variance(spec: GridSpec, grid: Grid, v0_new) -> Grid:
+    """Rebuild only the variance direction for a new v0.
+
+    The pure-function equivalent of GridViews::rebuild_variance_views
+    (ref: src/grid_pod.hpp:25-73), used for the dPrice/dv0 Jacobian column.
+    """
+    vec_v = make_v_nodes(spec.m2, spec.v_max, v0_new, spec.v_max / spec.d_div)
+    return Grid(
+        vec_s=grid.vec_s, vec_v=vec_v, dels=grid.dels, delv=jnp.diff(vec_v)
+    )
+
+
+def find_node(nodes: jnp.ndarray, value, tol: float = 1e-10) -> jnp.ndarray:
+    """Index of the node equal to `value` within `tol`; 0 if absent.
+
+    Replicates the reference's equality search including its fall-back to
+    index 0 (ref: src/grid_pod.hpp:75-87, src/device_solver.hpp:163-178).
+    Returns a traced int32 scalar.
+    """
+    hit = jnp.abs(nodes - value) < tol
+    return jnp.argmax(hit).astype(jnp.int32)

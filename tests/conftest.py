@@ -1,0 +1,58 @@
+"""Test configuration: force CPU backend with 8 virtual devices + float64.
+
+Multi-chip sharding tests run on a virtual 8-device CPU mesh (the real
+environment exposes a single TPU chip); float64 everywhere for golden-value
+comparisons against the float64 reference.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from heston_tpu.config import GridSpec, HestonParams, SolverConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def params():
+    """Canonical reference parameter fixture (ref: src/solver.cpp:322-341)."""
+    return HestonParams()
+
+
+@pytest.fixture(scope="session")
+def small_spec():
+    return GridSpec(m1=8, m2=6)
+
+
+@pytest.fixture(scope="session")
+def bench_spec():
+    """The reference's benchmark/calibration grid
+    (ref: src/heston_calibration.cpp:48-49)."""
+    return GridSpec(m1=50, m2=25)
+
+
+@pytest.fixture(scope="session")
+def solver_central():
+    return SolverConfig(n_steps=20, theta=0.8, maturity=1.0, a2_variant="central")
+
+
+@pytest.fixture(scope="session")
+def solver_upwind():
+    return SolverConfig(n_steps=20, theta=0.8, maturity=1.0, a2_variant="upwind")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,56 @@
+"""Grid construction tests (vs. formulas and the dense numpy oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from heston_tpu.config import GridSpec
+from heston_tpu.ops import grid as gridmod
+
+from oracle_dense import build_grid_np
+
+
+def test_grid_matches_reference_construction():
+    spec = GridSpec(m1=50, m2=25)
+    g = gridmod.make_grid(spec, 100.0, 100.0, 0.04)
+    vs, vv, ds, dv = build_grid_np(50, 25, 100.0, 100.0, 0.04)
+    np.testing.assert_allclose(np.array(g.vec_s), vs, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(g.vec_v), vv, rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.array(g.dels), ds, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(g.delv), dv, rtol=0, atol=1e-14)
+
+
+def test_spot_and_v0_are_nodes():
+    """S_0 / V_0 insertion places them exactly on the grid
+    (ref: src/grid.cpp:34-37, 53-56)."""
+    spec = GridSpec(m1=37, m2=19)
+    g = gridmod.make_grid(spec, 103.7, 95.0, 0.0567)
+    assert float(jnp.min(jnp.abs(g.vec_s - 103.7))) == 0.0
+    assert float(jnp.min(jnp.abs(g.vec_v - 0.0567))) == 0.0
+    # monotone ascending
+    assert float(jnp.min(g.dels)) > 0
+    assert float(jnp.min(g.delv)) > 0
+
+
+def test_insertion_drops_largest_node():
+    """push/sort/pop drops the nominal S_max = 8K (ref: src/grid.cpp:34-37)."""
+    spec = GridSpec(m1=50, m2=25)
+    g = gridmod.make_grid(spec, 100.0, 100.0, 0.04)
+    assert float(g.vec_s[-1]) < 8 * 100.0
+    assert abs(float(g.vec_s[0])) < 1e-12  # sinh grid starts at ~0
+    assert float(g.vec_v[0]) == 0.0  # d*sinh(0) is exactly 0
+
+
+def test_find_node_semantics():
+    nodes = jnp.array([0.0, 1.0, 2.5, 4.0])
+    assert int(gridmod.find_node(nodes, 2.5)) == 2
+    # absent value falls back to index 0 (ref: src/grid_pod.hpp:75-87)
+    assert int(gridmod.find_node(nodes, 3.3)) == 0
+
+
+def test_rebuild_variance_matches_fresh_build():
+    spec = GridSpec(m1=20, m2=15)
+    g = gridmod.make_grid(spec, 100.0, 100.0, 0.04)
+    g2 = gridmod.rebuild_variance(spec, g, 0.04 + 1e-6)
+    g3 = gridmod.make_grid(spec, 100.0, 100.0, 0.04 + 1e-6)
+    np.testing.assert_array_equal(np.array(g2.vec_v), np.array(g3.vec_v))
+    assert float(jnp.min(jnp.abs(g2.vec_v - (0.04 + 1e-6)))) == 0.0
