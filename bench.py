@@ -1,0 +1,86 @@
+"""Headline benchmark: 500 American options with discrete dividends, batched.
+
+Reference baseline: 0.02 s for the same batch on an NVIDIA A100
+(ref: README.md:16; sweep definition ref: src/perfomance_test.cpp:50-54 —
+m1=50, m2=25, N=20, 10 timed runs). vs_baseline > 1 means faster than the
+A100 number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs:
+  HESTON_BENCH_DTYPE   float32 (default) | float64
+  HESTON_BENCH_BATCH   batch size (default 500)
+  HESTON_BENCH_ENGINE  scan (default) | pcr | pallas
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SECONDS = 0.02  # A100 (ref: README.md:16)
+
+
+def main():
+    dtype_name = os.environ.get("HESTON_BENCH_DTYPE", "float32")
+    batch = int(os.environ.get("HESTON_BENCH_BATCH", "500"))
+    engine = os.environ.get("HESTON_BENCH_ENGINE", "scan")
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from heston_tpu.config import (
+        GOLDEN_DIVIDENDS,
+        GridSpec,
+        HestonParams,
+        SolverConfig,
+    )
+    from heston_tpu.models import douglas
+
+    dev = jax.devices()[0]
+    p = HestonParams()
+    spec = GridSpec(m1=50, m2=25)
+    solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                          a2_variant="upwind", solver_engine=engine)
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+    strikes = jnp.linspace(70.0, 130.0, batch, dtype=dtype)
+
+    def run():
+        return douglas.price_batch(
+            spec, solver, strikes, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
+        )
+
+    # compile + sanity (np.array forces a real device->host fetch; plain
+    # block_until_ready does not synchronize through the axon tunnel)
+    out = np.array(run())
+    assert np.all(np.isfinite(out)), "non-finite prices"
+
+    # Amortized device throughput: enqueue R batches back-to-back and fetch
+    # the last — the per-batch device time, excluding the tunnel's ~35 ms
+    # RPC round-trip. This mirrors the reference benchmark's
+    # total_runtime / runs CSV methodology (ref: src/perfomance_test.cpp:214).
+    reps = 5
+    samples = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        outs = [run() for _ in range(reps)]
+        np.array(outs[-1])
+        samples.append((time.perf_counter() - t0) / reps)
+    value = float(np.median(samples))
+
+    print(json.dumps({
+        "metric": f"american_dividend_batch{batch}_m1_50_m2_25_N20_"
+                  f"{dtype_name}_{engine}_{dev.platform}",
+        "value": value,
+        "unit": "s",
+        "vs_baseline": BASELINE_SECONDS / value,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

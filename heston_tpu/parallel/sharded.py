@@ -1,0 +1,211 @@
+"""shard_map-based option-book sharding and distributed LM reductions.
+
+Design (SURVEY.md §2.5 / §5): the option batch is the only axis worth
+sharding — each PDE is ~(m1+1)x(m2+1) ≈ 51x26…201x151 nodes, far too small
+for intra-PDE decomposition. Each chip prices its shard of the book
+independently (zero communication), and the Levenberg–Marquardt normal
+equations reduce 5x5 + 5 values over ICI with `psum` — the distributed
+equivalent of the reference's single-GPU KokkosBlas gemm/gemv
+(ref: src/jacobian_computation.cpp:107-195).
+
+All shard-mapped executables are built once per (mesh, spec, solver,
+variant, batch-size) key and cached, so the LM loop reuses compiled code
+across iterations exactly like the single-chip path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
+from heston_tpu.models import douglas
+from heston_tpu.models.calibration import N_PARAMS, _bumped_param_matrix
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+AXIS = "options"
+
+
+def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices; the single axis shards the
+    option book."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a batch-axis array with one shard per device."""
+    return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
+
+
+def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, int]:
+    n = x.shape[0]
+    rem = (-n) % mult
+    if rem:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[-1:], (rem,) + x.shape[1:])])
+    return x, n
+
+
+def _local_prices(spec, solver, american, dividends, ks, tv, s0, r_d, r_f):
+    def one(k):
+        return douglas.price_option(
+            spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+            r_d, r_f, american=american, dividends=dividends,
+        )
+    return jax.vmap(one)(ks)
+
+
+def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
+    pmat = _bumped_param_matrix(tv, eps)  # (6, 5)
+    prices = jax.vmap(
+        lambda pv: _local_prices(spec, solver, american, dividends,
+                                 ks, pv, s0, r_d, r_f)
+    )(pmat)                                # (6, B_local)
+    base = prices[0]
+    jac = ((prices[1:] - base[None, :]) / eps).T
+    return jac, base
+
+
+@functools.lru_cache(maxsize=None)
+def _price_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+                american: bool, dividends):
+    fn = shard_map(
+        functools.partial(_local_prices, spec, solver, american, dividends),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P()),
+        out_specs=P(AXIS),
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+              american: bool, dividends, eps: float):
+    fn = shard_map(
+        functools.partial(_local_jac, spec, solver, american, dividends, eps),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+                    american: bool, dividends, eps: float):
+    def local(ks, mkt, w, tv, lam_, s0, r_d, r_f):
+        jac, base = _local_jac(spec, solver, american, dividends, eps,
+                               ks, tv, s0, r_d, r_f)
+        resid = (mkt - base) * w
+        jac = jac * w[:, None]
+        jtj = jax.lax.psum(jac.T @ jac, AXIS)
+        jtr = jax.lax.psum(jac.T @ resid, AXIS)
+        sse = jax.lax.psum(resid @ resid, AXIS)
+        jtj = jtj * (1.0 + lam_ * jnp.eye(N_PARAMS, dtype=jtj.dtype))
+        delta = jnp.linalg.solve(jtj, jtr)
+        return delta, base, sse
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(AXIS), P()),
+    )
+    return jax.jit(fn)
+
+
+def price_batch_sharded(
+    mesh: Mesh,
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: jax.Array,
+    s0,
+    theta_vec: jax.Array,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+) -> jax.Array:
+    """Price the book with the batch axis sharded across the mesh.
+
+    Each device runs the plain vmapped pricer on its shard — embarrassingly
+    parallel, no collectives (the TPU-native form of the reference's
+    one-team-per-option kernel, ref: src/device_solver.hpp:53-185)."""
+    n_dev = mesh.devices.size
+    padded, n = _pad_to(jnp.asarray(strikes), n_dev)
+    dtype = padded.dtype
+    fn = _price_exec(mesh, spec, solver, american, dividends)
+    out = fn(shard_batch(padded, mesh), jnp.asarray(theta_vec, dtype),
+             jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
+             jnp.asarray(r_f, dtype))
+    return out[:n]
+
+
+def jacobian_normal_eq_sharded(
+    mesh: Mesh,
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: jax.Array,
+    market_prices: jax.Array,
+    s0,
+    theta_vec: jax.Array,
+    r_d,
+    r_f,
+    lam,
+    eps: float = 1e-6,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+):
+    """One fully-distributed LM linear-algebra step.
+
+    Per shard: 6 x local PDE solves -> local J, residual; then
+    JtJ = psum(J_loc^T J_loc), Jtr = psum(J_loc^T r_loc) over ICI, Marquardt
+    damping JtJ_ii *= (1+lam), and a replicated 5x5 solve. Padded entries are
+    zero-weighted so they don't pollute the reduction. Returns
+    (delta [5] replicated, base_prices [n], sse replicated)."""
+    n_dev = mesh.devices.size
+    padded_k, n = _pad_to(jnp.asarray(strikes), n_dev)
+    padded_m, _ = _pad_to(jnp.asarray(market_prices), n_dev)
+    dtype = padded_k.dtype
+    valid = (jnp.arange(padded_k.shape[0]) < n).astype(dtype)
+    fn = _normal_eq_exec(mesh, spec, solver, american, dividends, eps)
+    delta, base, sse = fn(
+        shard_batch(padded_k, mesh), shard_batch(padded_m, mesh),
+        shard_batch(valid, mesh), jnp.asarray(theta_vec, dtype),
+        jnp.asarray(lam, dtype), jnp.asarray(s0, dtype),
+        jnp.asarray(r_d, dtype), jnp.asarray(r_f, dtype),
+    )
+    return delta, base[:n], sse
+
+
+def sharded_pricing_fns(mesh: Mesh):
+    """(jac_fn, price_fn) drop-ins for calibration.calibrate(pricing_fns=...)
+    that run the PDE fleet sharded over the mesh."""
+
+    def jac_fn(spec, solver, strikes, s0, theta_vec, r_d, r_f, eps=1e-6,
+               american=False, dividends=None):
+        n_dev = mesh.devices.size
+        padded, n = _pad_to(jnp.asarray(strikes), n_dev)
+        dtype = padded.dtype
+        fn = _jac_exec(mesh, spec, solver, american, dividends, eps)
+        jac, base = fn(shard_batch(padded, mesh),
+                       jnp.asarray(theta_vec, dtype), jnp.asarray(s0, dtype),
+                       jnp.asarray(r_d, dtype), jnp.asarray(r_f, dtype))
+        return jac[:n], base[:n]
+
+    def price_fn(spec, solver, strikes, s0, theta_vec, r_d, r_f,
+                 american=False, dividends=None):
+        return price_batch_sharded(
+            mesh, spec, solver, strikes, s0, theta_vec, r_d, r_f,
+            american=american, dividends=dividends,
+        )
+
+    return jac_fn, price_fn

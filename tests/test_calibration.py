@@ -1,0 +1,116 @@
+"""LM calibration tests: Jacobian correctness, recovery of a synthetic
+market (the reference's own acceptance test,
+ref: src/heston_calibration.cpp:26-512), multi-maturity chains, and the
+sharded pricing path plugged into the same driver."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heston_tpu.config import (
+    CalibrationConfig,
+    GridSpec,
+    HestonParams,
+    SolverConfig,
+)
+from heston_tpu.models import bs
+from heston_tpu.models import calibration as calib
+from heston_tpu.parallel import make_mesh, sharded_pricing_fns
+
+SPEC = GridSpec(m1=30, m2=15)
+SOLVER = SolverConfig(n_steps=10, theta=0.8, maturity=1.0, a2_variant="upwind")
+
+
+def test_jacobian_matches_manual_fd(params):
+    strikes = jnp.array([95.0, 100.0, 105.0])
+    tv = jnp.array(params.bumpable())
+    eps = 1e-6
+    jac, base = calib.jacobian_and_prices(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f, eps=eps)
+    for p_idx in range(5):
+        tv_b = tv.at[p_idx].add(eps)
+        bumped = calib.base_prices(SPEC, SOLVER, strikes, 100.0, tv_b,
+                                   params.r_d, params.r_f)
+        manual = (np.array(bumped) - np.array(base)) / eps
+        # batched-vmap vs unbatched execution reorders float ops; a ~1e-12
+        # price difference divided by eps=1e-6 shows up as ~1e-6 in J
+        np.testing.assert_allclose(np.array(jac[:, p_idx]), manual,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_v0_jacobian_column_nonzero(params):
+    """The v0 bump rebuilds the variance grid and must produce a sensible
+    vega-like sensitivity (ref: src/jacobian_computation.cpp:331-361)."""
+    strikes = jnp.array([100.0])
+    tv = jnp.array(params.bumpable())
+    jac, _ = calib.jacobian_and_prices(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f)
+    assert float(jac[0, 4]) > 1.0  # dPrice/dv0 strongly positive ATM
+
+
+def _make_targets(params, n_strikes=12):
+    strikes = np.array([100.0 * 0.7 + i * 60.0 / n_strikes
+                        for i in range(n_strikes)])
+    market = np.asarray(bs.generate_market_data(
+        100.0, 1.0, params.r_d, jnp.asarray(strikes)))
+    return calib.CalibrationTargets(
+        strikes=strikes, maturities=np.full(n_strikes, 1.0),
+        prices=market, s0=100.0, r_d=params.r_d, r_f=params.r_f)
+
+
+def test_calibration_reduces_error(params):
+    """Fit the 5 Heston params to a flat-vol-0.2 BS chain; SSE must drop by
+    orders of magnitude (reference scenario,
+    ref: src/heston_calibration.cpp:77-83)."""
+    targets = _make_targets(params)
+    init = HestonParams(kappa=1.5, eta=0.04, sigma=0.3, rho=-0.9, v0=0.04)
+    cfg = CalibrationConfig(max_iter=8, tol=1e-4)
+    res = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+
+    init_prices = np.asarray(calib.base_prices(
+        SPEC, SOLVER, jnp.asarray(targets.strikes), 100.0,
+        jnp.array(init.bumpable()), params.r_d, params.r_f))
+    init_sse = float(np.sum((targets.prices - init_prices) ** 2))
+    assert res.final_error < init_sse * 1e-2
+    assert res.iterations <= 8
+    # clamps respected
+    assert res.params.kappa >= 1e-3 and res.params.v0 >= 1e-2
+    assert -1.0 <= res.params.rho <= 1.0
+
+
+def test_calibration_multi_maturity(params):
+    """Per-maturity step counts (ref: src/heston_calibration.cpp:2165-2213):
+    each maturity group gets N = round(steps_per_year * T)."""
+    strikes = np.tile(np.linspace(90.0, 110.0, 4), 2)
+    mats = np.repeat([0.5, 1.0], 4)
+    market = np.concatenate([
+        np.asarray(bs.generate_market_data(100.0, t, params.r_d,
+                                           jnp.asarray(strikes[:4])))
+        for t in (0.5, 1.0)])
+    targets = calib.CalibrationTargets(
+        strikes=strikes, maturities=mats, prices=market,
+        s0=100.0, r_d=params.r_d, r_f=params.r_f)
+    init = HestonParams()
+    cfg = CalibrationConfig(max_iter=3, tol=1e-6)
+    res = calib.calibrate(targets, SPEC, SOLVER, init, cfg,
+                          steps_per_year=10)
+    assert res.iterations >= 1
+    assert np.isfinite(res.final_error)
+    h0 = res.history[0]
+    assert h0["sse"] > res.final_error or h0["accepted"]
+
+
+def test_calibration_sharded_matches_single(params):
+    """The same LM driver with sharded pricing fns reproduces the
+    single-device trajectory bit-for-bit."""
+    targets = _make_targets(params, n_strikes=8)
+    init = HestonParams(kappa=1.0, eta=0.05, sigma=0.4, rho=-0.5, v0=0.05)
+    cfg = CalibrationConfig(max_iter=3, tol=1e-8)
+    res_single = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+    mesh = make_mesh()
+    res_sharded = calib.calibrate(targets, SPEC, SOLVER, init, cfg,
+                                  pricing_fns=sharded_pricing_fns(mesh))
+    np.testing.assert_allclose(
+        np.array(res_sharded.params.bumpable()),
+        np.array(res_single.params.bumpable()), rtol=1e-8)
+    assert abs(res_sharded.final_error - res_single.final_error) < 1e-8

@@ -1,0 +1,90 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: sharded
+results must equal single-device results exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heston_tpu.config import GOLDEN_DIVIDENDS, GridSpec, SolverConfig
+from heston_tpu.models import calibration as calib
+from heston_tpu.parallel import (
+    jacobian_normal_eq_sharded,
+    make_mesh,
+    price_batch_sharded,
+    sharded_pricing_fns,
+)
+
+SPEC = GridSpec(m1=30, m2=15)
+SOLVER = SolverConfig(n_steps=10, theta=0.8, maturity=1.0, a2_variant="upwind")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    return make_mesh()
+
+
+def _theta(params):
+    return jnp.array(params.bumpable())
+
+
+def test_sharded_prices_match_single_device(params, mesh):
+    strikes = jnp.linspace(80.0, 120.0, 16)
+    tv = _theta(params)
+    want = calib.base_prices(SPEC, SOLVER, strikes, 100.0, tv,
+                             params.r_d, params.r_f)
+    got = price_batch_sharded(mesh, SPEC, SOLVER, strikes, 100.0, tv,
+                              params.r_d, params.r_f)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=0,
+                               atol=1e-12)
+
+
+def test_sharded_handles_non_divisible_batch(params, mesh):
+    strikes = jnp.linspace(85.0, 115.0, 13)  # 13 % 8 != 0
+    tv = _theta(params)
+    want = calib.base_prices(SPEC, SOLVER, strikes, 100.0, tv,
+                             params.r_d, params.r_f,
+                             dividends=GOLDEN_DIVIDENDS)
+    got = price_batch_sharded(mesh, SPEC, SOLVER, strikes, 100.0, tv,
+                              params.r_d, params.r_f,
+                              dividends=GOLDEN_DIVIDENDS)
+    assert got.shape == (13,)
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=0,
+                               atol=1e-12)
+
+
+def test_distributed_normal_equations_match_dense(params, mesh):
+    """psum'd JtJ/Jtr + replicated 5x5 solve == single-device lm_update."""
+    strikes = jnp.linspace(90.0, 110.0, 11)
+    tv = _theta(params)
+    market = calib.base_prices(SPEC, SOLVER, strikes, 100.0,
+                               tv * 1.05, params.r_d, params.r_f)
+    lam = 0.01
+    jac, base = calib.jacobian_and_prices(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f)
+    resid = market - base
+    want_delta = calib.lm_update(jac, resid, lam)
+    want_sse = float(resid @ resid)
+
+    delta, base_sh, sse = jacobian_normal_eq_sharded(
+        mesh, SPEC, SOLVER, strikes, market, 100.0, tv,
+        params.r_d, params.r_f, lam)
+    np.testing.assert_allclose(np.array(base_sh), np.array(base), atol=1e-12)
+    np.testing.assert_allclose(np.array(delta), np.array(want_delta),
+                               rtol=1e-9, atol=1e-12)
+    assert abs(float(sse) - want_sse) < 1e-9 * max(1.0, want_sse)
+
+
+def test_sharded_pricing_fns_match_plain(params, mesh):
+    strikes = jnp.linspace(80.0, 120.0, 10)
+    tv = _theta(params)
+    jac_fn, price_fn = sharded_pricing_fns(mesh)
+    j_sh, b_sh = jac_fn(SPEC, SOLVER, strikes, 100.0, tv,
+                        params.r_d, params.r_f)
+    j, b = calib.jacobian_and_prices(SPEC, SOLVER, strikes, 100.0, tv,
+                                     params.r_d, params.r_f)
+    np.testing.assert_allclose(np.array(j_sh), np.array(j), rtol=0,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.array(b_sh), np.array(b), rtol=0,
+                               atol=1e-12)
