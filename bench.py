@@ -28,7 +28,7 @@ BASELINE_SECONDS = 0.02  # A100 (ref: README.md:16)
 def main():
     dtype_name = os.environ.get("HESTON_BENCH_DTYPE", "float32")
     batch = int(os.environ.get("HESTON_BENCH_BATCH", "500"))
-    engine = os.environ.get("HESTON_BENCH_ENGINE", "scan")
+    engine = os.environ.get("HESTON_BENCH_ENGINE", "pallas")
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
 
@@ -39,6 +39,9 @@ def main():
         SolverConfig,
     )
     from heston_tpu.models import douglas
+    from heston_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     p = HestonParams()
@@ -48,11 +51,25 @@ def main():
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     strikes = jnp.linspace(70.0, 130.0, batch, dtype=dtype)
 
-    def run():
-        return douglas.price_batch(
-            spec, solver, strikes, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+    # NOTE: keep the jitted callable's HLO stable across bench.py edits
+    # (argument-passing form, no baked-in constants) so the compilation
+    # cache keeps hitting.
+    if engine == "pallas":
+        from heston_tpu.pallas import fused_do
+
+        priced = jax.jit(lambda ks: fused_do.fused_price_batch(
+            spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
-        )
+        ))
+    else:
+        priced = jax.jit(lambda ks: douglas.price_batch(
+            spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma,
+            p.rho, p.v0, p.r_d, p.r_f,
+            american=True, dividends=GOLDEN_DIVIDENDS,
+        ))
+
+    def run():
+        return priced(strikes)
 
     # compile + sanity (np.array forces a real device->host fetch; plain
     # block_until_ready does not synchronize through the axon tunnel)
@@ -63,9 +80,9 @@ def main():
     # the last — the per-batch device time, excluding the tunnel's ~35 ms
     # RPC round-trip. This mirrors the reference benchmark's
     # total_runtime / runs CSV methodology (ref: src/perfomance_test.cpp:214).
-    reps = 5
+    reps = 20
     samples = []
-    for _ in range(6):
+    for _ in range(4):
         t0 = time.perf_counter()
         outs = [run() for _ in range(reps)]
         np.array(outs[-1])

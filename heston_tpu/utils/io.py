@@ -1,0 +1,109 @@
+"""CSV exporters for surfaces, convergence studies and calibration fits.
+
+Covers the reference's reporting surface: ResultsExporter price surfaces
+(ref: src/solver.cpp:17-48), ConvergenceExporter grid/timestep sweeps
+(ref: src/solver.cpp:50-312) and the calibration fit export with implied-vol
+differences (ref: src/heston_calibration.cpp:463-511)."""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def export_surface(path, grid, surface, metadata: Optional[dict] = None):
+    """Write (s, v, U) triplets. Layout mirrors the reference exporter:
+    one row per node with the grid coordinates (ref: src/solver.cpp:17-48).
+    """
+    path = Path(path)
+    vec_s = np.asarray(grid.vec_s)
+    vec_v = np.asarray(grid.vec_v)
+    u = np.asarray(surface)
+    with path.open("w", newline="") as f:
+        w = csv.writer(f)
+        if metadata:
+            f.write("# " + ", ".join(f"{k}={v}" for k, v in metadata.items())
+                    + "\n")
+        w.writerow(["s", "v", "price"])
+        for j, v in enumerate(vec_v):
+            for i, s in enumerate(vec_s):
+                w.writerow([s, v, u[j, i]])
+    return path
+
+
+def export_convergence(path, rows: Sequence[dict], reference_price: float):
+    """Write a convergence table (m1, m2, n_steps, price, error, runtime),
+    the reference's ConvergenceExporter format (ref: src/solver.cpp:281-311).
+    """
+    path = Path(path)
+    with path.open("w", newline="") as f:
+        w = csv.writer(f)
+        f.write(f"# reference_price={reference_price!r}\n")
+        w.writerow(["m1", "m2", "n_steps", "price", "abs_error",
+                    "runtime_s"])
+        for r in rows:
+            w.writerow([r["m1"], r["m2"], r["n_steps"], r["price"],
+                        abs(r["price"] - reference_price),
+                        r.get("runtime_s", "")])
+    return path
+
+
+def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
+                           iv_epsilon: float = 0.01):
+    """Write strike / market / fitted / IV-difference rows plus a metadata
+    header with initial & final parameters
+    (ref: src/heston_calibration.cpp:468-511)."""
+    from heston_tpu.models import bs  # lazy: jax import
+
+    import jax.numpy as jnp
+
+    path = Path(path)
+    strikes = np.asarray(result.strikes)
+    market = np.asarray(result.market_prices)
+    fitted = np.asarray(result.fitted_prices)
+
+    iv_mkt = np.asarray(bs.implied_vol_chain(
+        jnp.asarray(market), s0, jnp.asarray(strikes), r_d, t))
+    iv_fit = np.asarray(bs.implied_vol_chain(
+        jnp.asarray(fitted), s0, jnp.asarray(strikes), r_d, t))
+
+    init = result.initial_params
+    fin = result.params
+    meta = {
+        "n_options": len(strikes),
+        "final_error": result.final_error,
+        "iterations": result.iterations,
+        "total_pde_solves": result.total_pde_solves,
+        "init_kappa": init.kappa, "init_eta": init.eta,
+        "init_sigma": init.sigma, "init_rho": init.rho, "init_v0": init.v0,
+        "kappa": fin.kappa, "eta": fin.eta, "sigma": fin.sigma,
+        "rho": fin.rho, "v0": fin.v0,
+    }
+    with path.open("w", newline="") as f:
+        f.write("# " + ", ".join(f"{k}={v}" for k, v in meta.items()) + "\n")
+        w = csv.writer(f)
+        w.writerow(["Strike", "MarketPrice", "FittedPrice", "IVDifference"])
+        for k, m, fit, a, b_ in zip(strikes, market, fitted, iv_mkt, iv_fit):
+            w.writerow([k, m, fit, abs(a - b_)])
+    return path
+
+
+def export_benchmark(path, rows: Sequence[dict]):
+    """Benchmark CSV: instances, total_runtime, runtime_per_instance,
+    throughput (ref: src/perfomance_test.cpp:214-221)."""
+    path = Path(path)
+    with path.open("w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["m1", "m2", "n_steps", "instances", "total_runtime_s",
+                    "runtime_per_instance_s", "throughput_per_s"])
+        for r in rows:
+            w.writerow([r["m1"], r["m2"], r["n_steps"], r["instances"],
+                        r["total_runtime_s"],
+                        r["total_runtime_s"] / r["instances"],
+                        r["instances"] / r["total_runtime_s"]])
+    return path

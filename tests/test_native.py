@@ -1,0 +1,71 @@
+"""Native C++ oracle tests: solver equivalence and full-loop cross-check
+against the JAX path (the reference's own GPU-vs-CPU verification style,
+ref: src/hes_A2_mat.cpp:785, src/BlackScholesMatrixTest.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from heston_tpu.config import GridSpec, SolverConfig
+from heston_tpu.models import douglas
+from heston_tpu.ops import grid as gridmod, operators
+from heston_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    try:
+        return native.load()
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"native toolchain unavailable: {exc}")
+
+
+def test_native_tridiag(lib, rng):
+    n = 31
+    md = 3.0 + rng.standard_normal(n)
+    ml = 0.4 * rng.standard_normal(n)
+    mu = 0.4 * rng.standard_normal(n)
+    ml[0] = mu[-1] = 0.0
+    rhs = rng.standard_normal(n)
+    x = native.tridiag_solve(ml, md, mu, rhs)
+    dense = np.diag(md) + np.diag(ml[1:], -1) + np.diag(mu[:-1], 1)
+    np.testing.assert_allclose(x, np.linalg.solve(dense, rhs), atol=1e-11)
+
+
+def test_native_penta(lib, rng):
+    n = 21
+    d = 4.0 + rng.standard_normal(n)
+    l1 = 0.4 * rng.standard_normal(n)
+    l2 = 0.2 * rng.standard_normal(n)
+    u1 = 0.4 * rng.standard_normal(n)
+    u2 = 0.2 * rng.standard_normal(n)
+    l1[0] = 0.0
+    l2[:2] = 0.0
+    u1[-1] = 0.0
+    u2[-2:] = 0.0
+    rhs = rng.standard_normal(n)
+    x = native.penta_solve(l2, l1, d, u1, u2, rhs)
+    dense = (np.diag(d) + np.diag(l1[1:], -1) + np.diag(l2[2:], -2)
+             + np.diag(u1[:-1], 1) + np.diag(u2[:-2], 2))
+    np.testing.assert_allclose(x, np.linalg.solve(dense, rhs), atol=1e-11)
+
+
+@pytest.mark.parametrize("american", [False, True])
+def test_native_do_loop_matches_jax(lib, params, american):
+    p = params
+    spec = GridSpec(m1=20, m2=12)
+    solver = SolverConfig(n_steps=8, a2_variant="upwind")
+    g = gridmod.make_grid(spec, 100.0, 95.0, p.v0)
+    ops = operators.build_operators(
+        g, p.kappa, p.eta, p.sigma, p.rho, p.r_d, p.r_f,
+        solver.theta, solver.delta_t, solver.n_steps, "upwind")
+    u0 = np.maximum(np.asarray(g.vec_s)[None, :] - 95.0, 0.0) * np.ones(
+        (spec.m2 + 1, 1))
+    got = native.do_solve(ops, u0, solver.n_steps, solver.delta_t,
+                          solver.theta, p.r_f, american=american)
+    inst = douglas.prepare_instance(
+        spec, solver, 95.0, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+        p.r_d, p.r_f)
+    want = np.asarray(douglas.run_time_loop(inst, solver, p.r_f,
+                                            american=american))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
