@@ -130,6 +130,13 @@ class SolverConfig:
     # recurrence order), "pcr" (log-depth associative-scan), "pallas"
     # (fused TPU kernel).
     solver_engine: str = "scan"
+    # Time scheme: "do" (Douglas, ref src/solver.hpp:19), "cs" (Craig-Sneyd
+    # with the 1/2 mixed-term corrector, ref src/solver.hpp:678) or "mcs"
+    # (modified Craig-Sneyd; the reference's version is marked broken at
+    # src/solver.hpp:915 — ours implements the textbook in 't Hout-Foulon
+    # form). American exercise and dividends are supported for "do" only,
+    # matching the reference.
+    scheme: str = "do"
 
     @property
     def delta_t(self) -> float:

@@ -136,7 +136,14 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct) -> Array:
 
 def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
              r_f, american: bool):
-    """One Douglas step; n is the 1-based (possibly traced) step index."""
+    """One ADI step (Douglas / Craig-Sneyd / modified Craig-Sneyd);
+    n is the 1-based (possibly traced) step index.
+
+    DO  (ref: src/solver.hpp:19-95): predictor + A1/A2 implicit corrections.
+    CS  (ref: src/solver.hpp:678-778): adds a 1/2*dt mixed-derivative
+        corrector and re-runs both implicit solves.
+    MCS: textbook in 't Hout-Foulon modified Craig-Sneyd (the reference's
+        MCS is marked broken, src/solver.hpp:915)."""
     ops = inst.ops
     dt = solver.delta_t
     theta = solver.theta
@@ -149,15 +156,36 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
     a1r = operators.a1_multiply(ops, u)
     a2r = operators.a2_multiply(ops, u)
 
+    def stage_solves(y0_stage):
+        rhs1 = y0_stage + theta * dt * (
+            ops.b1 * e_n - (a1r + ops.b1 * e_nm1))
+        y1 = banded.tridiag_solve(inst.a1_fac, rhs1, solver.solver_engine)
+        rhs2 = y1 + theta * dt * (ops.b2 * e_n - (a2r + ops.b2 * e_nm1))
+        return banded.penta_solve(inst.a2_fac, rhs2, solver.solver_engine)
+
     y0 = u + dt * (a0r + a1r + a2r + ops.b * e_nm1)
     if american:
         y0 = y0 + dt * lam
+    y2 = stage_solves(y0)
 
-    rhs1 = y0 + theta * dt * (ops.b1 * e_n - (a1r + ops.b1 * e_nm1))
-    y1 = banded.tridiag_solve(inst.a1_fac, rhs1, solver.solver_engine)
-
-    rhs2 = y1 + theta * dt * (ops.b2 * e_n - (a2r + ops.b2 * e_nm1))
-    u_bar = banded.penta_solve(inst.a2_fac, rhs2, solver.solver_engine)
+    if solver.scheme == "cs":
+        # mixed-derivative corrector (b0 == 0 for calls)
+        a0_y2 = operators.a0_multiply(ops, y2)
+        y0_tilde = y0 + 0.5 * dt * (a0_y2 - a0r)
+        u_bar = stage_solves(y0_tilde)
+    elif solver.scheme == "mcs":
+        a0_y2 = operators.a0_multiply(ops, y2)
+        a1_y2 = operators.a1_multiply(ops, y2)
+        a2_y2 = operators.a2_multiply(ops, y2)
+        y0_hat = y0 + theta * dt * (a0_y2 - a0r)
+        full_new = a0_y2 + a1_y2 + a2_y2 + ops.b * e_n
+        full_old = a0r + a1r + a2r + ops.b * e_nm1
+        y0_tilde = y0_hat + (0.5 - theta) * dt * (full_new - full_old)
+        u_bar = stage_solves(y0_tilde)
+    elif solver.scheme == "do":
+        u_bar = y2
+    else:
+        raise ValueError(f"unknown scheme: {solver.scheme!r}")
 
     if american:
         u_new = jnp.maximum(u_bar - dt * lam, inst.u0)
@@ -204,6 +232,57 @@ def run_time_loop(
             n_next = n + 1
     carry = run_range(n_next, solver.n_steps + 1, carry)
     return carry[0]
+
+
+def solve_with_tracking(
+    inst: PreparedInstance,
+    solver: SolverConfig,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+):
+    """Run the time loop recording the full price surface (and the American
+    lambda-multiplier surface) after every step — the TPU equivalent of the
+    reference's *_with_..._tracking steppers used for plots
+    (ref: src/solver.hpp:1086-1621). Returns (surfaces [N+1, nv, ns],
+    lambdas [N+1, nv, ns]); index 0 is the payoff."""
+    u = inst.u0
+    lam = jnp.zeros_like(u)
+
+    def scan_range(n0, n1, carry):
+        def body(carry_, n):
+            out = _do_step(n, carry_[0], carry_[1], inst, solver, r_f,
+                           american)
+            return out, out
+        ns_ = jnp.arange(n0, n1)
+        carry, hist = lax.scan(body, carry, ns_)
+        return carry, hist
+
+    chunks_u = [u[None]]
+    chunks_lam = [lam[None]]
+    carry = (u, lam)
+    n_next = 1
+    if dividends is not None and len(dividends) > 0:
+        for n in range(1, solver.n_steps + 1):
+            events = dividends.events_for_step(n, solver.delta_t)
+            if not events:
+                continue
+            if n > n_next:
+                carry, hist = scan_range(n_next, n, carry)
+                chunks_u.append(hist[0])
+                chunks_lam.append(hist[1])
+            uu, ll = carry
+            for amount, pct in events:
+                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct)
+            carry, hist = scan_range(n, n + 1, (uu, ll))
+            chunks_u.append(hist[0])
+            chunks_lam.append(hist[1])
+            n_next = n + 1
+    if n_next <= solver.n_steps:
+        carry, hist = scan_range(n_next, solver.n_steps + 1, carry)
+        chunks_u.append(hist[0])
+        chunks_lam.append(hist[1])
+    return jnp.concatenate(chunks_u), jnp.concatenate(chunks_lam)
 
 
 def price_option(

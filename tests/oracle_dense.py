@@ -148,6 +148,62 @@ def boundary_vectors(vec_s, m1, m2, r_d, r_f, n_steps, delta_t):
     return b1, b2
 
 
+def cs_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b, b1,
+                    b2, u0):
+    """Craig-Sneyd loop with dense solves (ref: src/solver.hpp:678-778;
+    b0 is identically zero for calls)."""
+    m = (m1 + 1) * (m2 + 1)
+    I = np.eye(m)
+    lhs1 = I - theta * delta_t * A1
+    lhs2 = I - theta * delta_t * A2
+    u = u0.copy()
+    for n in range(1, n_steps + 1):
+        e0 = np.exp(r_f * delta_t * (n - 1))
+        e1 = np.exp(r_f * delta_t * n)
+        a0r, a1r, a2r = A0 @ u, A1 @ u, A2 @ u
+        y0 = u + delta_t * (a0r + a1r + a2r + b * e0)
+        y1 = np.linalg.solve(
+            lhs1, y0 + theta * delta_t * (b1 * e1 - (a1r + b1 * e0)))
+        y2 = np.linalg.solve(
+            lhs2, y1 + theta * delta_t * (b2 * e1 - (a2r + b2 * e0)))
+        y0t = y0 + 0.5 * delta_t * (A0 @ y2 - a0r)
+        y1t = np.linalg.solve(
+            lhs1, y0t + theta * delta_t * (b1 * e1 - (a1r + b1 * e0)))
+        u = np.linalg.solve(
+            lhs2, y1t + theta * delta_t * (b2 * e1 - (a2r + b2 * e0)))
+    return u
+
+
+def mcs_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b,
+                     b1, b2, u0):
+    """Textbook modified Craig-Sneyd loop with dense solves (the
+    reference's MCS is marked broken, ref: src/solver.hpp:915)."""
+    m = (m1 + 1) * (m2 + 1)
+    I = np.eye(m)
+    lhs1 = I - theta * delta_t * A1
+    lhs2 = I - theta * delta_t * A2
+    u = u0.copy()
+    for n in range(1, n_steps + 1):
+        e0 = np.exp(r_f * delta_t * (n - 1))
+        e1 = np.exp(r_f * delta_t * n)
+        a0r, a1r, a2r = A0 @ u, A1 @ u, A2 @ u
+        y0 = u + delta_t * (a0r + a1r + a2r + b * e0)
+        y1 = np.linalg.solve(
+            lhs1, y0 + theta * delta_t * (b1 * e1 - (a1r + b1 * e0)))
+        y2 = np.linalg.solve(
+            lhs2, y1 + theta * delta_t * (b2 * e1 - (a2r + b2 * e0)))
+        a0_y2 = A0 @ y2
+        y0h = y0 + theta * delta_t * (a0_y2 - a0r)
+        full_new = a0_y2 + A1 @ y2 + A2 @ y2 + b * e1
+        full_old = a0r + a1r + a2r + b * e0
+        y0t = y0h + (0.5 - theta) * delta_t * (full_new - full_old)
+        y1t = np.linalg.solve(
+            lhs1, y0t + theta * delta_t * (b1 * e1 - (a1r + b1 * e0)))
+        u = np.linalg.solve(
+            lhs2, y1t + theta * delta_t * (b2 * e1 - (a2r + b2 * e0)))
+    return u
+
+
 def do_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b, b1,
                     b2, u0, american=False):
     """Full DO time loop with dense solves (ref: src/solver.hpp:19-95,

@@ -1,0 +1,61 @@
+"""Exporter tests (surface / convergence / calibration / benchmark CSVs)."""
+
+import csv
+
+import jax.numpy as jnp
+import numpy as np
+
+from heston_tpu.config import GridSpec, HestonParams, SolverConfig
+from heston_tpu.models import douglas
+from heston_tpu.utils import io as hio
+
+
+def test_export_surface(tmp_path, params):
+    spec = GridSpec(m1=6, m2=4)
+    solver = SolverConfig(n_steps=2)
+    u, grid = douglas.price_surface(spec, solver, 100.0, 100.0, params)
+    path = hio.export_surface(tmp_path / "surf.csv", grid, u,
+                              metadata={"m1": 6})
+    rows = list(csv.reader(path.open()))
+    # comment + header + (m1+1)*(m2+1) rows
+    assert rows[1] == ["s", "v", "price"]
+    assert len(rows) == 2 + 7 * 5
+    assert float(rows[2][2]) >= 0.0
+
+
+def test_export_convergence(tmp_path):
+    rows = [dict(m1=10, m2=5, n_steps=4, price=8.0, runtime_s=0.1),
+            dict(m1=20, m2=10, n_steps=8, price=8.5, runtime_s=0.2)]
+    path = hio.export_convergence(tmp_path / "conv.csv", rows, 8.89)
+    lines = path.read_text().splitlines()
+    assert lines[0].startswith("# reference_price=")
+    assert len(lines) == 4
+
+
+def test_export_calibration_fit(tmp_path, params):
+    from heston_tpu.models import bs, calibration as calib
+
+    strikes = np.linspace(90.0, 110.0, 5)
+    market = np.asarray(bs.generate_market_data(
+        100.0, 1.0, params.r_d, jnp.asarray(strikes)))
+    res = calib.CalibrationResult(
+        params=params, initial_params=params, final_error=0.01,
+        iterations=3, converged=True, fitted_prices=market * 1.001,
+        market_prices=market, strikes=strikes, history=[],
+        total_pde_solves=100)
+    path = hio.export_calibration_fit(tmp_path / "fit.csv", res,
+                                      100.0, 1.0, params.r_d)
+    lines = path.read_text().splitlines()
+    assert "kappa=" in lines[0]
+    assert lines[1].split(",")[0] == "Strike"
+    assert len(lines) == 2 + 5
+
+
+def test_export_benchmark(tmp_path):
+    rows = [dict(m1=50, m2=25, n_steps=20, instances=500,
+                 total_runtime_s=0.011)]
+    path = hio.export_benchmark(tmp_path / "bench.csv", rows)
+    lines = path.read_text().splitlines()
+    assert len(lines) == 2
+    vals = lines[1].split(",")
+    assert abs(float(vals[-1]) - 500 / 0.011) < 1.0

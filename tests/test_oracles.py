@@ -1,0 +1,54 @@
+"""Black-Scholes and Monte-Carlo oracle tests (the reference's oracle
+comparisons, ref: src/bs.cpp:45-55, src/MC_hes.cpp:165-198)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heston_tpu.config import GridSpec, SolverConfig
+from heston_tpu.models import bs, mc
+
+
+def test_bs_round_trip():
+    """price -> implied vol -> vol (ref: src/bs.cpp:45-55)."""
+    strikes = jnp.array([70.0, 90.0, 100.0, 115.0, 140.0])
+    prices = bs.generate_market_data(100.0, 1.0, 0.025, strikes)
+    ivs = np.array(bs.implied_vol_chain(prices, 100.0, strikes, 0.025, 1.0))
+    np.testing.assert_allclose(ivs, 0.2, atol=1e-6)
+
+
+def test_bs_vega_matches_fd():
+    eps = 1e-6
+    v = 0.3
+    fd = (float(bs.call_price(100.0, 95.0, 0.02, v + eps, 0.7))
+          - float(bs.call_price(100.0, 95.0, 0.02, v - eps, 0.7))) / (2 * eps)
+    vega = float(bs.call_vega(100.0, 95.0, 0.02, v, 0.7))
+    assert abs(fd - vega) < 1e-5
+
+
+def test_bs_dividend_adjusted_chain():
+    strikes = jnp.array([90.0, 100.0, 110.0])
+    plain = np.array(bs.generate_market_data(100.0, 1.0, 0.025, strikes))
+    with_div = np.array(bs.generate_market_data_with_dividends(
+        100.0, 1.0, 0.025, strikes, (0.5,), (1.0,), (0.02,)))
+    assert np.all(with_div < plain)   # dividends lower call prices
+    # a dividend after maturity is ignored (ref: src/bs.hpp:94)
+    late = np.array(bs.generate_market_data_with_dividends(
+        100.0, 1.0, 0.025, strikes, (1.5,), (5.0,), (0.0,)))
+    np.testing.assert_array_equal(late, plain)
+
+
+def test_mc_feller_condition(params):
+    assert not mc.feller_condition(params.kappa, params.eta, params.sigma) \
+        or 2 * params.kappa * params.eta > params.sigma ** 2
+
+
+def test_mc_matches_pde_reference(params):
+    """MC price consistent with the converged PDE/golden value 8.894
+    (ref MC oracle value 8.8948693600540167, src/solver.cpp:1666)."""
+    p = params
+    price, ci = mc.price_european_call_mc(
+        jax.random.PRNGKey(7), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=60_000)
+    assert abs(float(price) - 8.8943383103218502) < max(4 * float(ci), 0.15)
+    assert 0.0 < float(ci) < 0.2
