@@ -1,0 +1,129 @@
+"""Benchmark sweeps mirroring the reference's performance tests.
+
+The reference sweeps batch sizes {1, 10, 20, 50, 100, 200, 300, 500} at
+m1=50, m2=25, N=20 with 10 timed runs and writes a CSV with total runtime /
+runtime per instance / throughput (ref: src/perfomance_test.cpp:20-231).
+Here the same sweep runs over the jitted batched pricer (XLA or fused
+Pallas engine), with device-synchronized amortized timing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from heston_tpu.config import (
+    DividendSchedule,
+    GOLDEN_DIVIDENDS,
+    GridSpec,
+    HestonParams,
+    SolverConfig,
+)
+from heston_tpu.models import douglas
+from heston_tpu.utils import io as hio
+
+DEFAULT_INSTANCES = (1, 10, 20, 50, 100, 200, 300, 500)
+
+
+def _timed(fn, reps: int = 10):
+    np.array(fn())                       # compile + sync
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(reps)]
+    np.array(outs[-1])                   # device fence via host fetch
+    return (time.perf_counter() - t0) / reps
+
+
+def run_sweep(
+    spec: GridSpec = GridSpec(m1=50, m2=25),
+    solver: SolverConfig = SolverConfig(n_steps=20),
+    params: HestonParams = HestonParams(),
+    instances: Sequence[int] = DEFAULT_INSTANCES,
+    american: bool = True,
+    dividends: Optional[DividendSchedule] = GOLDEN_DIVIDENDS,
+    engine: str = "pallas",
+    dtype=jnp.float32,
+    csv_path: Optional[str] = None,
+    reps: int = 10,
+):
+    """Returns a list of row dicts; optionally writes the reference-format
+    CSV (ref: src/perfomance_test.cpp:214-221)."""
+    p = params
+    if engine == "pallas":
+        from heston_tpu.pallas import fused_do
+
+        pricer = jax.jit(lambda ks: fused_do.fused_price_batch(
+            spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f, american=american, dividends=dividends))
+    else:
+        pricer = jax.jit(lambda ks: douglas.price_batch(
+            spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f, american=american, dividends=dividends))
+
+    rows = []
+    for n in instances:
+        strikes = jnp.linspace(70.0, 130.0, n, dtype=dtype)
+        t = _timed(lambda: pricer(strikes), reps)
+        rows.append(dict(m1=spec.m1, m2=spec.m2, n_steps=solver.n_steps,
+                         instances=n, total_runtime_s=t))
+    if csv_path:
+        hio.export_benchmark(csv_path, rows)
+    return rows
+
+
+def run_convergence_study(
+    reference_price: float = 8.8943383103218502,
+    m2_values: Sequence[int] = (15, 25, 50, 75, 100),
+    n_steps: int = 200,
+    params: HestonParams = HestonParams(),
+    a2_variant: str = "central",
+    csv_path: Optional[str] = None,
+):
+    """Spatial convergence sweep with m1 = 2*m2 against a reference price —
+    the reference's ConvergenceExporter study (ref: src/solver.cpp:61-312,
+    test_convergence :1653-1741)."""
+    p = params
+    rows = []
+    for m2 in m2_values:
+        spec = GridSpec(m1=2 * m2, m2=m2)
+        solver = SolverConfig(n_steps=n_steps, a2_variant=a2_variant)
+        fn = jax.jit(lambda k: douglas.price_option(
+            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f))
+        t0 = time.perf_counter()
+        price = float(fn(100.0))
+        rows.append(dict(m1=2 * m2, m2=m2, n_steps=n_steps, price=price,
+                         runtime_s=time.perf_counter() - t0))
+    if csv_path:
+        hio.export_convergence(csv_path, rows, reference_price)
+    return rows
+
+
+def run_timestep_study(
+    reference_price: float = 8.8943383103218502,
+    n_values: Sequence[int] = (10, 20, 40, 80, 160),
+    spec: GridSpec = GridSpec(m1=100, m2=75),
+    params: HestonParams = HestonParams(),
+    a2_variant: str = "central",
+    scheme: str = "do",
+    csv_path: Optional[str] = None,
+):
+    """Timestep refinement sweep at fixed spatial resolution."""
+    p = params
+    rows = []
+    for n in n_values:
+        solver = SolverConfig(n_steps=n, a2_variant=a2_variant,
+                              scheme=scheme)
+        fn = jax.jit(lambda k: douglas.price_option(
+            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f))
+        t0 = time.perf_counter()
+        price = float(fn(100.0))
+        rows.append(dict(m1=spec.m1, m2=spec.m2, n_steps=n, price=price,
+                         runtime_s=time.perf_counter() - t0))
+    if csv_path:
+        hio.export_convergence(csv_path, rows, reference_price)
+    return rows

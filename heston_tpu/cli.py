@@ -1,0 +1,197 @@
+"""Command-line interface.
+
+The reference's entry point is a comment-toggled test harness
+(ref: src/main.cpp:31-115, argc/argv ignored); SURVEY.md §5 calls for a real
+config/CLI layer. Subcommands:
+
+  price       price a batch of options (any variant)
+  calibrate   run a named calibration scenario
+  bench       batch-size benchmark sweep -> CSV
+  converge    spatial / timestep convergence study -> CSV
+  surface     export a price surface CSV
+
+Example:
+  python -m heston_tpu.cli price --strikes 90 100 110 --american \\
+      --dividends golden
+  python -m heston_tpu.cli calibrate european --csv fit.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_dividends(name):
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.scenarios import CALIB_DIVIDENDS
+
+    if name is None or name == "none":
+        return None
+    if name == "golden":
+        return GOLDEN_DIVIDENDS
+    if name == "calib":
+        return CALIB_DIVIDENDS
+    raise SystemExit(f"unknown dividend schedule: {name}")
+
+
+def _add_common(p):
+    p.add_argument("--m1", type=int, default=50)
+    p.add_argument("--m2", type=int, default=25)
+    p.add_argument("--n-steps", type=int, default=20)
+    p.add_argument("--theta", type=float, default=0.8)
+    p.add_argument("--maturity", type=float, default=1.0)
+    p.add_argument("--scheme", default="do", choices=["do", "cs", "mcs"])
+    p.add_argument("--a2-variant", default="upwind",
+                   choices=["upwind", "central"])
+    p.add_argument("--spot", type=float, default=100.0)
+    p.add_argument("--kappa", type=float, default=1.5)
+    p.add_argument("--eta", type=float, default=0.04)
+    p.add_argument("--sigma", type=float, default=0.3)
+    p.add_argument("--rho", type=float, default=-0.9)
+    p.add_argument("--v0", type=float, default=0.04)
+    p.add_argument("--r-d", type=float, default=0.025)
+    p.add_argument("--r-f", type=float, default=0.0)
+    p.add_argument("--float64", action="store_true")
+
+
+def _configs(args):
+    from heston_tpu.config import GridSpec, HestonParams, SolverConfig
+
+    spec = GridSpec(m1=args.m1, m2=args.m2)
+    solver = SolverConfig(n_steps=args.n_steps, theta=args.theta,
+                          maturity=args.maturity, scheme=args.scheme,
+                          a2_variant=args.a2_variant)
+    params = HestonParams(kappa=args.kappa, eta=args.eta, sigma=args.sigma,
+                          rho=args.rho, v0=args.v0, r_d=args.r_d,
+                          r_f=args.r_f)
+    return spec, solver, params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="heston_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("price", help="price a batch of call options")
+    _add_common(p)
+    p.add_argument("--strikes", type=float, nargs="+", required=True)
+    p.add_argument("--american", action="store_true")
+    p.add_argument("--dividends", default="none",
+                   choices=["none", "golden", "calib"])
+    p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+
+    p = sub.add_parser("calibrate", help="run a calibration scenario")
+    _add_common(p)
+    p.add_argument("scenario", choices=[
+        "european", "american", "dividends", "american_dividends",
+        "european_multi", "american_dividends_multi"])
+    p.add_argument("--csv", default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the option book over all devices")
+
+    p = sub.add_parser("bench", help="batch-size benchmark sweep")
+    _add_common(p)
+    p.add_argument("--csv", default="benchmark_sweep.csv")
+    p.add_argument("--engine", default="pallas", choices=["xla", "pallas"])
+
+    p = sub.add_parser("converge", help="convergence study")
+    _add_common(p)
+    p.add_argument("--mode", default="spatial",
+                   choices=["spatial", "timestep"])
+    p.add_argument("--csv", default="convergence.csv")
+
+    p = sub.add_parser("surface", help="export a price surface CSV")
+    _add_common(p)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--american", action="store_true")
+    p.add_argument("--dividends", default="none",
+                   choices=["none", "golden", "calib"])
+    p.add_argument("--csv", default="surface.csv")
+
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if getattr(args, "float64", False):
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.models import douglas
+    from heston_tpu.utils import io as hio
+
+    spec, solver, params = _configs(args)
+
+    if args.cmd == "price":
+        strikes = jnp.asarray(args.strikes)
+        divs = _parse_dividends(args.dividends)
+        if args.engine == "pallas":
+            from heston_tpu.pallas import fused_do
+
+            prices = jax.jit(lambda k: fused_do.fused_price_batch(
+                spec, solver, k, args.spot, params.kappa, params.eta,
+                params.sigma, params.rho, params.v0, params.r_d, params.r_f,
+                american=args.american, dividends=divs))(strikes)
+        else:
+            prices = douglas.price_batch_params(
+                spec, solver, strikes, args.spot, params,
+                american=args.american, dividends=divs)
+        for k, v in zip(args.strikes, np.asarray(prices)):
+            print(json.dumps({"strike": k, "price": float(v)}))
+
+    elif args.cmd == "calibrate":
+        from heston_tpu import scenarios
+
+        pricing_fns = None
+        if args.sharded:
+            from heston_tpu.parallel import make_mesh, sharded_pricing_fns
+
+            pricing_fns = sharded_pricing_fns(make_mesh())
+        result, wall = scenarios.run_scenario(
+            args.scenario, spec=spec, solver=solver, init=params,
+            steps_per_year=args.n_steps, csv_path=args.csv,
+            pricing_fns=pricing_fns)
+        print(json.dumps({
+            "scenario": args.scenario, "iterations": result.iterations,
+            "sse": result.final_error, "wall_s": wall,
+            "params": dict(zip(("kappa", "eta", "sigma", "rho", "v0"),
+                               result.params.bumpable())),
+        }))
+
+    elif args.cmd == "bench":
+        from heston_tpu import benchmarks
+
+        rows = benchmarks.run_sweep(spec=spec, solver=solver, params=params,
+                                    engine=args.engine, csv_path=args.csv)
+        for r in rows:
+            print(json.dumps(r))
+
+    elif args.cmd == "converge":
+        from heston_tpu import benchmarks
+
+        if args.mode == "spatial":
+            rows = benchmarks.run_convergence_study(csv_path=args.csv)
+        else:
+            rows = benchmarks.run_timestep_study(csv_path=args.csv,
+                                                 scheme=args.scheme)
+        for r in rows:
+            print(json.dumps(r))
+
+    elif args.cmd == "surface":
+        divs = _parse_dividends(args.dividends)
+        u, grid = douglas.price_surface(
+            spec, solver, args.strike, args.spot, params,
+            american=args.american, dividends=divs)
+        path = hio.export_surface(args.csv, grid, np.asarray(u),
+                                  metadata={"strike": args.strike,
+                                            "american": args.american})
+        print(json.dumps({"written": str(path),
+                          "shape": list(np.asarray(u).shape)}))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

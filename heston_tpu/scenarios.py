@@ -1,0 +1,127 @@
+"""Calibration scenario presets mirroring the reference's six drivers.
+
+The reference hardcodes six `test_calibration_*` functions (European,
+American, dividends, American+dividends, and European / American+dividend
+multi-maturity chains; ref: src/heston_calibration.cpp:26, :515, :1036,
+:1588, :2428, :3245). Here each scenario is a config preset over one generic
+runner: synthetic Black-Scholes market at flat vol 0.2, LM fit of the five
+Heston parameters, CSV export with implied-vol differences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from heston_tpu.config import (
+    CalibrationConfig,
+    DividendSchedule,
+    GridSpec,
+    HestonParams,
+    SolverConfig,
+)
+from heston_tpu.models import bs
+from heston_tpu.models import calibration as calib
+from heston_tpu.utils import io as hio
+
+# Dividend schedule used by the reference's dividend calibrations
+# (ref: src/heston_calibration.cpp:1090-1092)
+CALIB_DIVIDENDS = DividendSchedule(
+    dates=(0.25, 0.75), amounts=(0.5, 0.5), percentages=(0.01, 0.01))
+
+
+@dataclasses.dataclass(frozen=True)
+class Scenario:
+    name: str
+    num_strikes: int = 60
+    maturities: tuple = (1.0,)
+    strikes_per_maturity: Optional[int] = None
+    american: bool = False
+    dividends: Optional[DividendSchedule] = None
+    s0: float = 100.0
+    r_d: float = 0.025
+    r_f: float = 0.0
+    max_iter: int = 15
+    tol: float = 0.1
+
+    def build_targets(self) -> calib.CalibrationTargets:
+        if len(self.maturities) == 1:
+            # single maturity: strikes 0.7*S0 + i (ref:
+            # src/heston_calibration.cpp:62)
+            strikes = np.array(
+                [self.s0 * 0.7 + i for i in range(self.num_strikes)])
+            mats = np.full(self.num_strikes, self.maturities[0])
+        else:
+            # multi-maturity ladder (ref: src/heston_calibration.cpp:2465)
+            per = self.strikes_per_maturity or 20
+            ks = np.array([self.s0 * 0.8 + i * 0.4 * self.s0 / per
+                           for i in range(per)])
+            strikes = np.tile(ks, len(self.maturities))
+            mats = np.repeat(np.asarray(self.maturities), per)
+        prices = np.zeros_like(strikes)
+        for t in np.unique(mats):
+            idx = mats == t
+            if self.dividends is not None:
+                prices[idx] = np.asarray(bs.generate_market_data_with_dividends(
+                    self.s0, float(t), self.r_d, jnp.asarray(strikes[idx]),
+                    self.dividends.dates, self.dividends.amounts,
+                    self.dividends.percentages))
+            else:
+                prices[idx] = np.asarray(bs.generate_market_data(
+                    self.s0, float(t), self.r_d, jnp.asarray(strikes[idx])))
+        return calib.CalibrationTargets(
+            strikes=strikes, maturities=mats, prices=prices, s0=self.s0,
+            r_d=self.r_d, r_f=self.r_f, american=self.american,
+            dividends=self.dividends)
+
+
+SCENARIOS = {
+    "european": Scenario("european"),
+    "american": Scenario("american", american=True),
+    "dividends": Scenario("dividends", dividends=CALIB_DIVIDENDS),
+    "american_dividends": Scenario(
+        "american_dividends", american=True, dividends=CALIB_DIVIDENDS),
+    "european_multi": Scenario(
+        "european_multi",
+        maturities=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0),
+        strikes_per_maturity=20),
+    "american_dividends_multi": Scenario(
+        "american_dividends_multi", american=True,
+        dividends=CALIB_DIVIDENDS,
+        maturities=(0.25, 0.5, 0.75, 1.0), strikes_per_maturity=20),
+}
+
+
+def run_scenario(
+    name: str,
+    spec: GridSpec = GridSpec(m1=50, m2=25),
+    solver: SolverConfig = SolverConfig(n_steps=20),
+    init: HestonParams = HestonParams(),
+    steps_per_year: Optional[int] = 20,
+    csv_path: Optional[str] = None,
+    pricing_fns=None,
+    verbose: bool = True,
+):
+    scenario = SCENARIOS[name]
+    targets = scenario.build_targets()
+    cfg = CalibrationConfig(max_iter=scenario.max_iter, tol=scenario.tol)
+    t0 = time.perf_counter()
+    result = calib.calibrate(
+        targets, spec, solver, init, cfg, steps_per_year=steps_per_year,
+        verbose=verbose, pricing_fns=pricing_fns)
+    wall = time.perf_counter() - t0
+    if verbose:
+        p = result.params
+        print(f"[{name}] {result.iterations} iters, "
+              f"sse={result.final_error:.6e}, wall={wall:.3f}s, "
+              f"kappa={p.kappa:.4f} eta={p.eta:.4f} sigma={p.sigma:.4f} "
+              f"rho={p.rho:.4f} v0={p.v0:.4f}")
+    if csv_path:
+        hio.export_calibration_fit(
+            csv_path, result, scenario.s0, max(scenario.maturities),
+            scenario.r_d)
+    return result, wall

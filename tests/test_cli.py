@@ -1,0 +1,55 @@
+"""CLI smoke tests (in-process, CPU backend from conftest)."""
+
+import json
+
+import numpy as np
+
+from heston_tpu import cli
+
+
+def test_cli_price(capsys):
+    rc = cli.main(["price", "--strikes", "90", "100", "110",
+                   "--m1", "20", "--m2", "10", "--n-steps", "4"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    prices = [l["price"] for l in lines]
+    assert len(prices) == 3
+    assert prices[0] > prices[1] > prices[2] > 0
+
+
+def test_cli_surface(tmp_path, capsys):
+    csv = tmp_path / "s.csv"
+    rc = cli.main(["surface", "--m1", "10", "--m2", "6", "--n-steps", "3",
+                   "--csv", str(csv)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["shape"] == [7, 11]
+    assert csv.exists()
+
+
+def test_cli_converge_timestep(tmp_path, capsys):
+    csv = tmp_path / "c.csv"
+    rc = cli.main(["converge", "--mode", "timestep", "--csv", str(csv),
+                   "--m1", "20", "--m2", "10"])
+    # timestep study uses its own spec; just check output structure
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    errs = [abs(r["price"] - 8.8943383103218502) for r in rows]
+    assert errs[-1] < errs[0]   # refinement reduces error
+    assert csv.exists()
+
+
+def test_cli_calibrate_small(capsys, monkeypatch):
+    # shrink the scenario so the test stays fast
+    from heston_tpu import scenarios
+
+    monkeypatch.setitem(
+        scenarios.SCENARIOS, "european",
+        scenarios.Scenario("european", num_strikes=6, max_iter=2, tol=1e-6))
+    rc = cli.main(["calibrate", "european", "--m1", "16", "--m2", "8",
+                   "--n-steps", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    res = json.loads(out[-1])
+    assert res["iterations"] >= 1
+    assert np.isfinite(res["sse"])
