@@ -151,6 +151,11 @@ class CalibrationConfig:
     max_iter: int = 15
     tol: float = 0.1
     eps: float = 1e-6          # FD bump size
+    # Jacobian mode: "fd" (finite-difference bumps, reference-faithful,
+    # ref: src/jacobian_computation.cpp:292-361) or "ad" (forward-mode
+    # autodiff through the whole PDE solve — exact derivatives, required
+    # for float32 where a 1e-6 bump drowns in rounding noise).
+    jacobian_mode: str = "fd"
     lambda_init: float = 0.01
     lambda_down: float = 0.1
     lambda_up: float = 10.0

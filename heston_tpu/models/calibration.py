@@ -36,6 +36,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from heston_tpu.config import (
     CalibrationConfig,
@@ -168,6 +169,139 @@ def clamp_params(vec: np.ndarray, cfg: CalibrationConfig) -> np.ndarray:
         min(cfg.rho_max, max(cfg.rho_min, vec[3])),
         max(cfg.v0_min, vec[4]),
     ])
+
+
+def _clamp_vec_traced(vec: Array, cfg: CalibrationConfig) -> Array:
+    """Traced version of the parameter clamps
+    (ref: src/heston_calibration.cpp:286-290)."""
+    return jnp.stack([
+        jnp.maximum(cfg.kappa_min, vec[0]),
+        jnp.maximum(cfg.eta_min, vec[1]),
+        jnp.maximum(cfg.sigma_min, vec[2]),
+        jnp.clip(vec[3], cfg.rho_min, cfg.rho_max),
+        jnp.maximum(cfg.v0_min, vec[4]),
+    ])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "solver", "cfg", "american", "dividends",
+                     "group_steps"),
+)
+def calibrate_device(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,              # (n_points,)
+    market_prices: Array,        # (n_points,)
+    s0,
+    init_vec: Array,             # (5,)
+    r_d,
+    r_f,
+    cfg: CalibrationConfig = CalibrationConfig(),
+    american: bool = False,
+    dividends=None,
+    group_steps: Tuple[Tuple[int, int, int], ...] = (),
+):
+    """Device-resident Levenberg-Marquardt: the ENTIRE iteration loop runs
+    inside one jitted lax.while_loop — Jacobian fleet, damped 5x5 solve,
+    clamps, trial pricing and the accept/reject logic all on chip. The
+    reference round-trips to the host every iteration for the update and
+    bookkeeping (ref: src/heston_calibration.cpp:206-417); on TPU those
+    round-trips (tunnel RPCs) would dominate, so the loop is fused.
+
+    `group_steps`: optional static tuple of (start, end, n_steps) slices for
+    multi-maturity chains — each contiguous point range prices with its own
+    step count (the CalibrationPoint mechanism,
+    ref: src/heston_calibration.cpp:2165-2213). Empty means a single group
+    with solver.n_steps.
+
+    Returns (theta_vec, info_dict_of_scalars).
+    """
+    dtype = jnp.result_type(strikes.dtype, jnp.float32)
+    market = market_prices.astype(dtype)
+    groups = group_steps or ((0, int(strikes.shape[0]), solver.n_steps),)
+
+    def fleet_jacobian(tv):
+        if cfg.jacobian_mode == "ad":
+            # exact forward-mode Jacobian: linearize once, push 5 tangents
+            base, jvp_fn = jax.linearize(fleet_prices, tv)
+            jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=tv.dtype)).T
+            return jac, base
+        jacs, bases = [], []
+        for (a, b, n) in groups:
+            sol = dataclasses.replace(
+                solver, n_steps=n,
+                maturity=solver.maturity * n / max(solver.n_steps, 1))
+            jac, base = _jac_group(sol, strikes[a:b], tv)
+            jacs.append(jac)
+            bases.append(base)
+        return jnp.concatenate(jacs, axis=0), jnp.concatenate(bases)
+
+    def fleet_prices(tv):
+        outs = []
+        for (a, b, n) in groups:
+            sol = dataclasses.replace(
+                solver, n_steps=n,
+                maturity=solver.maturity * n / max(solver.n_steps, 1))
+            outs.append(_price_group(sol, strikes[a:b], tv))
+        return jnp.concatenate(outs)
+
+    def _price_group(sol, ks, tv):
+        def one(k):
+            return douglas.price_option(
+                spec, sol, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+                r_d, r_f, american=american, dividends=dividends)
+        return jax.vmap(one)(ks)
+
+    def _jac_group(sol, ks, tv):
+        pmat = _bumped_param_matrix(tv, cfg.eps)
+        prices = jax.vmap(lambda pv: _price_group(sol, ks, pv))(pmat)
+        base = prices[0]
+        return ((prices[1:] - base[None, :]) / cfg.eps).T, base
+
+    def lm_body(state):
+        tv, lam, final_error, it, converged, fitted = state
+        jac, base = fleet_jacobian(tv)
+        resid = market - base
+        current_error = resid @ resid
+
+        jtj = jac.T @ jac
+        jtj = jtj * (1.0 + lam * jnp.eye(N_PARAMS, dtype=jac.dtype))
+        delta = jnp.linalg.solve(jtj, jac.T @ resid)
+        new_vec = _clamp_vec_traced(tv + delta, cfg)
+        delta_norm = jnp.linalg.norm(delta)
+
+        conv_now = (delta_norm < cfg.tol) | (current_error < cfg.tol)
+
+        trial = fleet_prices(new_vec)
+        new_resid = market - trial
+        new_error = new_resid @ new_resid
+        accept = new_error < current_error
+
+        tv_next = jnp.where(conv_now | accept, new_vec, tv)
+        lam_next = jnp.where(
+            accept,
+            jnp.maximum(lam * cfg.lambda_down, cfg.lambda_min),
+            jnp.minimum(lam * cfg.lambda_up, cfg.lambda_max))
+        lam_next = jnp.where(conv_now, lam, lam_next)
+        err_next = jnp.where(conv_now, current_error,
+                             jnp.minimum(new_error, current_error))
+        fitted_next = jnp.where(conv_now, base,
+                                jnp.where(accept, trial, base))
+        return (tv_next, lam_next, err_next, it + 1,
+                converged | conv_now, fitted_next)
+
+    def lm_cond(state):
+        _, _, _, it, converged, _ = state
+        return (~converged) & (it < cfg.max_iter)
+
+    init = (init_vec.astype(dtype), jnp.asarray(cfg.lambda_init, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.bool_(False),
+            jnp.zeros_like(market))
+    tv, lam, err, it, converged, fitted = lax.while_loop(
+        lm_cond, lm_body, init)
+    return tv, dict(final_error=err, iterations=it, converged=converged,
+                    lam=lam, fitted_prices=fitted)
 
 
 @dataclasses.dataclass

@@ -32,7 +32,8 @@ def feller_condition(kappa, eta, sigma) -> bool:
     return 2.0 * kappa * eta > sigma * sigma
 
 
-@functools.partial(jax.jit, static_argnames=("num_paths", "n_steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_paths", "n_steps", "scheme"))
 def price_european_call_mc(
     key: jax.Array,
     s0,
@@ -47,12 +48,22 @@ def price_european_call_mc(
     t,
     num_paths: int = 100_000,
     n_steps: int = N_STEPS_PER_YEAR,
+    scheme: str = "truncation",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (price, 95% confidence half-width)."""
+    """Returns (price, 95% confidence half-width).
+
+    scheme="truncation": sqrt(max(V,0)) in the diffusion terms (the
+    reference's standard variant, ref: src/MC_hes.cpp:48-99).
+    scheme="reflection": V -> |V| after each update, for parameter sets that
+    violate the Feller condition. The reference's reflection variant is
+    disabled/broken (returns zeros, ref: src/MC_hes.cpp:102-156); this one
+    works."""
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     sqrt_dt = jnp.sqrt(dt)
     rho_c = jnp.sqrt(1.0 - rho * rho)
+    if scheme not in ("truncation", "reflection"):
+        raise ValueError(f"unknown MC scheme: {scheme!r}")
 
     def step(carry, key_n):
         s, v = carry
@@ -61,6 +72,8 @@ def price_european_call_mc(
         dw_s = sqrt_dt * (rho * z[0] + rho_c * z[1])
         sqv = jnp.sqrt(jnp.maximum(v, 0.0))
         v_new = v + kappa * (eta - v) * dt + sigma * sqv * dw_v
+        if scheme == "reflection":
+            v_new = jnp.abs(v_new)
         s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
         return (s_new, v_new), None
 

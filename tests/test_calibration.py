@@ -100,6 +100,51 @@ def test_calibration_multi_maturity(params):
     assert h0["sse"] > res.final_error or h0["accepted"]
 
 
+def test_device_lm_matches_host_lm(params):
+    """The fully device-resident LM loop (one lax.while_loop) reproduces the
+    host-driven loop exactly."""
+    import jax.numpy as jnp
+
+    strikes = jnp.linspace(80.0, 120.0, 9)
+    market = bs.generate_market_data(100.0, 1.0, params.r_d, strikes)
+    init_vec = jnp.array([1.0, 0.05, 0.4, -0.5, 0.05])
+    cfg = CalibrationConfig(max_iter=5, tol=1e-6)
+
+    tv, info = calib.calibrate_device(
+        SPEC, SOLVER, strikes, market, 100.0, init_vec,
+        params.r_d, params.r_f, cfg=cfg)
+
+    targets = calib.CalibrationTargets(
+        strikes=np.array(strikes), maturities=np.ones(9),
+        prices=np.array(market), s0=100.0, r_d=params.r_d, r_f=params.r_f)
+    init = HestonParams(kappa=1.0, eta=0.05, sigma=0.4, rho=-0.5, v0=0.05)
+    res = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+
+    np.testing.assert_allclose(np.array(tv),
+                               np.array(res.params.bumpable()), rtol=1e-9)
+    assert int(info["iterations"]) == res.iterations
+    assert abs(float(info["final_error"]) - res.final_error) < 1e-9
+
+
+def test_device_lm_multi_maturity_groups(params):
+    """group_steps gives each maturity slice its own step count."""
+    import jax.numpy as jnp
+
+    strikes = jnp.concatenate([jnp.linspace(90., 110., 4)] * 2)
+    market = jnp.concatenate([
+        bs.generate_market_data(100.0, 0.5, params.r_d, strikes[:4]),
+        bs.generate_market_data(100.0, 1.0, params.r_d, strikes[4:]),
+    ])
+    init_vec = jnp.array(params.bumpable())
+    cfg = CalibrationConfig(max_iter=2, tol=1e-8)
+    tv, info = calib.calibrate_device(
+        SPEC, SOLVER, strikes, market, 100.0, init_vec,
+        params.r_d, params.r_f, cfg=cfg,
+        group_steps=((0, 4, 5), (4, 8, 10)))
+    assert np.all(np.isfinite(np.array(tv)))
+    assert int(info["iterations"]) >= 1
+
+
 def test_calibration_sharded_matches_single(params):
     """The same LM driver with sharded pricing fns reproduces the
     single-device trajectory bit-for-bit."""
