@@ -339,6 +339,7 @@ def calibrate(
     steps_per_year: Optional[int] = None,
     verbose: bool = False,
     pricing_fns=None,
+    checkpoint_path: Optional[str] = None,
 ) -> CalibrationResult:
     """Full LM driver (ref: src/heston_calibration.cpp:26-512 and the
     multi-maturity variants :2428-2935).
@@ -347,7 +348,12 @@ def calibrate(
     of `jacobian_and_prices` / `base_prices` partially applied over sharding
     (see heston_tpu.parallel.sharded) — the LM loop is agnostic to how the
     option book is distributed.
+
+    `checkpoint_path`: if given, the LM state is persisted after every
+    iteration and a pre-existing file resumes the run (crash recovery;
+    the reference has no such facility, SURVEY.md §5).
     """
+    from heston_tpu.utils.checkpoint import LMState
     jac_fn = jacobian_and_prices if pricing_fns is None else pricing_fns[0]
     price_fn = base_prices if pricing_fns is None else pricing_fns[1]
 
@@ -359,12 +365,15 @@ def calibrate(
         return dataclasses.replace(solver, n_steps=n, maturity=mat)
 
     market = np.asarray(targets.prices)
-    theta_vec = np.array(init.bumpable())
-    lam = cfg.lambda_init
-    history: List[Dict] = []
-    converged = False
-    final_error = float("inf")
-    iters = 0
+    state = LMState.fresh(init, cfg.lambda_init).maybe_resume(
+        checkpoint_path)
+    theta_vec = state.theta_vec
+    lam = state.lam
+    history: List[Dict] = state.history
+    converged = state.converged
+    final_error = state.final_error
+    iters = state.iteration
+    start_iter = state.iteration
     fitted = np.zeros_like(market)
 
     def eval_jacobian(tv):
@@ -391,7 +400,9 @@ def calibrate(
             ))
         return P
 
-    for it in range(cfg.max_iter):
+    for it in range(start_iter, cfg.max_iter):
+        if converged:
+            break
         iters = it + 1
         J, base = eval_jacobian(theta_vec)
         fitted = base
@@ -414,6 +425,9 @@ def calibrate(
             history.append(dict(iter=iters, sse=current_error,
                                 delta_norm=delta_norm, lam=lam,
                                 accepted=True))
+            if checkpoint_path:
+                LMState(np.asarray(theta_vec), lam, iters, final_error,
+                        converged, history).save(checkpoint_path)
             break
 
         new_prices = eval_prices(new_vec)
@@ -430,6 +444,9 @@ def calibrate(
         history.append(dict(iter=iters, sse=current_error,
                             new_sse=new_error, delta_norm=delta_norm,
                             lam=lam, accepted=accepted))
+        if checkpoint_path:
+            LMState(np.asarray(theta_vec), lam, iters, final_error,
+                    converged, history).save(checkpoint_path)
 
     calibrated = dataclasses.replace(
         init, kappa=float(theta_vec[0]), eta=float(theta_vec[1]),

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
 from heston_tpu.models import douglas
+from heston_tpu.ops import banded
 from heston_tpu.ops import grid as gridmod
 from heston_tpu.ops import operators
 
@@ -101,22 +102,24 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
          u_ref, *rest) = refs
         if american:
             (lam_ref, u0_ref, ml_ref, md_ref, mu_ref,
+             w_ref, itmp_ref,
              sfac_ref, vfac_ref,
              bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
+             pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
              b1v_ref, b2r_ref,
              uo_ref, lamo_ref,
-             w_ref, itmp_ref, d_ref, x_ref,
-             pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref) = rest
+             d_ref, x_ref) = rest
         else:
             (ml_ref, md_ref, mu_ref,
+             w_ref, itmp_ref,
              sfac_ref, vfac_ref,
              bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
+             pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
              b1v_ref, b2r_ref,
              uo_ref,
-             w_ref, itmp_ref, d_ref, x_ref,
-             pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref) = rest
+             d_ref, x_ref) = rest
 
         rf = rf_ref[0]
         n0 = n0_ref[0]
@@ -125,37 +128,6 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         ml = ml_ref[:]
         md = md_ref[:]
         mu = mu_ref[:]
-
-        # ---- A1 implicit Thomas factorization (unrolled over s) ----
-        temp_prev = 1.0 - td * md[:, 0, :]
-        itmp_ref[:, 0, :] = 1.0 / temp_prev
-        w_ref[:, 0, :] = jnp.zeros_like(temp_prev)
-        for i in range(1, ns):
-            wi = (-td * ml[:, i, :]) / temp_prev
-            temp_prev = (1.0 - td * md[:, i, :]) - wi * (-td * mu[:, i - 1, :])
-            w_ref[:, i, :] = wi
-            itmp_ref[:, i, :] = 1.0 / temp_prev
-
-        # ---- A2 implicit pentadiagonal factorization (unrolled over v) ----
-        il2 = -td * al2_ref[:]
-        il1 = -td * al1_ref[:]
-        idg = 1.0 - td * ad_ref[:]
-        iu1 = -td * au1_ref[:]
-        iu2 = -td * au2_ref[:]
-        z = jnp.zeros_like(idg[0])
-        c1p, c2p, cc1p, cc2p = z, z, z, z
-        for j in range(nv):
-            lj = il1[j] - il2[j] * c2p
-            den = idg[j] - lj * c1p - il2[j] * cc2p
-            mj = 1.0 / den
-            cj = (iu1[j] - lj * cc1p) * mj
-            c2j = iu2[j] * mj
-            pgm_ref[j] = lj * mj
-            phm_ref[j] = il2[j] * mj
-            pm_ref[j] = mj
-            pc_ref[j] = cj
-            pc2_ref[j] = c2j
-            c1p, c2p, cc1p, cc2p = cj, c1p, c2j, cc1p
 
         # loop-invariant 2-D fields
         sfac = sfac_ref[:]              # [ns, T] rho*sigma*s (interior mask)
@@ -290,9 +262,9 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # 3-D fields: u [, lam, u0], ml, md, mu; 2-D fields: sfac, vfac,
-    # bs x3, bv x3, a2 bands x5, b1v, b2r (15 total)
-    n_vmem_in = (6 if american else 4) + 15
+    # 3-D fields: u [, lam, u0], ml, md, mu, w, itmp; 2-D fields: sfac,
+    # vfac, bs x3, bv x3, a2 bands x5, penta factors x5, b1v, b2r (20)
+    n_vmem_in = (8 if american else 6) + 20
     in_specs = (
         [smem1(), smem1(), smem1()]      # n0, n1, rf
         + [vmem()] * n_vmem_in
@@ -302,15 +274,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     out_specs = [vmem()] * len(out_shape)
 
     scratch = [
-        pltpu.VMEM((nv, ns, TILE), dtype),   # w
-        pltpu.VMEM((nv, ns, TILE), dtype),   # itmp
-        pltpu.VMEM((nv, ns, TILE), dtype),   # d
-        pltpu.VMEM((nv, ns, TILE), dtype),   # x
-        pltpu.VMEM((nv, TILE), dtype),       # pgm
-        pltpu.VMEM((nv, TILE), dtype),       # phm
-        pltpu.VMEM((nv, TILE), dtype),       # pm
-        pltpu.VMEM((nv, TILE), dtype),       # pc
-        pltpu.VMEM((nv, TILE), dtype),       # pc2
+        pltpu.VMEM((nv, ns, TILE), dtype),   # d (fwd sweep)
+        pltpu.VMEM((nv, ns, TILE), dtype),   # x (bwd sweep)
     ]
 
     return pl.pallas_call(
@@ -353,6 +318,36 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     return jax.vmap(one)(strikes)
 
 
+def _apply_dividend_lanes(u, vec_s_tl, amount, pct):
+    """Dividend surface re-map on [tiles, nv, ns, T] state (lane layout);
+    same semantics as models.douglas.apply_dividend
+    (ref: src/solver.hpp:382-425)."""
+    ns = vec_s_tl.shape[1]
+    m1 = ns - 1
+    new_s = vec_s_tl * (1.0 - pct) - amount                # [t, ns, T]
+    # first strictly-greater index per (tile, lane)
+    idx = jnp.sum((vec_s_tl[:, :, None, :]
+                   <= new_s[:, None, :, :]), axis=1).astype(jnp.int32)
+    idx = jnp.where(idx > m1, 0, idx)
+    idx_lo = jnp.maximum(idx - 1, 0)
+
+    def gather_s(x, ind):
+        # x: [t, nv, ns, T], ind: [t, ns, T] -> out[t, j, i, l] =
+        # x[t, j, ind[t, i, l], l]
+        return jnp.take_along_axis(
+            x, jnp.broadcast_to(ind[:, None, :, :], x.shape), axis=2)
+
+    s_lo = jnp.take_along_axis(vec_s_tl, idx_lo, axis=1)
+    s_hi = jnp.take_along_axis(vec_s_tl, idx, axis=1)
+    wgt = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
+    u_lo = gather_s(u, idx_lo)
+    u_hi = gather_s(u, idx)
+    interp = (1.0 - wgt[:, None]) * u_lo + wgt[:, None] * u_hi
+    left = u[:, :, 0:1, :] * jnp.ones_like(new_s)[:, None]
+    out = jnp.where((idx == 0)[:, None], left, interp)
+    return jnp.where((new_s > 0.0)[:, None], out, 0.0)
+
+
 def fused_price_batch(
     spec: GridSpec,
     solver: SolverConfig,
@@ -377,6 +372,15 @@ def fused_price_batch(
     dtype = u0.dtype
     nv, ns = spec.m2 + 1, spec.m1 + 1
 
+    # implicit-system factorizations, once, in XLA (the kernel reuses them
+    # across every time-loop segment)
+    a1_fac = jax.vmap(banded.tridiag_factor)(
+        ops.a1_iml, ops.a1_imd, ops.a1_imu)
+    w_fac = a1_fac.w
+    itmp_fac = a1_fac.inv_temp
+    a2_fac = jax.vmap(banded.penta_factor)(
+        ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2)
+
     def tiles3(x):   # [B, nv, ns] -> [n_tiles, nv, ns, TILE]
         return jnp.moveaxis(
             x.reshape(n_tiles, TILE, nv, ns), 1, -1)
@@ -392,18 +396,23 @@ def fused_price_batch(
         lam=jnp.zeros_like(tiles3(u0)),
         u0=tiles3(u0),
         ml=tiles3(ops.a1_ml), md=tiles3(ops.a1_md), mu=tiles3(ops.a1_mu),
+        w=tiles3(w_fac), itmp=tiles3(itmp_fac),
         sfac=tiles2(scol), vfac=tiles2(vrow),
         bsm=tiles2(ops.bs_wm), bs0=tiles2(ops.bs_w0), bsp=tiles2(ops.bs_wp),
         bvm=tiles2(ops.bv_wm), bv0=tiles2(ops.bv_w0), bvp=tiles2(ops.bv_wp),
         al2=tiles2(ops.a2_l2), al1=tiles2(ops.a2_l1), ad=tiles2(ops.a2_d),
         au1=tiles2(ops.a2_u1), au2=tiles2(ops.a2_u2),
+        pgm=tiles2(a2_fac.gm), phm=tiles2(a2_fac.hm), pm=tiles2(a2_fac.m),
+        pc=tiles2(a2_fac.c), pc2=tiles2(a2_fac.c2),
         b1v=tiles1(b1val), b2r=tiles2(b2row),
     )
 
     call = _segment_call(spec.m1, spec.m2, solver.theta, solver.delta_t,
                          american, dtype.name, interpret)
-    inv_keys = ["ml", "md", "mu", "sfac", "vfac", "bsm", "bs0", "bsp",
-                "bvm", "bv0", "bvp", "al2", "al1", "ad", "au1", "au2",
+    inv_keys = ["ml", "md", "mu", "w", "itmp", "sfac", "vfac",
+                "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
+                "al2", "al1", "ad", "au1", "au2",
+                "pgm", "phm", "pm", "pc", "pc2",
                 "b1v", "b2r"]
 
     def run_segment(n0, n1, u, lam):
@@ -437,16 +446,11 @@ def fused_price_batch(
                 continue
             if n > n_next:
                 u, lam = run_segment(n_next, n, u, lam)
-            # dividend re-map in XLA (batch-first), then back to tiles
-            u_bf = jnp.moveaxis(u, -1, 1).reshape(n_tiles * TILE, nv, ns)
+            # dividend re-map in XLA directly in tile layout [t, nv, ns, T]
+            vec_s_tl = jnp.moveaxis(
+                vec_s.reshape(n_tiles, TILE, ns), 1, -1)   # [t, ns, T]
             for amount, pct in events:
-                u_bf = jax.vmap(douglas.apply_dividend)(
-                    u_bf, vec_s,
-                    jnp.broadcast_to(jnp.asarray(amount, dtype),
-                                     vec_s.shape[:1]),
-                    jnp.broadcast_to(jnp.asarray(pct, dtype),
-                                     vec_s.shape[:1]))
-            u = jnp.moveaxis(u_bf.reshape(n_tiles, TILE, nv, ns), 1, -1)
+                u = _apply_dividend_lanes(u, vec_s_tl, amount, pct)
             u, lam = run_segment(n, n + 1, u, lam)
             n_next = n + 1
     if n_next <= solver.n_steps:
