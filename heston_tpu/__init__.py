@@ -28,7 +28,23 @@ from heston_tpu.config import (
     SolverConfig,
     DividendSchedule,
     CalibrationConfig,
+    GOLDEN_DIVIDENDS,
 )
+
+
+def price_batch(*args, **kwargs):
+    """Top-level convenience: models.douglas.price_batch."""
+    from heston_tpu.models import douglas
+
+    return douglas.price_batch(*args, **kwargs)
+
+
+def calibrate(*args, **kwargs):
+    """Top-level convenience: models.calibration.calibrate."""
+    from heston_tpu.models import calibration
+
+    return calibration.calibrate(*args, **kwargs)
+
 
 __all__ = [
     "HestonParams",
@@ -36,6 +52,9 @@ __all__ = [
     "SolverConfig",
     "DividendSchedule",
     "CalibrationConfig",
+    "GOLDEN_DIVIDENDS",
+    "price_batch",
+    "calibrate",
 ]
 
 __version__ = "0.1.0"

@@ -89,6 +89,8 @@ def main(argv=None):
     p.add_argument("--csv", default=None)
     p.add_argument("--sharded", action="store_true",
                    help="shard the option book over all devices")
+    p.add_argument("--device-loop", action="store_true",
+                   help="run the whole LM loop on-chip (calibrate_device)")
 
     p = sub.add_parser("bench", help="batch-size benchmark sweep")
     _add_common(p)
@@ -152,7 +154,7 @@ def main(argv=None):
         result, wall = scenarios.run_scenario(
             args.scenario, spec=spec, solver=solver, init=params,
             steps_per_year=args.n_steps, csv_path=args.csv,
-            pricing_fns=pricing_fns)
+            pricing_fns=pricing_fns, device_loop=args.device_loop)
         print(json.dumps({
             "scenario": args.scenario, "iterations": result.iterations,
             "sse": result.final_error, "wall_s": wall,

@@ -116,6 +116,43 @@ def rebuild_variance(spec: GridSpec, grid: Grid, v0_new) -> Grid:
     )
 
 
+def interp_at(grid: Grid, u: jnp.ndarray, s, v) -> jnp.ndarray:
+    """Bilinear interpolation of the surface U[v, s] at (s, v).
+
+    The reference uses exact node lookup for extraction (guaranteed by the
+    S0/V0 insertion) but also carries an interpolated-extraction variant for
+    rebuilt grids (ref: src/device_solver.cpp:1725-1758); this is the
+    general form — robust when the query point is not a node."""
+    i = jnp.clip(jnp.searchsorted(grid.vec_s, s, side="right") - 1,
+                 0, grid.m1 - 1)
+    j = jnp.clip(jnp.searchsorted(grid.vec_v, v, side="right") - 1,
+                 0, grid.m2 - 1)
+    s0n, s1n = grid.vec_s[i], grid.vec_s[i + 1]
+    v0n, v1n = grid.vec_v[j], grid.vec_v[j + 1]
+    ws = (s - s0n) / jnp.where(s1n == s0n, 1.0, s1n - s0n)
+    wv = (v - v0n) / jnp.where(v1n == v0n, 1.0, v1n - v0n)
+    return ((1 - wv) * ((1 - ws) * u[j, i] + ws * u[j, i + 1])
+            + wv * ((1 - ws) * u[j + 1, i] + ws * u[j + 1, i + 1]))
+
+
+def validate_book(spec, s0: float, strikes) -> None:
+    """Reject option books the discretization cannot represent.
+
+    The reference silently prices garbage when the spot falls outside the
+    per-strike S-domain [0, s_max_mult*K) — the insertion drops the spot
+    node and the node search falls back to index 0 (ref: src/grid.cpp:34-37,
+    src/grid_pod.hpp:75-87). Host-side guard; call before batch pricing."""
+    import numpy as np
+
+    ks = np.asarray(strikes, dtype=float)
+    bad = ks[s0 >= spec.s_max_mult * ks]
+    if bad.size:
+        raise ValueError(
+            f"spot {s0} falls outside the S-grid (>= {spec.s_max_mult}*K) "
+            f"for strikes {bad.tolist()}; these options cannot be priced "
+            f"on this grid family")
+
+
 def find_node(nodes: jnp.ndarray, value, tol: float = 1e-10) -> jnp.ndarray:
     """Index of the node equal to `value` within `tol`; 0 if absent.
 

@@ -446,11 +446,18 @@ def fused_price_batch(
                 continue
             if n > n_next:
                 u, lam = run_segment(n_next, n, u, lam)
-            # dividend re-map in XLA directly in tile layout [t, nv, ns, T]
-            vec_s_tl = jnp.moveaxis(
-                vec_s.reshape(n_tiles, TILE, ns), 1, -1)   # [t, ns, T]
+            # dividend re-map in XLA, batch-major (gathers along the s axis
+            # with batch-uniform lanes; a lane-major remap scalarizes into
+            # per-lane cross-sublane gathers and is ~30x slower on TPU)
+            u_bf = jnp.moveaxis(u, -1, 1).reshape(n_tiles * TILE, nv, ns)
             for amount, pct in events:
-                u = _apply_dividend_lanes(u, vec_s_tl, amount, pct)
+                u_bf = jax.vmap(douglas.apply_dividend)(
+                    u_bf, vec_s,
+                    jnp.broadcast_to(jnp.asarray(amount, dtype),
+                                     vec_s.shape[:1]),
+                    jnp.broadcast_to(jnp.asarray(pct, dtype),
+                                     vec_s.shape[:1]))
+            u = jnp.moveaxis(u_bf.reshape(n_tiles, TILE, nv, ns), 1, -1)
             u, lam = run_segment(n, n + 1, u, lam)
             n_next = n + 1
     if n_next <= solver.n_steps:

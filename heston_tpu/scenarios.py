@@ -96,6 +96,20 @@ SCENARIOS = {
 }
 
 
+def _group_steps(targets, steps_per_year: int):
+    """Static (start, end, n_steps) slices per maturity group, assuming the
+    targets are ordered by maturity (build_targets guarantees this)."""
+    out = []
+    mats = targets.maturities
+    start = 0
+    for i in range(1, len(mats) + 1):
+        if i == len(mats) or mats[i] != mats[start]:
+            n = max(1, int(round(steps_per_year * float(mats[start]))))
+            out.append((start, i, n))
+            start = i
+    return tuple(out)
+
+
 def run_scenario(
     name: str,
     spec: GridSpec = GridSpec(m1=50, m2=25),
@@ -105,14 +119,46 @@ def run_scenario(
     csv_path: Optional[str] = None,
     pricing_fns=None,
     verbose: bool = True,
+    device_loop: bool = False,
 ):
+    """device_loop=True runs the fully on-chip LM (calibrate_device) —
+    one jitted while_loop, no host round-trips per iteration."""
     scenario = SCENARIOS[name]
     targets = scenario.build_targets()
     cfg = CalibrationConfig(max_iter=scenario.max_iter, tol=scenario.tol)
     t0 = time.perf_counter()
-    result = calib.calibrate(
-        targets, spec, solver, init, cfg, steps_per_year=steps_per_year,
-        verbose=verbose, pricing_fns=pricing_fns)
+    if device_loop:
+        import jax.numpy as jnp
+
+        groups = _group_steps(targets, steps_per_year or solver.n_steps)
+        if len(groups) == 1:
+            groups = ()
+        tv, info = calib.calibrate_device(
+            spec, solver, jnp.asarray(targets.strikes),
+            jnp.asarray(targets.prices), targets.s0,
+            jnp.asarray(init.bumpable()), targets.r_d, targets.r_f,
+            cfg=cfg, american=targets.american,
+            dividends=targets.dividends, group_steps=groups)
+        tv = np.asarray(tv)
+        result = calib.CalibrationResult(
+            params=dataclasses.replace(
+                init, kappa=float(tv[0]), eta=float(tv[1]),
+                sigma=float(tv[2]), rho=float(tv[3]), v0=float(tv[4])),
+            initial_params=init,
+            final_error=float(info["final_error"]),
+            iterations=int(info["iterations"]),
+            converged=bool(info["converged"]),
+            fitted_prices=np.asarray(info["fitted_prices"]),
+            market_prices=np.asarray(targets.prices),
+            strikes=np.asarray(targets.strikes),
+            history=[],
+            total_pde_solves=len(targets.strikes) * 7
+            * int(info["iterations"]),
+        )
+    else:
+        result = calib.calibrate(
+            targets, spec, solver, init, cfg, steps_per_year=steps_per_year,
+            verbose=verbose, pricing_fns=pricing_fns)
     wall = time.perf_counter() - t0
     if verbose:
         p = result.params

@@ -47,6 +47,30 @@ def test_find_node_semantics():
     assert int(gridmod.find_node(nodes, 3.3)) == 0
 
 
+def test_interp_at_matches_node_value():
+    spec = GridSpec(m1=20, m2=12)
+    g = gridmod.make_grid(spec, 100.0, 100.0, 0.04)
+    u = jnp.outer(g.vec_v, g.vec_s)          # bilinear surface
+    # exact node
+    iv = int(gridmod.find_node(g.vec_v, 0.04))
+    is_ = int(gridmod.find_node(g.vec_s, 100.0))
+    got = float(gridmod.interp_at(g, u, 100.0, 0.04))
+    assert abs(got - float(u[iv, is_])) < 1e-9
+    # off-node point reproduces the bilinear function exactly
+    s_q = 0.5 * (float(g.vec_s[3]) + float(g.vec_s[4]))
+    v_q = 0.25 * float(g.vec_v[2]) + 0.75 * float(g.vec_v[3])
+    assert abs(float(gridmod.interp_at(g, u, s_q, v_q)) - s_q * v_q) < 1e-8
+
+
+def test_validate_book_rejects_out_of_domain_spot():
+    import pytest
+
+    spec = GridSpec(m1=10, m2=6)
+    gridmod.validate_book(spec, 100.0, [50.0, 100.0])   # fine
+    with pytest.raises(ValueError, match="outside the S-grid"):
+        gridmod.validate_book(spec, 100.0, [1.0, 100.0])  # 8*1 < 100
+
+
 def test_rebuild_variance_matches_fresh_build():
     spec = GridSpec(m1=20, m2=15)
     g = gridmod.make_grid(spec, 100.0, 100.0, 0.04)
