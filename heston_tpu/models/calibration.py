@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -316,18 +316,6 @@ class CalibrationResult:
     strikes: np.ndarray
     history: List[Dict]
     total_pde_solves: int
-
-
-def _solve_groups(fn_per_group, targets: CalibrationTargets):
-    """Run a per-maturity-group function and reassemble point order."""
-    n = len(targets.strikes)
-    out_j = np.zeros((n, N_PARAMS))
-    out_p = np.zeros(n)
-    for (mat, idx), res in fn_per_group:
-        if res[0] is not None:
-            out_j[idx] = res[0]
-        out_p[idx] = res[1]
-    return out_j, out_p
 
 
 def calibrate(

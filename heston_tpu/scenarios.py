@@ -128,7 +128,13 @@ def run_scenario(
     cfg = CalibrationConfig(max_iter=scenario.max_iter, tol=scenario.tol)
     t0 = time.perf_counter()
     if device_loop:
+        import jax
         import jax.numpy as jnp
+
+        if not jax.config.read("jax_enable_x64"):
+            # float32: a 1e-6 FD bump drowns in rounding noise — use the
+            # exact AD Jacobian on chip
+            cfg = dataclasses.replace(cfg, jacobian_mode="ad")
 
         groups = _group_steps(targets, steps_per_year or solver.n_steps)
         if len(groups) == 1:

@@ -8,8 +8,6 @@ differences (ref: src/heston_calibration.cpp:463-511)."""
 from __future__ import annotations
 
 import csv
-import dataclasses
-import time
 from pathlib import Path
 from typing import Optional, Sequence
 
