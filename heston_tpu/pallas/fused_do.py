@@ -13,7 +13,9 @@ is the TPU-native equivalent.
 Layout: batch in the LANE dimension (tile = 128 options). All fields are
 [m2+1, m1+1, 128] (v, s, options) so that
   * the pentadiagonal sweep along v indexes the outermost dim,
-  * the tridiagonal sweep along s uses static sublane offsets (unrolled),
+  * the tridiagonal sweep along s runs as a fori_loop with dynamic
+    sublane indexing (unroll=True switches to fully static unrolled
+    sweeps — identical runtime on v5e but ~7x slower to compile),
   * every arithmetic op vectorizes across the option lanes.
 
 VMEM economy (the v5e budget is 16 MiB):
@@ -90,7 +92,7 @@ def _b1_colrows(m1: int, m2: int):
 
 
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
-                 american: bool):
+                 american: bool, unroll: bool):
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
@@ -138,15 +140,15 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         b1v = b1v_ref[0]                # [T] boundary scalar per option
         b2r = b2r_ref[:]                # [ns, T] bottom-row boundary values
         # static position masks, built from iota (no captured constants)
-        row_ids = lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
         dtype = b2r.dtype
-        bottom = (row_ids == nv - 1).astype(dtype)
-        b1_masks = {}
+        row_ids = lax.broadcasted_iota(jnp.int32, (nv, ns), 0)
+        col_ids = lax.broadcasted_iota(jnp.int32, (nv, ns), 1)
+        b1_mask = jnp.zeros((nv, ns), dtype)
         for col, rows in b1_rows.items():
-            m = (row_ids == rows[0]).astype(dtype)
-            for r in rows[1:]:
-                m = m + (row_ids == r).astype(dtype)
-            b1_masks[col] = m
+            for r in rows:
+                b1_mask = b1_mask + (
+                    (row_ids == r) & (col_ids == col)).astype(dtype)
+        bottom2d = ((row_ids == nv - 1) & (col_ids >= 1)).astype(dtype)
         if american:
             u0 = u0_ref[:]
 
@@ -179,54 +181,86 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             y0 = u + dt * (a0r + a1r + a2r)
             if american:
                 y0 = y0 + dt * lam_c
-            rhs1 = y0 - td * a1r
+            # boundary injections as rank-1 full-array adds
+            # (b1 = scalar x static mask; b2 = one v-row)
+            rhs1 = (y0 - td * a1r
+                    + (kb1 * b1v) * b1_mask[:, :, None]
+                    + kb2a * bottom2d[:, :, None] * b2r[None, :, :])
 
-            # tridiagonal solve along s with in-sweep boundary injection
-            def rhs1_col(i):
-                col = rhs1[:, i, :]
-                if i in b1_masks:
-                    col = col + (kb1 * b1v) * b1_masks[i]
-                if i >= 1:  # b2 occupies s-columns 1..m1 of the bottom row
-                    col = col + (kb2a * b2r[i]) * bottom
-                return col
+            # tridiagonal solve along s
+            d_ref[:] = rhs1
+            if unroll:
+                dprev = d_ref[:, 0, :]
+                for i in range(1, ns):
+                    dprev = d_ref[:, i, :] - w_ref[:, i, :] * dprev
+                    d_ref[:, i, :] = dprev
+                xnext = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
+                x_ref[:, ns - 1, :] = xnext
+                for i in range(ns - 2, -1, -1):
+                    xnext = (d_ref[:, i, :]
+                             + (td * mu[:, i, :]) * xnext) * itmp_ref[:, i, :]
+                    x_ref[:, i, :] = xnext
+            else:
+                def tri_fwd(i, dprev):
+                    dnew = d_ref[:, i, :] - w_ref[:, i, :] * dprev
+                    d_ref[:, i, :] = dnew
+                    return dnew
+                lax.fori_loop(1, ns, tri_fwd, d_ref[:, 0, :])
+                xlast = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
+                x_ref[:, ns - 1, :] = xlast
 
-            dprev = rhs1_col(0)
-            d_ref[:, 0, :] = dprev
-            for i in range(1, ns):
-                dprev = rhs1_col(i) - w_ref[:, i, :] * dprev
-                d_ref[:, i, :] = dprev
-            xnext = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
-            x_ref[:, ns - 1, :] = xnext
-            for i in range(ns - 2, -1, -1):
-                xnext = (d_ref[:, i, :]
-                         + (td * mu[:, i, :]) * xnext) * itmp_ref[:, i, :]
-                x_ref[:, i, :] = xnext
+                def tri_bwd(k, xnext):
+                    i = ns - 2 - k
+                    xnew = (d_ref[:, i, :]
+                            + (td * mu_ref[:, i, :]) * xnext
+                            ) * itmp_ref[:, i, :]
+                    x_ref[:, i, :] = xnew
+                    return xnew
+                lax.fori_loop(0, ns - 1, tri_bwd, xlast)
             y1 = x_ref[:]
 
-            rhs2 = y1 - td * a2r
+            # pentadiagonal solve along v
+            rhs2 = (y1 - td * a2r
+                    + kb2b * bottom2d[:, :, None] * b2r[None, :, :])
+            d_ref[:] = rhs2
+            if unroll:
+                dp1 = pm_ref[0] * d_ref[0]
+                d_ref[0] = dp1
+                dp2 = jnp.zeros_like(dp1)
+                for j in range(1, nv):
+                    dpj = (pm_ref[j] * d_ref[j] - pgm_ref[j] * dp1
+                           - phm_ref[j] * dp2)
+                    d_ref[j] = dpj
+                    dp2, dp1 = dp1, dpj
+                x1 = d_ref[nv - 1]
+                x_ref[nv - 1] = x1
+                x2 = jnp.zeros_like(x1)
+                for j in range(nv - 2, -1, -1):
+                    xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
+                    x_ref[j] = xj
+                    x2, x1 = x1, xj
+            else:
+                dp0 = pm_ref[0] * d_ref[0]
+                d_ref[0] = dp0
 
-            # pentadiagonal solve along v with bottom-row b2 injection
-            def rhs2_row(j):
-                row = rhs2[j]
-                if j == nv - 1:
-                    row = row + kb2b * b2r
-                return row
+                def pen_fwd(j, carry):
+                    dp1, dp2 = carry
+                    dpj = (pm_ref[j] * d_ref[j] - pgm_ref[j] * dp1
+                           - phm_ref[j] * dp2)
+                    d_ref[j] = dpj
+                    return (dpj, dp1)
+                lax.fori_loop(1, nv, pen_fwd, (dp0, jnp.zeros_like(dp0)))
+                xl = d_ref[nv - 1]
+                x_ref[nv - 1] = xl
 
-            dp1 = pm_ref[0] * rhs2_row(0)
-            d_ref[0] = dp1
-            dp2 = jnp.zeros_like(dp1)
-            for j in range(1, nv):
-                dpj = (pm_ref[j] * rhs2_row(j) - pgm_ref[j] * dp1
-                       - phm_ref[j] * dp2)
-                d_ref[j] = dpj
-                dp2, dp1 = dp1, dpj
-            x1 = d_ref[nv - 1]
-            x_ref[nv - 1] = x1
-            x2 = jnp.zeros_like(x1)
-            for j in range(nv - 2, -1, -1):
-                xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
-                x_ref[j] = xj
-                x2, x1 = x1, xj
+                def pen_bwd(k, carry):
+                    x1, x2 = carry
+                    j = nv - 2 - k
+                    xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
+                    x_ref[j] = xj
+                    return (xj, x1)
+                lax.fori_loop(0, nv - 1, pen_bwd,
+                              (xl, jnp.zeros_like(xl)))
             u_bar = x_ref[:]
 
             if american:
@@ -252,11 +286,12 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 
 @functools.lru_cache(maxsize=None)
 def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
-                  american: bool, dtype_name: str, interpret: bool):
+                  american: bool, dtype_name: str, interpret: bool,
+                  unroll: bool = False):
     """pallas_call for ONE tile (grid=(); tiles are mapped outside)."""
     nv, ns = m2 + 1, m1 + 1
     dtype = jnp.dtype(dtype_name)
-    kernel = _make_kernel(m1, m2, theta, delta_t, american)
+    kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll)
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -356,6 +391,7 @@ def fused_price_batch(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     interpret: bool = False,
+    unroll: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for models.douglas.price_batch running the time
     loop in the fused Pallas kernel. Jit-wrap the caller."""
@@ -407,7 +443,7 @@ def fused_price_batch(
     )
 
     call = _segment_call(spec.m1, spec.m2, solver.theta, solver.delta_t,
-                         american, dtype.name, interpret)
+                         american, dtype.name, interpret, unroll)
     inv_keys = ["ml", "md", "mu", "w", "itmp", "sfac", "vfac",
                 "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
                 "al2", "al1", "ad", "au1", "au2",
