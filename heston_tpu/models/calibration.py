@@ -186,7 +186,7 @@ def _clamp_vec_traced(vec: Array, cfg: CalibrationConfig) -> Array:
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "solver", "cfg", "american", "dividends",
-                     "group_steps"),
+                     "group_steps", "pricer"),
 )
 def calibrate_device(
     spec: GridSpec,
@@ -201,6 +201,7 @@ def calibrate_device(
     american: bool = False,
     dividends=None,
     group_steps: Tuple[Tuple[int, int, int], ...] = (),
+    pricer: str = "pde",
 ):
     """Device-resident Levenberg-Marquardt: the ENTIRE iteration loop runs
     inside one jitted lax.while_loop — Jacobian fleet, damped 5x5 solve,
@@ -208,6 +209,10 @@ def calibrate_device(
     reference round-trips to the host every iteration for the update and
     bookkeeping (ref: src/heston_calibration.cpp:206-417); on TPU those
     round-trips (tunnel RPCs) would dominate, so the loop is fused.
+
+    pricer="cf" swaps the PDE fleet for the semi-analytic
+    characteristic-function pricer (European, no dividends) — a capability
+    the reference does not have; the PDE path remains the general one.
 
     `group_steps`: optional static tuple of (start, end, n_steps) slices for
     multi-maturity chains — each contiguous point range prices with its own
@@ -227,24 +232,38 @@ def calibrate_device(
             base, jvp_fn = jax.linearize(fleet_prices, tv)
             jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=tv.dtype)).T
             return jac, base
-        jacs, bases = [], []
-        for (a, b, n) in groups:
-            sol = dataclasses.replace(
-                solver, n_steps=n,
-                maturity=solver.maturity * n / max(solver.n_steps, 1))
-            jac, base = _jac_group(sol, strikes[a:b], tv)
-            jacs.append(jac)
-            bases.append(base)
-        return jnp.concatenate(jacs, axis=0), jnp.concatenate(bases)
+        # finite differences: 6-way bump axis over the whole fleet
+        # (ref: src/jacobian_computation.cpp:292-361)
+        pmat = _bumped_param_matrix(tv, cfg.eps)
+        prices = jax.vmap(fleet_prices)(pmat)      # (6, n_points)
+        base = prices[0]
+        jac = ((prices[1:] - base[None, :]) / cfg.eps).T
+        return jac, base
 
-    def fleet_prices(tv):
-        outs = []
-        for (a, b, n) in groups:
-            sol = dataclasses.replace(
-                solver, n_steps=n,
-                maturity=solver.maturity * n / max(solver.n_steps, 1))
-            outs.append(_price_group(sol, strikes[a:b], tv))
-        return jnp.concatenate(outs)
+    if pricer == "cf":
+        if american or dividends is not None:
+            raise ValueError("pricer='cf' supports European chains only")
+        from heston_tpu.models import heston_cf
+
+        def fleet_prices(tv):
+            outs = []
+            for (a, b, n) in groups:
+                # group maturity under the steps-per-year convention
+                # (dt is shared: T_i = n_i * dt)
+                t_group = solver.maturity * n / max(solver.n_steps, 1)
+                outs.append(heston_cf.price_chain(
+                    s0, strikes[a:b], tv[4], tv[0], tv[1], tv[2], tv[3],
+                    r_d, t_group))
+            return jnp.concatenate(outs)
+    else:
+        def fleet_prices(tv):
+            outs = []
+            for (a, b, n) in groups:
+                sol = dataclasses.replace(
+                    solver, n_steps=n,
+                    maturity=solver.maturity * n / max(solver.n_steps, 1))
+                outs.append(_price_group(sol, strikes[a:b], tv))
+            return jnp.concatenate(outs)
 
     def _price_group(sol, ks, tv):
         def one(k):
@@ -252,12 +271,6 @@ def calibrate_device(
                 spec, sol, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
                 r_d, r_f, american=american, dividends=dividends)
         return jax.vmap(one)(ks)
-
-    def _jac_group(sol, ks, tv):
-        pmat = _bumped_param_matrix(tv, cfg.eps)
-        prices = jax.vmap(lambda pv: _price_group(sol, ks, pv))(pmat)
-        base = prices[0]
-        return ((prices[1:] - base[None, :]) / cfg.eps).T, base
 
     def lm_body(state):
         tv, lam, final_error, it, converged, fitted = state
