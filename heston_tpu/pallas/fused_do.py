@@ -102,33 +102,45 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         (n0_ref, n1_ref, rf_ref,
          u_ref, *rest) = refs
         if american:
-            (lam_ref, u0_ref, ml_ref, md_ref, mu_ref,
-             w_ref, itmp_ref,
+            (lam_ref, iml_ref, imd_ref, imu_ref,
              sfac_ref, vfac_ref,
              bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
              pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
-             b1v_ref, b2r_ref,
+             b1v_ref, b2r_ref, vecs_ref, kk_ref,
              uo_ref, lamo_ref,
-             d_ref, x_ref) = rest
+             w_ref, itmp_ref, d_ref) = rest
         else:
-            (ml_ref, md_ref, mu_ref,
-             w_ref, itmp_ref,
+            (iml_ref, imd_ref, imu_ref,
              sfac_ref, vfac_ref,
              bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
              pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
-             b1v_ref, b2r_ref,
+             b1v_ref, b2r_ref, vecs_ref, kk_ref,
              uo_ref,
-             d_ref, x_ref) = rest
+             w_ref, itmp_ref, d_ref) = rest
 
         rf = rf_ref[0]
         n0 = n0_ref[0]
         n1 = n1_ref[0]
 
-        ml = ml_ref[:]
-        md = md_ref[:]
-        mu = mu_ref[:]
+        iml = iml_ref[:]
+        imd = imd_ref[:]
+        imu = imu_ref[:]
+
+        # Thomas factorization of the A1 implicit system, once per launch
+        # (fori_loop with dynamic sublane indexing keeps compile small)
+        t0 = imd[:, 0, :]
+        itmp_ref[:, 0, :] = 1.0 / t0
+        w_ref[:, 0, :] = jnp.zeros_like(t0)
+
+        def fac_body(i, temp_prev):
+            wi = iml_ref[:, i, :] / temp_prev
+            temp = imd_ref[:, i, :] - wi * imu_ref[:, i - 1, :]
+            w_ref[:, i, :] = wi
+            itmp_ref[:, i, :] = 1.0 / temp
+            return temp
+        lax.fori_loop(1, ns, fac_body, t0)
 
         # loop-invariant 2-D fields
         sfac = sfac_ref[:]              # [ns, T] rho*sigma*s (interior mask)
@@ -149,8 +161,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 b1_mask = b1_mask + (
                     (row_ids == r) & (col_ids == col)).astype(dtype)
         bottom2d = ((row_ids == nv - 1) & (col_ids >= 1)).astype(dtype)
+        smax_mask = (col_ids != ns - 1).astype(dtype)   # [nv, ns]
         if american:
-            u0 = u0_ref[:]
+            # payoff is v-independent: reconstruct from the s-grid
+            u0row = jnp.maximum(vecs_ref[:] - kk_ref[0][None, :], 0.0)
+            u0 = u0row[None, :, :]
 
         def bandv(band):
             return band[:, None, :]
@@ -167,39 +182,45 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             kb2a = dt * e0                   # b2 coefficient entering rhs1
             kb2b = td * (e1 - e0)            # b2 coefficient entering rhs2
 
-            # explicit operator applications
+            # rhs1 built with minimal live intermediates:
+            #   rhs1 = u + dt*a0r + (dt-td)*a1r + dt*a2r [+ dt*lam] + bnd
+            # with a1r = (u - M u)/td  =>  (dt-td)*a1r = c1*(u - M u)
+            c1 = (dt - td) / td
+            # accumulate rhs1 in the solve workspace ref to cap live temps
             dsu = bsm * _shift_s(u, -1) + bs0 * u + bsp * _shift_s(u, 1)
-            a0r = (vfac[:, None, :] * sfac[None, :, :]) * (
+            d_ref[:] = dt * (vfac[:, None, :] * sfac[None, :, :]) * (
                 bvm[:, None, :] * _shift_v(dsu, -1)
                 + bv0[:, None, :] * dsu
                 + bvp[:, None, :] * _shift_v(dsu, 1))
-            a1r = ml * _shift_s(u, -1) + md * u + mu * _shift_s(u, 1)
+            d_ref[:] = d_ref[:] + ((1.0 + c1) * u - c1 * (
+                iml * _shift_s(u, -1) + imd * u + imu * _shift_s(u, 1)))
+            # A2 applied explicitly (a2r stays live for rhs2)
             a2r = (bandv(l2b) * _shift_v(u, -2) + bandv(l1b) * _shift_v(u, -1)
                    + bandv(db) * u + bandv(u1b) * _shift_v(u, 1)
                    + bandv(u2b) * _shift_v(u, 2))
-
-            y0 = u + dt * (a0r + a1r + a2r)
-            if american:
-                y0 = y0 + dt * lam_c
             # boundary injections as rank-1 full-array adds
             # (b1 = scalar x static mask; b2 = one v-row)
-            rhs1 = (y0 - td * a1r
-                    + (kb1 * b1v) * b1_mask[:, :, None]
+            bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
                     + kb2a * bottom2d[:, :, None] * b2r[None, :, :])
+            if american:
+                d_ref[:] = d_ref[:] + (dt * a2r + dt * lam_c + bnd1)
+            else:
+                d_ref[:] = d_ref[:] + (dt * a2r + bnd1)
 
-            # tridiagonal solve along s
-            d_ref[:] = rhs1
+            # tridiagonal solve along s; the backward substitution writes
+            # in-place over the forward sweep (each row is read exactly
+            # once, at its own step); rhs1 is already staged in d_ref
             if unroll:
                 dprev = d_ref[:, 0, :]
                 for i in range(1, ns):
                     dprev = d_ref[:, i, :] - w_ref[:, i, :] * dprev
                     d_ref[:, i, :] = dprev
                 xnext = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
-                x_ref[:, ns - 1, :] = xnext
+                d_ref[:, ns - 1, :] = xnext
                 for i in range(ns - 2, -1, -1):
                     xnext = (d_ref[:, i, :]
-                             + (td * mu[:, i, :]) * xnext) * itmp_ref[:, i, :]
-                    x_ref[:, i, :] = xnext
+                             - imu[:, i, :] * xnext) * itmp_ref[:, i, :]
+                    d_ref[:, i, :] = xnext
             else:
                 def tri_fwd(i, dprev):
                     dnew = d_ref[:, i, :] - w_ref[:, i, :] * dprev
@@ -207,19 +228,19 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     return dnew
                 lax.fori_loop(1, ns, tri_fwd, d_ref[:, 0, :])
                 xlast = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
-                x_ref[:, ns - 1, :] = xlast
+                d_ref[:, ns - 1, :] = xlast
 
                 def tri_bwd(k, xnext):
                     i = ns - 2 - k
                     xnew = (d_ref[:, i, :]
-                            + (td * mu_ref[:, i, :]) * xnext
+                            - imu_ref[:, i, :] * xnext
                             ) * itmp_ref[:, i, :]
-                    x_ref[:, i, :] = xnew
+                    d_ref[:, i, :] = xnew
                     return xnew
                 lax.fori_loop(0, ns - 1, tri_bwd, xlast)
-            y1 = x_ref[:]
+            y1 = d_ref[:]
 
-            # pentadiagonal solve along v
+            # pentadiagonal solve along v (same in-place scheme)
             rhs2 = (y1 - td * a2r
                     + kb2b * bottom2d[:, :, None] * b2r[None, :, :])
             d_ref[:] = rhs2
@@ -233,11 +254,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     d_ref[j] = dpj
                     dp2, dp1 = dp1, dpj
                 x1 = d_ref[nv - 1]
-                x_ref[nv - 1] = x1
                 x2 = jnp.zeros_like(x1)
                 for j in range(nv - 2, -1, -1):
                     xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
-                    x_ref[j] = xj
+                    d_ref[j] = xj
                     x2, x1 = x1, xj
             else:
                 dp0 = pm_ref[0] * d_ref[0]
@@ -250,26 +270,22 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     d_ref[j] = dpj
                     return (dpj, dp1)
                 lax.fori_loop(1, nv, pen_fwd, (dp0, jnp.zeros_like(dp0)))
-                xl = d_ref[nv - 1]
-                x_ref[nv - 1] = xl
 
                 def pen_bwd(k, carry):
                     x1, x2 = carry
                     j = nv - 2 - k
                     xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
-                    x_ref[j] = xj
+                    d_ref[j] = xj
                     return (xj, x1)
                 lax.fori_loop(0, nv - 1, pen_bwd,
-                              (xl, jnp.zeros_like(xl)))
-            u_bar = x_ref[:]
+                              (d_ref[nv - 1], jnp.zeros_like(dp0)))
+            u_bar = d_ref[:]
 
             if american:
                 u_new = jnp.maximum(u_bar - dt * lam_c, u0)
-                lam_new = jnp.maximum(0.0, lam_c + (u0 - u_bar) / dt)
-                # zero the multiplier on the s_max column
-                lam_new = jnp.concatenate(
-                    [lam_new[:, : ns - 1, :],
-                     jnp.zeros_like(lam_new[:, ns - 1:, :])], axis=1)
+                # multiplier update, zeroed on the s_max column via mask
+                lam_new = (jnp.maximum(0.0, lam_c + (u0 - u_bar) / dt)
+                           * smax_mask[:, :, None])
                 return (u_new, lam_new)
             return u_bar
 
@@ -288,36 +304,59 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   american: bool, dtype_name: str, interpret: bool,
                   unroll: bool = False):
-    """pallas_call for ONE tile (grid=(); tiles are mapped outside)."""
+    """pallas_call for ONE batch tile; tiles are mapped sequentially
+    outside (lax.map). A grid-over-tiles variant was tried and exceeds
+    the 16 MiB VMEM budget once Mosaic adds pipeline buffers + step
+    temporaries (18-21 MiB); per-tile launches fit comfortably."""
     nv, ns = m2 + 1, m1 + 1
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll)
 
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem1 = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    big_spec = lambda: pl.BlockSpec((nv, ns, TILE), lambda t: (0, 0, t),
+                                    memory_space=pltpu.VMEM,
+                                    pipeline_mode=pl.Buffered(1))
+    sb_spec = lambda: pl.BlockSpec((ns, TILE), lambda t: (0, t),
+                                   memory_space=pltpu.VMEM)
+    vb_spec = lambda: pl.BlockSpec((nv, TILE), lambda t: (0, t),
+                                   memory_space=pltpu.VMEM)
+    one_spec = lambda: pl.BlockSpec((1, TILE), lambda t: (0, t),
+                                    memory_space=pltpu.VMEM)
+    smem1 = lambda: pl.BlockSpec((1,), lambda t: (0,),
+                                 memory_space=pltpu.SMEM)
 
-    # 3-D fields: u [, lam, u0], ml, md, mu, w, itmp; 2-D fields: sfac,
-    # vfac, bs x3, bv x3, a2 bands x5, penta factors x5, b1v, b2r (20)
-    n_vmem_in = (8 if american else 6) + 20
+    n_big = 5 if american else 4
     in_specs = (
-        [smem1(), smem1(), smem1()]      # n0, n1, rf
-        + [vmem()] * n_vmem_in
+        [smem1(), smem1(), smem1()]          # n0, n1, rf
+        + [big_spec()] * n_big               # u [, lam], iml, imd, imu
+        + [sb_spec(), vb_spec()]             # sfac, vfac
+        + [sb_spec()] * 3 + [vb_spec()] * 3  # bs, bv weights
+        + [vb_spec()] * 10                   # a2 bands + penta factors
+        + [one_spec(), sb_spec()]            # b1v, b2r
+        + [sb_spec(), one_spec()]            # vec_s, strike
     )
     big = jax.ShapeDtypeStruct((nv, ns, TILE), dtype)
     out_shape = [big, big] if american else [big]
-    out_specs = [vmem()] * len(out_shape)
+    out_specs = [big_spec()] * len(out_shape)
 
     scratch = [
-        pltpu.VMEM((nv, ns, TILE), dtype),   # d (fwd sweep)
-        pltpu.VMEM((nv, ns, TILE), dtype),   # x (bwd sweep)
+        pltpu.VMEM((nv, ns, TILE), dtype),   # w  (Thomas multipliers)
+        pltpu.VMEM((nv, ns, TILE), dtype),   # 1/temp
+        pltpu.VMEM((nv, ns, TILE), dtype),   # d (solve workspace)
     ]
+
+    # alias the state through the call: u -> out0 (, lam -> out1)
+    aliases = {3: 0}
+    if american:
+        aliases[4] = 1
 
     return pl.pallas_call(
         kernel,
+        grid=(1,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         interpret=interpret,
     )
 
@@ -407,18 +446,13 @@ def fused_price_batch(
     dtype = u0.dtype
     nv, ns = spec.m2 + 1, spec.m1 + 1
 
-    # implicit-system factorizations, once, in XLA (the kernel reuses them
-    # across every time-loop segment)
-    a1_fac = jax.vmap(banded.tridiag_factor)(
-        ops.a1_iml, ops.a1_imd, ops.a1_imu)
-    w_fac = a1_fac.w
-    itmp_fac = a1_fac.inv_temp
+    # A2 implicit factorization once in XLA (small 1-D bands); the A1
+    # Thomas factorization happens inside the kernel (scratch)
     a2_fac = jax.vmap(banded.penta_factor)(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2)
 
     def tiles3(x):   # [B, nv, ns] -> [n_tiles, nv, ns, TILE]
-        return jnp.moveaxis(
-            x.reshape(n_tiles, TILE, nv, ns), 1, -1)
+        return jnp.moveaxis(x.reshape(n_tiles, TILE, nv, ns), 1, -1)
 
     def tiles2(x):   # [B, n] -> [n_tiles, n, TILE]
         return jnp.moveaxis(x.reshape(n_tiles, TILE, -1), 1, -1)
@@ -429,9 +463,8 @@ def fused_price_batch(
     fields = dict(
         u=tiles3(u0),
         lam=jnp.zeros_like(tiles3(u0)),
-        u0=tiles3(u0),
-        ml=tiles3(ops.a1_ml), md=tiles3(ops.a1_md), mu=tiles3(ops.a1_mu),
-        w=tiles3(w_fac), itmp=tiles3(itmp_fac),
+        iml=tiles3(ops.a1_iml), imd=tiles3(ops.a1_imd),
+        imu=tiles3(ops.a1_imu),
         sfac=tiles2(scol), vfac=tiles2(vrow),
         bsm=tiles2(ops.bs_wm), bs0=tiles2(ops.bs_w0), bsp=tiles2(ops.bs_wp),
         bvm=tiles2(ops.bv_wm), bv0=tiles2(ops.bv_w0), bvp=tiles2(ops.bv_wp),
@@ -440,34 +473,33 @@ def fused_price_batch(
         pgm=tiles2(a2_fac.gm), phm=tiles2(a2_fac.hm), pm=tiles2(a2_fac.m),
         pc=tiles2(a2_fac.c), pc2=tiles2(a2_fac.c2),
         b1v=tiles1(b1val), b2r=tiles2(b2row),
+        vecs=tiles2(vec_s), kk=tiles1(strikes_p),
     )
 
     call = _segment_call(spec.m1, spec.m2, solver.theta, solver.delta_t,
                          american, dtype.name, interpret, unroll)
-    inv_keys = ["ml", "md", "mu", "w", "itmp", "sfac", "vfac",
+    inv_keys = ["iml", "imd", "imu", "sfac", "vfac",
                 "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
                 "al2", "al1", "ad", "au1", "au2",
                 "pgm", "phm", "pm", "pc", "pc2",
-                "b1v", "b2r"]
+                "b1v", "b2r", "vecs", "kk"]
 
     def run_segment(n0, n1, u, lam):
         n0a = jnp.asarray([n0], jnp.int32)
         n1a = jnp.asarray([n1], jnp.int32)
         rfa = jnp.asarray([r_f], dtype)
-
         if american:
             def per_tile(args):
-                ut, lamt, u0t, *inv = args
-                return call(n0a, n1a, rfa, ut, lamt, u0t, *inv)
+                ut, lamt, *inv = args
+                return call(n0a, n1a, rfa, ut, lamt, *inv)
             outs = lax.map(per_tile,
-                           (u, lam, fields["u0"],
-                            *[fields[k] for k in inv_keys]))
+                           (u, lam, *[fields[k] for k in inv_keys]))
             return outs[0], outs[1]
 
         def per_tile(args):
             ut, *inv = args
-            (out,) = call(n0a, n1a, rfa, ut, *inv)
-            return out
+            out = call(n0a, n1a, rfa, ut, *inv)
+            return out[0]
         out = lax.map(per_tile, (u, *[fields[k] for k in inv_keys]))
         return out, lam
 
