@@ -147,6 +147,10 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
     ops = inst.ops
     dt = solver.delta_t
     theta = solver.theta
+    # single-instance path always runs XLA solvers; "pallas" only applies
+    # to the batched entry point (price_batch)
+    engine = "scan" if solver.solver_engine == "pallas" \
+        else solver.solver_engine
     dtype = u.dtype
     nf = jnp.asarray(n, dtype)
     e_nm1 = jnp.exp(r_f * dt * (nf - 1.0))
@@ -159,9 +163,9 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
     def stage_solves(y0_stage):
         rhs1 = y0_stage + theta * dt * (
             ops.b1 * e_n - (a1r + ops.b1 * e_nm1))
-        y1 = banded.tridiag_solve(inst.a1_fac, rhs1, solver.solver_engine)
+        y1 = banded.tridiag_solve(inst.a1_fac, rhs1, engine)
         rhs2 = y1 + theta * dt * (ops.b2 * e_n - (a2r + ops.b2 * e_nm1))
-        return banded.penta_solve(inst.a2_fac, rhs2, solver.solver_engine)
+        return banded.penta_solve(inst.a2_fac, rhs2, engine)
 
     y0 = u + dt * (a0r + a1r + a2r + ops.b * e_nm1)
     if american:
@@ -346,7 +350,17 @@ def price_batch(
     dividends: Optional[DividendSchedule] = None,
 ) -> Array:
     """Batched pricing over a strike vector (the reference's one-team-per-
-    option parallelism, ref: src/device_solver.hpp:53-185, as a vmap)."""
+    option parallelism, ref: src/device_solver.hpp:53-185, as a vmap).
+
+    solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
+    (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path."""
+    if solver.solver_engine == "pallas":
+        from heston_tpu.pallas import fused_do
+
+        return fused_do.fused_price_batch(
+            spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
+            r_d, r_f, american=american, dividends=dividends,
+        )
 
     def one(k):
         return price_option(

@@ -109,11 +109,20 @@ def _affine2_pcr(g: Array, h: Array, r: Array) -> Array:
     return res[4]
 
 
+def _check_engine(engine):
+    if engine not in ("scan", "pcr"):
+        raise ValueError(
+            f"unknown banded-solver engine {engine!r}; 'pallas' is handled "
+            "at the price_batch level, not inside the banded solvers")
+
+
 def _affine1(a, b, engine):
+    _check_engine(engine)
     return _affine1_pcr(a, b) if engine == "pcr" else _affine1_scan(a, b)
 
 
 def _affine2(g, h, r, engine):
+    _check_engine(engine)
     return _affine2_pcr(g, h, r) if engine == "pcr" else _affine2_scan(g, h, r)
 
 
