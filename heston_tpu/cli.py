@@ -103,6 +103,13 @@ def main(argv=None):
                    choices=["spatial", "timestep"])
     p.add_argument("--csv", default="convergence.csv")
 
+    p = sub.add_parser("greeks", help="AD Greeks for one option")
+    _add_common(p)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--american", action="store_true")
+    p.add_argument("--dividends", default="none",
+                   choices=["none", "golden", "calib"])
+
     p = sub.add_parser("surface", help="export a price surface CSV")
     _add_common(p)
     p.add_argument("--strike", type=float, default=100.0)
@@ -180,6 +187,16 @@ def main(argv=None):
                                                  scheme=args.scheme)
         for r in rows:
             print(json.dumps(r))
+
+    elif args.cmd == "greeks":
+        from heston_tpu.models import greeks as greeks_mod
+
+        divs = _parse_dividends(args.dividends)
+        out = greeks_mod.price_and_greeks(
+            spec, solver, args.strike, args.spot, params.kappa, params.eta,
+            params.sigma, params.rho, params.v0, params.r_d, params.r_f,
+            american=args.american, dividends=divs)
+        print(json.dumps({k: float(v) for k, v in out.items()}))
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)
