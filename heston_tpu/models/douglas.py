@@ -116,8 +116,10 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct) -> Array:
     m1 = vec_s.shape[-1] - 1
     new_s = vec_s * (1.0 - pct) - amount
     # first index with vec_s[k] > new_s (strict); 0 if none (matches the
-    # reference's untouched idx = 0 fall-through)
-    idx = jnp.searchsorted(vec_s, new_s, side="right").astype(jnp.int32)
+    # reference's untouched idx = 0 fall-through). Computed as a comparison
+    # count: batched searchsorted scalarizes into per-element binary
+    # searches on TPU and costs milliseconds.
+    idx = jnp.sum(vec_s[:, None] <= new_s[None, :], axis=0).astype(jnp.int32)
     idx = jnp.where(idx > m1, 0, idx)
     idx_lo = jnp.maximum(idx - 1, 0)
 

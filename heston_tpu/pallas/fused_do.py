@@ -92,7 +92,15 @@ def _b1_colrows(m1: int, m2: int):
 
 
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
-                 american: bool, unroll: bool):
+                 american: bool, unroll: bool, div_plan=None,
+                 n_events: int = 0):
+    """div_plan: optional static tuple of (seg_start, seg_end,
+    n_events_after) triples. When given, the launch runs those time-loop
+    segments with dividend re-maps between them; each re-map is a dense
+    R-matrix contraction over the s axis (the re-map is linear with <= 2
+    nonzeros per output column, ref: src/solver.hpp:382-425). The R
+    matrices arrive as ordinary VMEM inputs, statically indexed — an
+    HBM+DMA variant crashes this TPU runtime (see memory notes)."""
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
@@ -108,8 +116,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
              pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
              b1v_ref, b2r_ref, vecs_ref, kk_ref,
-             uo_ref, lamo_ref,
-             w_ref, itmp_ref, d_ref) = rest
+             *tail) = rest
+            r_refs = tail[:n_events]
+            if div_plan is not None:
+                (uo_ref, lamo_ref,
+                 w_ref, itmp_ref, d_ref, ustg_ref) = tail[n_events:]
+            else:
+                (uo_ref, lamo_ref, w_ref, itmp_ref, d_ref) = tail
         else:
             (iml_ref, imd_ref, imu_ref,
              sfac_ref, vfac_ref,
@@ -117,8 +130,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
              pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
              b1v_ref, b2r_ref, vecs_ref, kk_ref,
-             uo_ref,
-             w_ref, itmp_ref, d_ref) = rest
+             *tail) = rest
+            r_refs = tail[:n_events]
+            if div_plan is not None:
+                (uo_ref,
+                 w_ref, itmp_ref, d_ref, ustg_ref) = tail[n_events:]
+            else:
+                (uo_ref, w_ref, itmp_ref, d_ref) = tail
 
         rf = rf_ref[0]
         n0 = n0_ref[0]
@@ -289,13 +307,47 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 return (u_new, lam_new)
             return u_bar
 
-        if american:
-            u_fin, lam_fin = lax.fori_loop(n0, n1, step,
-                                           (u_ref[:], lam_ref[:]))
-            uo_ref[:] = u_fin
-            lamo_ref[:] = lam_fin
+        def remap(u, e_idx):
+            """u <- contract(u, R_e) over the s axis (dense linear re-map;
+            staged through scratch so the contraction reads refs, which
+            support dynamic sublane indexing)."""
+            r_ref = r_refs[e_idx]
+            ustg_ref[:] = u
+            d_ref[:] = jnp.zeros_like(u)
+
+            def contract(c, _):
+                d_ref[:] = d_ref[:] + (ustg_ref[:, c, :][:, None, :]
+                                       * r_ref[c, :, :][None, :, :])
+                return 0
+            lax.fori_loop(0, ns, contract, 0)
+            return d_ref[:]
+
+        if div_plan is None:
+            if american:
+                u_fin, lam_fin = lax.fori_loop(n0, n1, step,
+                                               (u_ref[:], lam_ref[:]))
+                uo_ref[:] = u_fin
+                lamo_ref[:] = lam_fin
+            else:
+                uo_ref[:] = lax.fori_loop(n0, n1, step, u_ref[:])
         else:
-            uo_ref[:] = lax.fori_loop(n0, n1, step, u_ref[:])
+            carry = (u_ref[:], lam_ref[:]) if american else u_ref[:]
+            e_idx = 0
+            for (seg_a, seg_b, k_events) in div_plan:
+                if seg_b > seg_a:
+                    carry = lax.fori_loop(seg_a, seg_b, step, carry)
+                for _ in range(k_events):
+                    if american:
+                        uu, ll = carry
+                        carry = (remap(uu, e_idx), ll)
+                    else:
+                        carry = remap(carry, e_idx)
+                    e_idx += 1
+            if american:
+                uo_ref[:] = carry[0]
+                lamo_ref[:] = carry[1]
+            else:
+                uo_ref[:] = carry
 
     return kernel
 
@@ -303,14 +355,15 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 @functools.lru_cache(maxsize=None)
 def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   american: bool, dtype_name: str, interpret: bool,
-                  unroll: bool = False):
+                  unroll: bool = False, div_plan=None, n_events: int = 0):
     """pallas_call for ONE batch tile; tiles are mapped sequentially
     outside (lax.map). A grid-over-tiles variant was tried and exceeds
     the 16 MiB VMEM budget once Mosaic adds pipeline buffers + step
     temporaries (18-21 MiB); per-tile launches fit comfortably."""
     nv, ns = m2 + 1, m1 + 1
     dtype = jnp.dtype(dtype_name)
-    kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll)
+    kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
+                          div_plan, n_events)
 
     big_spec = lambda: pl.BlockSpec((nv, ns, TILE), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
@@ -333,6 +386,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         + [vb_spec()] * 10                   # a2 bands + penta factors
         + [one_spec(), sb_spec()]            # b1v, b2r
         + [sb_spec(), one_spec()]            # vec_s, strike
+        + [pl.BlockSpec((ns, ns, TILE), lambda t: (0, 0, t),
+                        memory_space=pltpu.VMEM)] * n_events   # R matrices
     )
     big = jax.ShapeDtypeStruct((nv, ns, TILE), dtype)
     out_shape = [big, big] if american else [big]
@@ -343,6 +398,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         pltpu.VMEM((nv, ns, TILE), dtype),   # 1/temp
         pltpu.VMEM((nv, ns, TILE), dtype),   # d (solve workspace)
     ]
+    if div_plan is not None:
+        scratch.append(pltpu.VMEM((nv, ns, TILE), dtype))  # staged U
 
     # alias the state through the call: u -> out0 (, lam -> out1)
     aliases = {3: 0}
@@ -419,6 +476,64 @@ def _apply_dividend_lanes(u, vec_s_tl, amount, pct):
     left = u[:, :, 0:1, :] * jnp.ones_like(new_s)[:, None]
     out = jnp.where((idx == 0)[:, None], left, interp)
     return jnp.where((new_s > 0.0)[:, None], out, 0.0)
+
+
+def _build_remap_matrices(vec_s, events, dtype):
+    """Dense per-option re-map matrices R_e[c, i] with
+    U_new[:, i] = sum_c U[:, c] R[c, i] — the linear form of
+    models.douglas.apply_dividend (<= 2 nonzeros per column)."""
+    b, ns = vec_s.shape
+    m1 = ns - 1
+    c_ids = jnp.arange(ns)[None, :, None]               # [1, c, 1]
+    mats = []
+    for amount, pct in events:
+        new_s = vec_s * (1.0 - pct) - amount            # [B, i]
+        # first strictly-greater index as a comparison count (vectorized;
+        # vmapped searchsorted scalarizes on TPU)
+        idx = jnp.sum(vec_s[:, :, None] <= new_s[:, None, :],
+                      axis=1).astype(jnp.int32)
+        idx = jnp.where(idx > m1, 0, idx)
+        lo = jnp.maximum(idx - 1, 0)
+        s_lo = jnp.take_along_axis(vec_s, lo, 1)
+        s_hi = jnp.take_along_axis(vec_s, idx, 1)
+        w = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
+        interior = ((1.0 - w)[:, None, :] * (c_ids == lo[:, None, :])
+                    + w[:, None, :] * (c_ids == idx[:, None, :]))
+        left = (c_ids == 0) * jnp.ones_like(new_s)[:, None, :]
+        r = jnp.where((idx == 0)[:, None, :], left, interior)
+        r = jnp.where((new_s > 0.0)[:, None, :], r, 0.0)
+        mats.append(r.astype(dtype))                     # [B, c, i]
+    return mats
+
+
+MAX_EVENTS_PER_LAUNCH = 2  # VMEM headroom: each R costs ns*ns*TILE floats
+
+
+def _chunk_dividend_plan(solver, dividends):
+    """Split the static schedule into launch chunks of
+    <= MAX_EVENTS_PER_LAUNCH events. Returns a list of
+    (plan_tuple, [events...]) where plan covers a contiguous step range."""
+    items = []      # (step, [(amount, pct), ...]) in order
+    for n in range(1, solver.n_steps + 1):
+        ev = dividends.events_for_step(n, solver.delta_t)
+        if ev:
+            items.append((n, ev))
+    chunks = []
+    cur_plan = []
+    cur_events = []
+    seg_start = 1
+    for step_n, ev in items:
+        if len(cur_events) + len(ev) > MAX_EVENTS_PER_LAUNCH and cur_events:
+            cur_plan.append((seg_start, step_n, 0))
+            chunks.append((tuple(cur_plan), cur_events))
+            cur_plan, cur_events = [], []
+            seg_start = step_n
+        cur_plan.append((seg_start, step_n, len(ev)))
+        cur_events.extend(ev)
+        seg_start = step_n
+    cur_plan.append((seg_start, solver.n_steps + 1, 0))
+    chunks.append((tuple(cur_plan), cur_events))
+    return chunks
 
 
 def fused_price_batch(
@@ -505,30 +620,39 @@ def fused_price_batch(
 
     u = fields["u"]
     lam = fields["lam"]
-    n_next = 1
     if dividends is not None and len(dividends) > 0:
-        for n in range(1, solver.n_steps + 1):
-            events = dividends.events_for_step(n, solver.delta_t)
-            if not events:
-                continue
-            if n > n_next:
-                u, lam = run_segment(n_next, n, u, lam)
-            # dividend re-map in XLA, batch-major (gathers along the s axis
-            # with batch-uniform lanes; a lane-major remap scalarizes into
-            # per-lane cross-sublane gathers and is ~30x slower on TPU)
-            u_bf = jnp.moveaxis(u, -1, 1).reshape(n_tiles * TILE, nv, ns)
-            for amount, pct in events:
-                u_bf = jax.vmap(douglas.apply_dividend)(
-                    u_bf, vec_s,
-                    jnp.broadcast_to(jnp.asarray(amount, dtype),
-                                     vec_s.shape[:1]),
-                    jnp.broadcast_to(jnp.asarray(pct, dtype),
-                                     vec_s.shape[:1]))
-            u = jnp.moveaxis(u_bf.reshape(n_tiles, TILE, nv, ns), 1, -1)
-            u, lam = run_segment(n, n + 1, u, lam)
-            n_next = n + 1
-    if n_next <= solver.n_steps:
-        u, lam = run_segment(n_next, solver.n_steps + 1, u, lam)
+        # run the schedule as a few plan-chunk launches; the re-maps happen
+        # IN-KERNEL as dense R-matrix contractions (R = VMEM inputs)
+        n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
+        n1a = jnp.asarray([0], jnp.int32)
+        rfa = jnp.asarray([r_f], dtype)
+        inv = [fields[k] for k in inv_keys]
+        for plan, events in _chunk_dividend_plan(solver, dividends):
+            mats = _build_remap_matrices(vec_s, events, dtype)
+            r_tiles = [jnp.moveaxis(m.reshape(n_tiles, TILE, ns, ns), 1, -1)
+                       for m in mats]
+            chunk_call = _segment_call(
+                spec.m1, spec.m2, solver.theta, solver.delta_t, american,
+                dtype.name, interpret, unroll, plan, len(events))
+            if american:
+                def per_tile(args):
+                    ut, lamt, *rest_args = args
+                    rs = rest_args[:len(r_tiles)]
+                    inv_t = rest_args[len(r_tiles):]
+                    return chunk_call(n0a, n1a, rfa, ut, lamt,
+                                      *inv_t, *rs)
+                outs = lax.map(per_tile, (u, lam, *r_tiles, *inv))
+                u, lam = outs[0], outs[1]
+            else:
+                def per_tile(args):
+                    ut, *rest_args = args
+                    rs = rest_args[:len(r_tiles)]
+                    inv_t = rest_args[len(r_tiles):]
+                    out = chunk_call(n0a, n1a, rfa, ut, *inv_t, *rs)
+                    return out[0]
+                u = lax.map(per_tile, (u, *r_tiles, *inv))
+    else:
+        u, lam = run_segment(1, solver.n_steps + 1, u, lam)
 
     # price extraction: U[idx_v, idx_s] per option
     u_bf = jnp.moveaxis(u, -1, 1).reshape(n_tiles * TILE, nv, ns)
