@@ -359,10 +359,13 @@ def price_batch(
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        return fused_do.fused_price_batch(
-            spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
-            r_d, r_f, american=american, dividends=dividends,
-        )
+        if fused_do.fits_vmem(spec):
+            return fused_do.fused_price_batch(
+                spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
+                r_d, r_f, american=american, dividends=dividends,
+            )
+        # grid too large for the fused kernel's VMEM working set —
+        # fall through to the XLA path
 
     def one(k):
         return price_option(

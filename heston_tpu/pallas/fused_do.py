@@ -54,6 +54,19 @@ from heston_tpu.ops import operators
 
 TILE = 128
 
+# VMEM capacity heuristic for the fused kernel: ~11 full 3-D fields
+# (inputs + scratch + step temporaries) must fit the 16 MiB budget.
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+_FIELDS_RESIDENT = 11
+
+
+def fits_vmem(spec, dtype_bytes: int = 4) -> bool:
+    """Whether the fused kernel's working set fits VMEM for this grid.
+    The production grid (m1=50, m2=25) fits; m1=100, m2=75 does not —
+    price_batch falls back to the XLA path there."""
+    field = (spec.m2 + 1) * (spec.m1 + 8) * TILE * dtype_bytes  # sublane pad
+    return _FIELDS_RESIDENT * field <= _VMEM_BUDGET_BYTES
+
 
 def _shift_s(x, k):
     """result[:, i, :] = x[:, i+k, :], zero outside (sublane axis)."""
