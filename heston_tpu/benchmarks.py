@@ -63,12 +63,16 @@ def run_sweep(
             spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
             p.r_d, p.r_f, american=american, dividends=dividends))
 
+    # arch tag, the analog of the reference's cudaGetDeviceProperties
+    # filename tagging (ref: src/perfomance_test.cpp:507-534)
+    device_kind = jax.devices()[0].device_kind
     rows = []
     for n in instances:
         strikes = jnp.linspace(70.0, 130.0, n, dtype=dtype)
         t = _timed(lambda: pricer(strikes), reps)
         rows.append(dict(m1=spec.m1, m2=spec.m2, n_steps=solver.n_steps,
-                         instances=n, total_runtime_s=t))
+                         instances=n, total_runtime_s=t,
+                         device=device_kind))
     if csv_path:
         hio.export_benchmark(csv_path, rows)
     return rows

@@ -117,6 +117,10 @@ def main(argv=None):
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
     p.add_argument("--csv", default="surface.csv")
+    p.add_argument("--track-lambda", action="store_true",
+                   help="also export the American lambda-multiplier surface "
+                        "(<csv>.lambda.csv), the reference's lambda-tracking "
+                        "plots (ref: src/solver.cpp:688-718)")
 
     args = parser.parse_args(argv)
 
@@ -200,13 +204,30 @@ def main(argv=None):
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)
-        u, grid = douglas.price_surface(
-            spec, solver, args.strike, args.spot, params,
-            american=args.american, dividends=divs)
+        if args.track_lambda:
+            inst = douglas.prepare_instance(
+                spec, solver, args.strike, args.spot, params.kappa,
+                params.eta, params.sigma, params.rho, params.v0,
+                params.r_d, params.r_f)
+            surfaces, lambdas = douglas.solve_with_tracking(
+                inst, solver, params.r_f, american=args.american,
+                dividends=divs)
+            u, grid = surfaces[-1], inst.grid
+            lam_path = hio.export_surface(
+                str(args.csv) + ".lambda.csv", grid,
+                np.asarray(lambdas[-1]),
+                metadata={"strike": args.strike, "field": "lambda"})
+        else:
+            u, grid = douglas.price_surface(
+                spec, solver, args.strike, args.spot, params,
+                american=args.american, dividends=divs)
+            lam_path = None
         path = hio.export_surface(args.csv, grid, np.asarray(u),
                                   metadata={"strike": args.strike,
                                             "american": args.american})
         print(json.dumps({"written": str(path),
+                          "lambda_written": str(lam_path) if lam_path
+                          else None,
                           "shape": list(np.asarray(u).shape)}))
 
     return 0
