@@ -461,36 +461,6 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     return jax.vmap(one)(strikes)
 
 
-def _apply_dividend_lanes(u, vec_s_tl, amount, pct):
-    """Dividend surface re-map on [tiles, nv, ns, T] state (lane layout);
-    same semantics as models.douglas.apply_dividend
-    (ref: src/solver.hpp:382-425)."""
-    ns = vec_s_tl.shape[1]
-    m1 = ns - 1
-    new_s = vec_s_tl * (1.0 - pct) - amount                # [t, ns, T]
-    # first strictly-greater index per (tile, lane)
-    idx = jnp.sum((vec_s_tl[:, :, None, :]
-                   <= new_s[:, None, :, :]), axis=1).astype(jnp.int32)
-    idx = jnp.where(idx > m1, 0, idx)
-    idx_lo = jnp.maximum(idx - 1, 0)
-
-    def gather_s(x, ind):
-        # x: [t, nv, ns, T], ind: [t, ns, T] -> out[t, j, i, l] =
-        # x[t, j, ind[t, i, l], l]
-        return jnp.take_along_axis(
-            x, jnp.broadcast_to(ind[:, None, :, :], x.shape), axis=2)
-
-    s_lo = jnp.take_along_axis(vec_s_tl, idx_lo, axis=1)
-    s_hi = jnp.take_along_axis(vec_s_tl, idx, axis=1)
-    wgt = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
-    u_lo = gather_s(u, idx_lo)
-    u_hi = gather_s(u, idx)
-    interp = (1.0 - wgt[:, None]) * u_lo + wgt[:, None] * u_hi
-    left = u[:, :, 0:1, :] * jnp.ones_like(new_s)[:, None]
-    out = jnp.where((idx == 0)[:, None], left, interp)
-    return jnp.where((new_s > 0.0)[:, None], out, 0.0)
-
-
 def _build_remap_matrices(vec_s, events, dtype):
     """Dense per-option re-map matrices R_e[c, i] with
     U_new[:, i] = sum_c U[:, c] R[c, i] — the linear form of
