@@ -56,12 +56,12 @@ def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, int]:
 
 
 def _local_prices(spec, solver, american, dividends, ks, tv, s0, r_d, r_f):
-    def one(k):
-        return douglas.price_option(
-            spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
-            r_d, r_f, american=american, dividends=dividends,
-        )
-    return jax.vmap(one)(ks)
+    # price_batch dispatches on solver.solver_engine, so a mesh of chips can
+    # each run the fused Pallas kernel on its shard of the book
+    return douglas.price_batch(
+        spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+        r_d, r_f, american=american, dividends=dividends,
+    )
 
 
 def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
