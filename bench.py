@@ -54,26 +54,40 @@ def main():
     # NOTE: keep the jitted callable's HLO stable across bench.py edits
     # (argument-passing form, no baked-in constants) so the compilation
     # cache keeps hitting.
-    if engine == "pallas":
-        from heston_tpu.pallas import fused_do
+    def make_priced(eng):
+        if eng == "pallas":
+            from heston_tpu.pallas import fused_do
 
-        priced = jax.jit(lambda ks: fused_do.fused_price_batch(
-            spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
-        ))
-    else:
-        priced = jax.jit(lambda ks: douglas.price_batch(
+            return jax.jit(lambda ks: fused_do.fused_price_batch(
+                spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f,
+                american=True, dividends=GOLDEN_DIVIDENDS,
+            ))
+        return jax.jit(lambda ks: douglas.price_batch(
             spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma,
             p.rho, p.v0, p.r_d, p.r_f,
             american=True, dividends=GOLDEN_DIVIDENDS,
         ))
 
+    priced = make_priced(engine)
+
     def run():
         return priced(strikes)
 
     # compile + sanity (np.array forces a real device->host fetch; plain
-    # block_until_ready does not synchronize through the axon tunnel)
-    out = np.array(run())
+    # block_until_ready does not synchronize through the axon tunnel).
+    # If the pallas engine fails to compile/run in this environment, fall
+    # back to the XLA path rather than producing no benchmark at all.
+    try:
+        out = np.array(run())
+    except Exception as exc:  # pragma: no cover - environment safety net
+        if engine != "pallas":
+            raise
+        print(f"# pallas engine failed ({type(exc).__name__}); "
+              "falling back to scan", flush=True)
+        engine = "scan-fallback"
+        priced = make_priced("scan")
+        out = np.array(run())
     assert np.all(np.isfinite(out)), "non-finite prices"
 
     # Amortized device throughput: enqueue R batches back-to-back and fetch
