@@ -94,9 +94,12 @@ def main():
     # the last — the per-batch device time, excluding the tunnel's ~35 ms
     # RPC round-trip. This mirrors the reference benchmark's
     # total_runtime / runs CSV methodology (ref: src/perfomance_test.cpp:214).
-    reps = 20
+    # 50 reps per sample: the tunnel's ~35 ms RPC for the final fetch
+    # amortizes to <1 ms; the reference methodology likewise times fenced
+    # device runs without per-run host transfers.
+    reps = 50
     samples = []
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.perf_counter()
         outs = [run() for _ in range(reps)]
         np.array(outs[-1])
