@@ -10,7 +10,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs:
   HESTON_BENCH_DTYPE   float32 (default) | float64
   HESTON_BENCH_BATCH   batch size (default 500)
-  HESTON_BENCH_ENGINE  scan (default) | pcr | pallas
+  HESTON_BENCH_ENGINE  pallas (default) | scan | pcr
 """
 
 import json

@@ -4,7 +4,7 @@ The reference has no checkpointing — its closest analog is the final CSV
 export (SURVEY.md §5). Long multi-chain production calibrations want crash
 recovery, so the LM driver can persist its full state (parameters, damping,
 iteration count, history) after every iteration and resume mid-run.
-Plain JSON + npz; no external services.
+Plain JSON (atomic tmp-file rename); no external services.
 """
 
 from __future__ import annotations

@@ -12,11 +12,14 @@ Golden values and their provenance:
   own float64 outputs at the reference's test configurations; they pin down
   the exact discretization (any change in operator assembly or the DO
   sequencing breaks them at 1e-12).
-* The reference's American-dividend constant 5.285130942409008
-  (ref: src/solver.cpp:1091) is NOT reproducible by the reference's own
-  algorithm: it lies below the European price with identical dividends
-  (6.10), violating no-arbitrage for a call. We instead pin the algorithm's
-  actual output and assert the no-arbitrage ordering.
+* 5.285130942409008 (ref: src/solver.cpp:1091) is likewise a CONVERGED
+  American-dividend price: our solver's output converges to it under
+  refinement (5.4303 @ 50x25x20 -> 5.3149 @ 100x50x80 -> 5.2829 @
+  200x100x320; asserted in test_american_dividend_golden_high_resolution).
+  A round-1 docstring here wrongly claimed this constant violated
+  no-arbitrage; that was based on a miscomputed European+dividend price
+  and is retracted (euro+div at K=100 is ~3.85 < 5.285 — ordering holds).
+  The K=95 scheme pin 8.510573074266677 remains as a regression constant.
 """
 
 import jax
@@ -43,6 +46,7 @@ from oracle_dense import (
 
 GOLDEN_EURO = 8.8943383103218502          # converged (ref: src/solver.cpp:399)
 GOLDEN_DIV = 3.839290124997349            # converged (ref: src/solver.cpp:834)
+GOLDEN_AMER_DIV = 5.285130942409008       # converged (ref: src/solver.cpp:1091)
 SCHEME_EURO_100x75x20 = 8.869179918466847     # our scheme @ ref config
 SCHEME_DIV_50x25x20 = 3.85096222593301        # our scheme @ ref config
 SCHEME_AMER_DIV_50x25x20 = 8.510573074266677  # our scheme @ ref config (K=95)
@@ -136,6 +140,32 @@ def test_dividend_golden_high_resolution(params):
                           a2_variant="upwind")
     got = _price(spec, solver, 100.0, params, dividends=GOLDEN_DIVIDENDS)
     assert abs(got - GOLDEN_DIV) < 5e-4
+
+
+def test_american_dividend_converges_to_golden(params):
+    """Refinement drives the American-dividend price toward the converged
+    reference constant (ref: src/solver.cpp:1091). Mirrors
+    test_european_converges_to_golden."""
+    diffs = []
+    for m1, m2, n in [(50, 25, 20), (100, 50, 80)]:
+        spec = GridSpec(m1=m1, m2=m2)
+        solver = SolverConfig(n_steps=n, theta=0.8, maturity=1.0,
+                              a2_variant="upwind")
+        diffs.append(abs(_price(spec, solver, 100.0, params, american=True,
+                                dividends=GOLDEN_DIVIDENDS)
+                         - GOLDEN_AMER_DIV))
+    assert diffs[1] < diffs[0]
+    assert diffs[1] < 5e-2
+
+
+@pytest.mark.slow
+def test_american_dividend_golden_high_resolution(params):
+    spec = GridSpec(m1=200, m2=100)
+    solver = SolverConfig(n_steps=320, theta=0.8, maturity=1.0,
+                          a2_variant="upwind")
+    got = _price(spec, solver, 100.0, params, american=True,
+                 dividends=GOLDEN_DIVIDENDS)
+    assert abs(got - GOLDEN_AMER_DIV) < 5e-3
 
 
 def test_american_call_without_dividends_equals_european(params):
