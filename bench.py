@@ -106,14 +106,92 @@ def main():
         samples.append((time.perf_counter() - t0) / reps)
     value = float(np.median(samples))
 
+    extras = {}
+    if engine == "pallas" and os.environ.get(
+            "HESTON_BENCH_SELFTEST", "1") != "0":
+        extras.update(_selftest(spec, solver, p, dtype))
+        extras.update(_single_option_golden_grid(p, dtype))
+
     print(json.dumps({
         "metric": f"american_dividend_batch{batch}_m1_50_m2_25_N20_"
                   f"{dtype_name}_{engine}_{dev.platform}",
         "value": value,
         "unit": "s",
         "vs_baseline": BASELINE_SECONDS / value,
+        **extras,
     }))
     return 0
+
+
+def _selftest(spec, solver, p, dtype):
+    """On-chip fused-vs-XLA cross-check for all four solver variants.
+
+    Interpret-mode CPU tests have missed a real-TPU crash mode here once
+    (HBM-DMA variant, round 1) — this runs the actual Mosaic kernel on the
+    actual chip and reports the max RMSE across variants in the bench
+    JSON line."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.models import douglas
+    from heston_tpu.pallas import fused_do
+
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    ks = jnp.linspace(75.0, 125.0, 64, dtype=dtype)
+    rmses = {}
+    for tag, kw in [
+        ("euro", {}),
+        ("amer", dict(american=True)),
+        ("div", dict(dividends=GOLDEN_DIVIDENDS)),
+        ("amer_div", dict(american=True, dividends=GOLDEN_DIVIDENDS)),
+    ]:
+        fused = np.array(jax.jit(lambda k, kw=kw: fused_do.fused_price_batch(
+            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, **kw))(ks))
+        want = np.array(jax.jit(lambda k, kw=kw: douglas.price_batch(
+            spec, xla_solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, **kw))(ks))
+        rmses[tag] = float(np.sqrt(np.mean((fused - want) ** 2)))
+    return {
+        "selftest_rmse": rmses,
+        "selftest_rmse_max": max(rmses.values()),
+    }
+
+
+def _single_option_golden_grid(p, dtype):
+    """Single-option latency at the reference's golden/headline config
+    m1=100, m2=75, N=20 (ref: src/solver.cpp:348; A100: 0.003 s,
+    ref README.md:14) — runs the fused kernel since round 2."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.config import GridSpec, SolverConfig
+    from heston_tpu.models import douglas
+
+    spec = GridSpec(m1=100, m2=75)
+    solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                          a2_variant="central", solver_engine="pallas")
+    ks = jnp.array([100.0], dtype=dtype)
+    fn = jax.jit(lambda k: douglas.price_batch(
+        spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+        p.v0, p.r_d, p.r_f))
+    np.array(fn(ks))  # compile
+    reps = 20
+    t0 = time.perf_counter()
+    outs = [fn(ks) for _ in range(reps)]
+    np.array(outs[-1])
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "single_option_100x75_s": dt,
+        "single_option_vs_a100": 0.003 / dt,
+    }
 
 
 if __name__ == "__main__":

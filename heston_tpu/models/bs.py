@@ -42,17 +42,28 @@ def generate_market_data(s0, t, r_d, strikes: Array, vol=MARKET_VOL) -> Array:
     return call_price(s0, strikes, r_d, vol, t)
 
 
-def generate_market_data_with_dividends(
-    s0, t, r_d, strikes: Array, dates, amounts, percentages, vol=MARKET_VOL
-) -> Array:
-    """Escrowed-dividend-adjusted synthetic chain (ref: src/bs.hpp:78-114):
-    spot reduced by PV of cash dividends and by s0*pct discounted."""
+def escrowed_spot(s0, t, r_d, dates, amounts, percentages):
+    """Escrowed-dividend spot adjustment: s0 minus the PV of cash dividends
+    and of s0*pct proportional dividends paid before maturity
+    (ref: src/bs.hpp:93-104; the reference's dividend calibrations feed
+    exactly this adjusted spot to its implied-vol inversion,
+    ref: src/heston_calibration.cpp:1500-1529)."""
     s_adj = s0
     for date, amt, pct in zip(dates, amounts, percentages):
         if date < t:
             s_adj = s_adj - amt * jnp.exp(-r_d * date)
             s_adj = s_adj - (s0 * pct) * jnp.exp(-r_d * date)
-    return call_price(s_adj, strikes, r_d, vol, t)
+    return s_adj
+
+
+def generate_market_data_with_dividends(
+    s0, t, r_d, strikes: Array, dates, amounts, percentages, vol=MARKET_VOL
+) -> Array:
+    """Escrowed-dividend-adjusted synthetic chain (ref: src/bs.hpp:78-114):
+    spot reduced by PV of cash dividends and by s0*pct discounted."""
+    return call_price(
+        escrowed_spot(s0, t, r_d, dates, amounts, percentages),
+        strikes, r_d, vol, t)
 
 
 def implied_vol(

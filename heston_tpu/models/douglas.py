@@ -360,9 +360,14 @@ def price_batch(
         from heston_tpu.pallas import fused_do
 
         if fused_do.fits_vmem(spec):
+            # on CPU backends the Mosaic kernel only exists in interpret
+            # mode — auto-select it so engine="pallas" configs stay
+            # portable (tests / virtual-mesh runs)
+            interpret = jax.default_backend() == "cpu"
             return fused_do.fused_price_batch(
                 spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                 r_d, r_f, american=american, dividends=dividends,
+                interpret=interpret,
             )
         # grid too large for the fused kernel's VMEM working set —
         # fall through to the XLA path

@@ -10,13 +10,18 @@ latency. The reference achieves the same effect on GPU by running the whole
 time loop inside one thread-team (ref: src/device_solver.hpp:196-266); this
 is the TPU-native equivalent.
 
-Layout: batch in the LANE dimension (tile = 128 options). All fields are
-[m2+1, m1+1, 128] (v, s, options) so that
-  * the pentadiagonal sweep along v indexes the outermost dim,
-  * the tridiagonal sweep along s runs as a fori_loop with dynamic
-    sublane indexing (unroll=True switches to fully static unrolled
-    sweeps — identical runtime on v5e but ~7x slower to compile),
-  * every arithmetic op vectorizes across the option lanes.
+Layout: batch in the LANE dimension (tile = 128 options), s on the OUTER
+axis, v on the sublane axis: all big fields are [m1+1, m2+1, 128]
+(s, v, options). Why s-major: the tridiagonal sweep along s is the
+longest sequential recurrence (m1+1 iterations, twice per step), and
+slicing the outer axis yields dense [m2+1, 128] vector blocks — slicing
+a SUBLANE axis instead (round-1 layout) wastes 7/8 of every vector
+register on a 1-sublane strip and made the sweeps ~4x slower. The
+pentadiagonal sweep along v gets the same outer-axis treatment by
+staging its rhs through a small [m2+1, m1+1, 128] transpose scratch
+(2 in-kernel transposes per step, far cheaper than sublane-strip
+sweeps). unroll=True switches the sweeps to fully static unrolled form
+(identical runtime on v5e but ~7x slower to compile).
 
 VMEM economy (the v5e budget is 16 MiB):
   * only U / lambda / payoff and the three A1 bands are full 3-D fields;
@@ -27,12 +32,16 @@ VMEM economy (the v5e budget is 16 MiB):
     2-D fields + static position masks (they are rank-1 in structure:
     b1 = scalar x quirky-position mask, b2 = one v-row;
     ref: src/BoundaryConditions.hpp:70-80),
-  * tiles run sequentially via lax.map (no double-buffered pipeline).
-
-The discrete-dividend surface re-maps (data-dependent gathers) happen
-OUTSIDE the kernel between time-loop segments — the schedule is static, so
-a solve is a handful of kernel launches with XLA glue, mirroring
-models/douglas.run_time_loop.
+  * dividend re-maps run IN-KERNEL: each event's linear re-map matrix has
+    <= 2 nonzeros per output column (linear interpolation,
+    ref: src/solver.hpp:382-425), so it is carried as four [ns, TILE]
+    fields (two source indices + two weights) and the matrix row for
+    source column c is reconstructed on the fly during the contraction —
+    ~50x less VMEM than the dense [ns, ns, TILE] form,
+  * batch tiles are iterated by the PALLAS GRID (single kernel launch for
+    the whole batch, Mosaic pipelining the per-tile HBM loads) rather
+    than an outer lax.map of per-tile launches — per-launch overhead was
+    the dominant cost of the multi-launch form.
 """
 
 from __future__ import annotations
@@ -49,43 +58,74 @@ from jax.experimental.pallas import tpu as pltpu
 from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
 from heston_tpu.models import douglas
 from heston_tpu.ops import banded
+from heston_tpu.ops import coeff
 from heston_tpu.ops import grid as gridmod
 from heston_tpu.ops import operators
 
 TILE = 128
 
-# VMEM capacity heuristic for the fused kernel: ~11 full 3-D fields
-# (inputs + scratch + step temporaries) must fit the 16 MiB budget.
-_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
-_FIELDS_RESIDENT = 11
+# VMEM capacity model for the fused kernel: ~14 full 3-D fields (5 state/
+# band inputs + 2 outputs + 3 scratch + Mosaic step temporaries) must fit
+# the chip's VMEM. The 16 MiB figure of round 1 was only the compiler's
+# default scoped-vmem cap — the kernel now raises it via CompilerParams
+# (vmem_limit_bytes below) and the reference's golden grid m1=100, m2=75
+# (~54 MiB working set) compiles and runs on v5e at 2.6 ms/option.
+# 64 MiB is the measured-safe budget; truly oversized grids (e.g. the
+# m1=300 convergence studies) still fall back to the XLA path.
+_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+_FIELDS_RESIDENT = 14
+
+
+def _field_bytes(spec, tile: int, dtype_bytes: int) -> int:
+    # s-major [ns, nv, tile]: nv pads to a sublane multiple of 8
+    nv_pad = -8 * (-(spec.m2 + 1) // 8)
+    return (spec.m1 + 1) * nv_pad * tile * dtype_bytes
 
 
 def fits_vmem(spec, dtype_bytes: int = 4) -> bool:
-    """Whether the fused kernel's working set fits VMEM for this grid.
-    The production grid (m1=50, m2=25) fits; m1=100, m2=75 does not —
-    price_batch falls back to the XLA path there."""
-    field = (spec.m2 + 1) * (spec.m1 + 8) * TILE * dtype_bytes  # sublane pad
+    """Whether the fused kernel's working set fits VMEM for this grid at
+    the minimum tile width. Both reference grids (m1=50, m2=25 production
+    and m1=100, m2=75 golden) fit; price_batch falls back to the XLA path
+    beyond."""
+    field = _field_bytes(spec, 128, dtype_bytes)
     return _FIELDS_RESIDENT * field <= _VMEM_BUDGET_BYTES
 
 
+def pick_tile(spec, batch: int, dtype_bytes: int = 4) -> int:
+    """Widest lane-tile whose working set still fits VMEM.
+
+    The sequential sweep loops cost ~O(10^2) cycles of loop/addressing
+    overhead per iteration regardless of vector width, so the fewer
+    kernel-tiles the batch needs, the better: a 512-lane tile runs the
+    same iteration count as a 128-lane one but serves 4x the options
+    (measured: 500-option batch 3.7 ms at tile=128 -> ~1.6 ms at 512)."""
+    b_pad = max(128, -128 * (-batch // 128))
+    for tile in (1024, 512, 256, 128):
+        if tile <= b_pad and (_FIELDS_RESIDENT * _field_bytes(
+                spec, tile, dtype_bytes) <= _VMEM_BUDGET_BYTES):
+            return tile
+    return 128
+
+
 def _shift_s(x, k):
-    """result[:, i, :] = x[:, i+k, :], zero outside (sublane axis)."""
-    n = x.shape[1]
-    if k > 0:
-        pad = jnp.zeros_like(x[:, :k, :])
-        return jnp.concatenate([x[:, k:, :], pad], axis=1)
-    pad = jnp.zeros_like(x[:, :(-k), :])
-    return jnp.concatenate([pad, x[:, :n + k, :]], axis=1)
-
-
-def _shift_v(x, k):
-    """result[j] = x[j+k], zero outside (outermost axis)."""
+    """result[i] = x[i+k], zero outside (s = outermost axis)."""
     n = x.shape[0]
     if k > 0:
         pad = jnp.zeros_like(x[:k])
         return jnp.concatenate([x[k:], pad], axis=0)
     pad = jnp.zeros_like(x[:(-k)])
     return jnp.concatenate([pad, x[:n + k]], axis=0)
+
+
+def _shift_v(x, k):
+    """result[:, j, :] = x[:, j+k, :], zero outside (v = sublane axis)."""
+    n = x.shape[1]
+    if k > 0:
+        pad = jnp.zeros_like(x[:, :k, :])
+        return jnp.concatenate([x[:, k:, :], pad], axis=1)
+    pad = jnp.zeros_like(x[:, :(-k), :])
+    return jnp.concatenate([pad, x[:, :n + k, :]], axis=1)
 
 
 def _b1_colrows(m1: int, m2: int):
@@ -109,11 +149,14 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  n_events: int = 0):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
-    segments with dividend re-maps between them; each re-map is a dense
-    R-matrix contraction over the s axis (the re-map is linear with <= 2
-    nonzeros per output column, ref: src/solver.hpp:382-425). The R
-    matrices arrive as ordinary VMEM inputs, statically indexed — an
-    HBM+DMA variant crashes this TPU runtime (see memory notes)."""
+    segments with dividend re-maps between them. Each re-map is linear
+    with <= 2 nonzeros per output column (linear interpolation on the
+    s-grid, ref: src/solver.hpp:382-425), so it arrives as four compact
+    [ns, TILE] VMEM fields per event — source indices i0/i1 and weights
+    w0/w1 — and the dense matrix row for source column c is reconstructed
+    on the fly inside the contraction loop. (An HBM+DMA staged variant
+    crashes this TPU runtime — see memory notes; plain VMEM inputs are
+    the reliable path.)"""
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
@@ -123,55 +166,70 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         (n0_ref, n1_ref, rf_ref,
          u_ref, *rest) = refs
         if american:
-            (lam_ref, iml_ref, imd_ref, imu_ref,
-             sfac_ref, vfac_ref,
+            (lam_ref,
+             a1pl_ref, a1ql_ref, a1pd_ref, a1qd_ref, a1pu_ref, a1qu_ref,
+             vfl_ref, sfac_ref, vfac_ref,
              bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
              pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
              b1v_ref, b2r_ref, vecs_ref, kk_ref,
              *tail) = rest
-            r_refs = tail[:n_events]
-            if div_plan is not None:
-                (uo_ref, lamo_ref,
-                 w_ref, itmp_ref, d_ref, ustg_ref) = tail[n_events:]
-            else:
-                (uo_ref, lamo_ref, w_ref, itmp_ref, d_ref) = tail
+            r_refs = tail[:4 * n_events]
+            (uo_ref, lamo_ref,
+             w_ref, itmp_ref, d_ref, e_ref) = tail[4 * n_events:]
         else:
-            (iml_ref, imd_ref, imu_ref,
-             sfac_ref, vfac_ref,
+            (a1pl_ref, a1ql_ref, a1pd_ref, a1qd_ref, a1pu_ref, a1qu_ref,
+             vfl_ref, sfac_ref, vfac_ref,
              bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
              al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
              pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
              b1v_ref, b2r_ref, vecs_ref, kk_ref,
              *tail) = rest
-            r_refs = tail[:n_events]
-            if div_plan is not None:
-                (uo_ref,
-                 w_ref, itmp_ref, d_ref, ustg_ref) = tail[n_events:]
-            else:
-                (uo_ref, w_ref, itmp_ref, d_ref) = tail
+            r_refs = tail[:4 * n_events]
+            (uo_ref, w_ref, itmp_ref, d_ref, e_ref) = tail[4 * n_events:]
 
         rf = rf_ref[0]
         n0 = n0_ref[0]
         n1 = n1_ref[0]
 
-        iml = iml_ref[:]
-        imd = imd_ref[:]
-        imu = imu_ref[:]
+        # The implicit A1 bands are RANK-2 in (s, v):
+        #   band[i, j] = v_j * P[i] + Q[i]
+        # (exact: A1 = 0.5 s^2 v delta + (r_d - r_f) s beta - r_d/2, the
+        # only v dependence is the linear diffusion coefficient;
+        # ref: src/hes_mat_fac.cpp:61-91). Bands are therefore carried as
+        # six [ns, T] fields + the raw v-grid [nv, T] and rows/full fields
+        # are reconstructed on the fly — 3 full 3-D VMEM inputs saved, and
+        # the AD/tangent kernel gets 2-D band tangents for free.
+        vfull = vfl_ref[:]                                  # [nv, T]
 
-        # Thomas factorization of the A1 implicit system, once per launch
-        # (fori_loop with dynamic sublane indexing keeps compile small)
-        t0 = imd[:, 0, :]
-        itmp_ref[:, 0, :] = 1.0 / t0
-        w_ref[:, 0, :] = jnp.zeros_like(t0)
+        def a1row(p_ref, q_ref, i):
+            """Implicit-band row i as a dense [nv, T] block."""
+            return vfull * p_ref[i][None, :] + q_ref[i][None, :]
 
-        def fac_body(i, temp_prev):
-            wi = iml_ref[:, i, :] / temp_prev
-            temp = imd_ref[:, i, :] - wi * imu_ref[:, i - 1, :]
-            w_ref[:, i, :] = wi
-            itmp_ref[:, i, :] = 1.0 / temp
-            return temp
-        lax.fori_loop(1, ns, fac_body, t0)
+        def a1full(p_ref, q_ref):
+            """Whole implicit band as [ns, nv, T]."""
+            return (vfull[None, :, :] * p_ref[:][:, None, :]
+                    + q_ref[:][:, None, :])
+
+        # Thomas factorization of the A1 implicit system. s is the OUTER
+        # axis, so each sweep iteration touches a dense [nv, TILE] block.
+        # Runs once per tile — and again after dividend re-maps, which
+        # borrow w_ref as their accumulator.
+        def factorize():
+            t0 = a1row(a1pd_ref, a1qd_ref, 0)
+            itmp_ref[0] = 1.0 / t0
+            w_ref[0] = jnp.zeros_like(t0)
+
+            def fac_body(i, temp_prev):
+                wi = a1row(a1pl_ref, a1ql_ref, i) / temp_prev
+                temp = (a1row(a1pd_ref, a1qd_ref, i)
+                        - wi * a1row(a1pu_ref, a1qu_ref, i - 1))
+                w_ref[i] = wi
+                itmp_ref[i] = 1.0 / temp
+                return temp
+            lax.fori_loop(1, ns, fac_body, t0)
+
+        factorize()
 
         # loop-invariant 2-D fields
         sfac = sfac_ref[:]              # [ns, T] rho*sigma*s (interior mask)
@@ -182,24 +240,27 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         db, u1b, u2b = ad_ref[:], au1_ref[:], au2_ref[:]
         b1v = b1v_ref[0]                # [T] boundary scalar per option
         b2r = b2r_ref[:]                # [ns, T] bottom-row boundary values
-        # static position masks, built from iota (no captured constants)
+        # static position masks over (s, v), built from iota (no captured
+        # constants). b1 lives at v-major flat indices m1*(j+1) — here that
+        # is mask[s=col, v=row].
         dtype = b2r.dtype
-        row_ids = lax.broadcasted_iota(jnp.int32, (nv, ns), 0)
-        col_ids = lax.broadcasted_iota(jnp.int32, (nv, ns), 1)
-        b1_mask = jnp.zeros((nv, ns), dtype)
+        s_ids = lax.broadcasted_iota(jnp.int32, (ns, nv), 0)
+        v_ids = lax.broadcasted_iota(jnp.int32, (ns, nv), 1)
+        b1_mask = jnp.zeros((ns, nv), dtype)
         for col, rows in b1_rows.items():
             for r in rows:
                 b1_mask = b1_mask + (
-                    (row_ids == r) & (col_ids == col)).astype(dtype)
-        bottom2d = ((row_ids == nv - 1) & (col_ids >= 1)).astype(dtype)
-        smax_mask = (col_ids != ns - 1).astype(dtype)   # [nv, ns]
+                    (s_ids == col) & (v_ids == r)).astype(dtype)
+        bottom2d = ((v_ids == nv - 1) & (s_ids >= 1)).astype(dtype)
+        smax_mask = (s_ids != ns - 1).astype(dtype)   # [ns, nv]
         if american:
             # payoff is v-independent: reconstruct from the s-grid
             u0row = jnp.maximum(vecs_ref[:] - kk_ref[0][None, :], 0.0)
-            u0 = u0row[None, :, :]
+            u0 = u0row[:, None, :]
 
         def bandv(band):
-            return band[:, None, :]
+            # a 1-D v band [nv, T] broadcast over the outer s axis
+            return band[None, :, :]
 
         def step(n, carry):
             if american:
@@ -218,13 +279,16 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # with a1r = (u - M u)/td  =>  (dt-td)*a1r = c1*(u - M u)
             c1 = (dt - td) / td
             # accumulate rhs1 in the solve workspace ref to cap live temps
-            dsu = bsm * _shift_s(u, -1) + bs0 * u + bsp * _shift_s(u, 1)
-            d_ref[:] = dt * (vfac[:, None, :] * sfac[None, :, :]) * (
-                bvm[:, None, :] * _shift_v(dsu, -1)
-                + bv0[:, None, :] * dsu
-                + bvp[:, None, :] * _shift_v(dsu, 1))
+            dsu = (bsm[:, None, :] * _shift_s(u, -1) + bs0[:, None, :] * u
+                   + bsp[:, None, :] * _shift_s(u, 1))
+            d_ref[:] = dt * (sfac[:, None, :] * vfac[None, :, :]) * (
+                bvm[None, :, :] * _shift_v(dsu, -1)
+                + bv0[None, :, :] * dsu
+                + bvp[None, :, :] * _shift_v(dsu, 1))
             d_ref[:] = d_ref[:] + ((1.0 + c1) * u - c1 * (
-                iml * _shift_s(u, -1) + imd * u + imu * _shift_s(u, 1)))
+                a1full(a1pl_ref, a1ql_ref) * _shift_s(u, -1)
+                + a1full(a1pd_ref, a1qd_ref) * u
+                + a1full(a1pu_ref, a1qu_ref) * _shift_s(u, 1)))
             # A2 applied explicitly (a2r stays live for rhs2)
             a2r = (bandv(l2b) * _shift_v(u, -2) + bandv(l1b) * _shift_v(u, -1)
                    + bandv(db) * u + bandv(u1b) * _shift_v(u, 1)
@@ -232,85 +296,89 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # boundary injections as rank-1 full-array adds
             # (b1 = scalar x static mask; b2 = one v-row)
             bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
-                    + kb2a * bottom2d[:, :, None] * b2r[None, :, :])
+                    + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
             if american:
                 d_ref[:] = d_ref[:] + (dt * a2r + dt * lam_c + bnd1)
             else:
                 d_ref[:] = d_ref[:] + (dt * a2r + bnd1)
 
-            # tridiagonal solve along s; the backward substitution writes
+            # tridiagonal solve along s (outer axis — every iteration is a
+            # dense [nv, TILE] block op); the backward substitution writes
             # in-place over the forward sweep (each row is read exactly
             # once, at its own step); rhs1 is already staged in d_ref
             if unroll:
-                dprev = d_ref[:, 0, :]
+                dprev = d_ref[0]
                 for i in range(1, ns):
-                    dprev = d_ref[:, i, :] - w_ref[:, i, :] * dprev
-                    d_ref[:, i, :] = dprev
-                xnext = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
-                d_ref[:, ns - 1, :] = xnext
+                    dprev = d_ref[i] - w_ref[i] * dprev
+                    d_ref[i] = dprev
+                xnext = d_ref[ns - 1] * itmp_ref[ns - 1]
+                d_ref[ns - 1] = xnext
                 for i in range(ns - 2, -1, -1):
-                    xnext = (d_ref[:, i, :]
-                             - imu[:, i, :] * xnext) * itmp_ref[:, i, :]
-                    d_ref[:, i, :] = xnext
+                    xnext = (d_ref[i]
+                             - a1row(a1pu_ref, a1qu_ref, i) * xnext
+                             ) * itmp_ref[i]
+                    d_ref[i] = xnext
             else:
                 def tri_fwd(i, dprev):
-                    dnew = d_ref[:, i, :] - w_ref[:, i, :] * dprev
-                    d_ref[:, i, :] = dnew
+                    dnew = d_ref[i] - w_ref[i] * dprev
+                    d_ref[i] = dnew
                     return dnew
-                lax.fori_loop(1, ns, tri_fwd, d_ref[:, 0, :])
-                xlast = d_ref[:, ns - 1, :] * itmp_ref[:, ns - 1, :]
-                d_ref[:, ns - 1, :] = xlast
+                lax.fori_loop(1, ns, tri_fwd, d_ref[0])
+                xlast = d_ref[ns - 1] * itmp_ref[ns - 1]
+                d_ref[ns - 1] = xlast
 
                 def tri_bwd(k, xnext):
                     i = ns - 2 - k
-                    xnew = (d_ref[:, i, :]
-                            - imu_ref[:, i, :] * xnext
-                            ) * itmp_ref[:, i, :]
-                    d_ref[:, i, :] = xnew
+                    xnew = (d_ref[i]
+                            - a1row(a1pu_ref, a1qu_ref, i) * xnext
+                            ) * itmp_ref[i]
+                    d_ref[i] = xnew
                     return xnew
                 lax.fori_loop(0, ns - 1, tri_bwd, xlast)
             y1 = d_ref[:]
 
-            # pentadiagonal solve along v (same in-place scheme)
-            rhs2 = (y1 - td * a2r
-                    + kb2b * bottom2d[:, :, None] * b2r[None, :, :])
-            d_ref[:] = rhs2
+            # pentadiagonal solve along v: stage the rhs through the
+            # v-major scratch so the sweep also iterates the OUTER axis
+            # (a sublane-axis sweep would run on 1-sublane strips)
+            e_ref[:] = jnp.swapaxes(
+                y1 - td * a2r
+                + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
             if unroll:
-                dp1 = pm_ref[0] * d_ref[0]
-                d_ref[0] = dp1
+                dp1 = pm_ref[0] * e_ref[0]
+                e_ref[0] = dp1
                 dp2 = jnp.zeros_like(dp1)
                 for j in range(1, nv):
-                    dpj = (pm_ref[j] * d_ref[j] - pgm_ref[j] * dp1
+                    dpj = (pm_ref[j] * e_ref[j] - pgm_ref[j] * dp1
                            - phm_ref[j] * dp2)
-                    d_ref[j] = dpj
+                    e_ref[j] = dpj
                     dp2, dp1 = dp1, dpj
-                x1 = d_ref[nv - 1]
+                x1 = e_ref[nv - 1]
                 x2 = jnp.zeros_like(x1)
                 for j in range(nv - 2, -1, -1):
-                    xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
-                    d_ref[j] = xj
+                    xj = e_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
+                    e_ref[j] = xj
                     x2, x1 = x1, xj
             else:
-                dp0 = pm_ref[0] * d_ref[0]
-                d_ref[0] = dp0
+                dp0 = pm_ref[0] * e_ref[0]
+                e_ref[0] = dp0
 
                 def pen_fwd(j, carry):
                     dp1, dp2 = carry
-                    dpj = (pm_ref[j] * d_ref[j] - pgm_ref[j] * dp1
+                    dpj = (pm_ref[j] * e_ref[j] - pgm_ref[j] * dp1
                            - phm_ref[j] * dp2)
-                    d_ref[j] = dpj
+                    e_ref[j] = dpj
                     return (dpj, dp1)
                 lax.fori_loop(1, nv, pen_fwd, (dp0, jnp.zeros_like(dp0)))
 
                 def pen_bwd(k, carry):
                     x1, x2 = carry
                     j = nv - 2 - k
-                    xj = d_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
-                    d_ref[j] = xj
+                    xj = e_ref[j] - pc_ref[j] * x1 - pc2_ref[j] * x2
+                    e_ref[j] = xj
                     return (xj, x1)
                 lax.fori_loop(0, nv - 1, pen_bwd,
-                              (d_ref[nv - 1], jnp.zeros_like(dp0)))
-            u_bar = d_ref[:]
+                              (e_ref[nv - 1], jnp.zeros_like(dp0)))
+            u_bar = jnp.swapaxes(e_ref[:], 0, 1)
 
             if american:
                 u_new = jnp.maximum(u_bar - dt * lam_c, u0)
@@ -321,19 +389,30 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             return u_bar
 
         def remap(u, e_idx):
-            """u <- contract(u, R_e) over the s axis (dense linear re-map;
-            staged through scratch so the contraction reads refs, which
-            support dynamic sublane indexing)."""
-            r_ref = r_refs[e_idx]
-            ustg_ref[:] = u
-            d_ref[:] = jnp.zeros_like(u)
+            """u <- contract(u, R_e) over the s axis. R_e is rank-
+            structured: R_e[c, i] = w0[i]*(i0[i]==c) + w1[i]*(i1[i]==c)
+            (2-point interpolation), so its row for source column c is
+            rebuilt on the fly from the four compact [ns, TILE] fields.
+            s is the outer axis, so both the staged read (d_ref[c]) and
+            the accumulation are dense [nv, TILE] block ops. w_ref is
+            borrowed as the accumulator; the caller re-runs factorize()
+            before the next time-loop segment."""
+            i0 = r_refs[4 * e_idx][:]
+            w0 = r_refs[4 * e_idx + 1][:]
+            i1 = r_refs[4 * e_idx + 2][:]
+            w1 = r_refs[4 * e_idx + 3][:]
+            d_ref[:] = u
+            w_ref[:] = jnp.zeros_like(u)
 
             def contract(c, _):
-                d_ref[:] = d_ref[:] + (ustg_ref[:, c, :][:, None, :]
-                                       * r_ref[c, :, :][None, :, :])
+                cf = c.astype(i0.dtype)
+                rc = (w0 * (i0 == cf).astype(w0.dtype)
+                      + w1 * (i1 == cf).astype(w0.dtype))    # [ns, T]
+                w_ref[:] = w_ref[:] + (rc[:, None, :]
+                                       * d_ref[c][None, :, :])
                 return 0
             lax.fori_loop(0, ns, contract, 0)
-            return d_ref[:]
+            return w_ref[:]
 
         if div_plan is None:
             if american:
@@ -346,8 +425,12 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         else:
             carry = (u_ref[:], lam_ref[:]) if american else u_ref[:]
             e_idx = 0
+            w_dirty = False   # w_ref clobbered by a remap staging?
             for (seg_a, seg_b, k_events) in div_plan:
                 if seg_b > seg_a:
+                    if w_dirty:
+                        factorize()
+                        w_dirty = False
                     carry = lax.fori_loop(seg_a, seg_b, step, carry)
                 for _ in range(k_events):
                     if american:
@@ -356,6 +439,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     else:
                         carry = remap(carry, e_idx)
                     e_idx += 1
+                    w_dirty = True
             if american:
                 uo_ref[:] = carry[0]
                 lamo_ref[:] = carry[1]
@@ -368,51 +452,55 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 @functools.lru_cache(maxsize=None)
 def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   american: bool, dtype_name: str, interpret: bool,
-                  unroll: bool = False, div_plan=None, n_events: int = 0):
-    """pallas_call for ONE batch tile; tiles are mapped sequentially
-    outside (lax.map). A grid-over-tiles variant was tried and exceeds
-    the 16 MiB VMEM budget once Mosaic adds pipeline buffers + step
-    temporaries (18-21 MiB); per-tile launches fit comfortably."""
+                  unroll: bool = False, div_plan=None, n_events: int = 0,
+                  n_tiles: int = 1, tile: int = TILE):
+    """pallas_call for the WHOLE batch: tiles are iterated by the pallas
+    grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
+    traffic; scratch is re-initialized per tile by the kernel). The
+    round-1 multi-launch form (outer lax.map of per-tile calls) spent
+    ~0.25 ms of launch overhead per tile; the grid form fits VMEM now
+    that the dividend re-maps use compact rank-structured fields instead
+    of dense [ns, ns, TILE] matrices."""
     nv, ns = m2 + 1, m1 + 1
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
                           div_plan, n_events)
 
-    big_spec = lambda: pl.BlockSpec((nv, ns, TILE), lambda t: (0, 0, t),
+    big_spec = lambda: pl.BlockSpec((ns, nv, tile), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
                                     pipeline_mode=pl.Buffered(1))
-    sb_spec = lambda: pl.BlockSpec((ns, TILE), lambda t: (0, t),
+    sb_spec = lambda: pl.BlockSpec((ns, tile), lambda t: (0, t),
                                    memory_space=pltpu.VMEM)
-    vb_spec = lambda: pl.BlockSpec((nv, TILE), lambda t: (0, t),
+    vb_spec = lambda: pl.BlockSpec((nv, tile), lambda t: (0, t),
                                    memory_space=pltpu.VMEM)
-    one_spec = lambda: pl.BlockSpec((1, TILE), lambda t: (0, t),
+    one_spec = lambda: pl.BlockSpec((1, tile), lambda t: (0, t),
                                     memory_space=pltpu.VMEM)
     smem1 = lambda: pl.BlockSpec((1,), lambda t: (0,),
                                  memory_space=pltpu.SMEM)
 
-    n_big = 5 if american else 4
+    n_big = 2 if american else 1
     in_specs = (
         [smem1(), smem1(), smem1()]          # n0, n1, rf
-        + [big_spec()] * n_big               # u [, lam], iml, imd, imu
+        + [big_spec()] * n_big               # u [, lam]
+        + [sb_spec()] * 6 + [vb_spec()]      # A1 P/Q bands, vfull
         + [sb_spec(), vb_spec()]             # sfac, vfac
         + [sb_spec()] * 3 + [vb_spec()] * 3  # bs, bv weights
         + [vb_spec()] * 10                   # a2 bands + penta factors
         + [one_spec(), sb_spec()]            # b1v, b2r
         + [sb_spec(), one_spec()]            # vec_s, strike
-        + [pl.BlockSpec((ns, ns, TILE), lambda t: (0, 0, t),
-                        memory_space=pltpu.VMEM)] * n_events   # R matrices
+        + [sb_spec()] * (4 * n_events)       # remap i0/w0/i1/w1 per event
     )
-    big = jax.ShapeDtypeStruct((nv, ns, TILE), dtype)
+    big = jax.ShapeDtypeStruct((ns, nv, n_tiles * tile), dtype)
     out_shape = [big, big] if american else [big]
     out_specs = [big_spec()] * len(out_shape)
 
     scratch = [
-        pltpu.VMEM((nv, ns, TILE), dtype),   # w  (Thomas multipliers)
-        pltpu.VMEM((nv, ns, TILE), dtype),   # 1/temp
-        pltpu.VMEM((nv, ns, TILE), dtype),   # d (solve workspace)
+        pltpu.VMEM((ns, nv, tile), dtype),   # w  (Thomas multipliers;
+                                             # doubles as remap accum)
+        pltpu.VMEM((ns, nv, tile), dtype),   # 1/temp
+        pltpu.VMEM((ns, nv, tile), dtype),   # d (solve workspace)
+        pltpu.VMEM((nv, ns, tile), dtype),   # e (v-major penta staging)
     ]
-    if div_plan is not None:
-        scratch.append(pltpu.VMEM((nv, ns, TILE), dtype))  # staged U
 
     # alias the state through the call: u -> out0 (, lam -> out1)
     aliases = {3: 0}
@@ -421,13 +509,19 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
 
     return pl.pallas_call(
         kernel,
-        grid=(1,),
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         interpret=interpret,
+        # the default scoped-vmem cap (16 MiB) is below the chip's real
+        # VMEM; the single-launch working set (state + scratch + Mosaic
+        # step temporaries) measures ~18 MiB at the production grid and
+        # ~54 MiB at the golden grid (both verified running on v5e)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
     )
 
 
@@ -441,34 +535,64 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         ops = operators.build_operators(
             g, kappa, eta, sigma, rho, r_d, r_f, solver.theta,
             solver.delta_t, solver.n_steps, solver.a2_variant)
+        dtype = g.vec_s.dtype
         u0 = jnp.maximum(g.vec_s[None, :] - k, 0.0) * jnp.ones(
-            (spec.m2 + 1, 1), g.vec_s.dtype)
+            (spec.m2 + 1, 1), dtype)
         # separable A0 coefficient: rho*sigma*s (cols 1..m1-1) x v (rows
         # 1..m2-1); product equals ops.a0_c
         scol = rho * sigma * g.vec_s
         scol = scol.at[0].set(0.0).at[-1].set(0.0)
         vrow = g.vec_v
         vrow = vrow.at[0].set(0.0).at[-1].set(0.0)
+        # rank-2 form of the implicit A1 bands (I - td*A1)[i, j] =
+        # vec_v[j] * P[i] + Q[i]; see the kernel's a1row/a1full. Boundary
+        # rows: row 0 is identity, row m1 keeps only the -r_d/2 reaction
+        # (ref: src/hes_mat_fac.cpp:61-91).
+        m1 = spec.m1
+        td = solver.theta * solver.delta_t
+        h0 = g.dels[: m1 - 1]
+        h1 = g.dels[1:m1]
+        dm, d0, dp = coeff.w_delta(h0, h1)
+        bm, b0, bp = coeff.w_beta(h0, h1)
+        s_int = g.vec_s[1:m1]
+        a = 0.5 * s_int * s_int
+        bb = (r_d - r_f) * s_int
+
+        def cat(left, mid, right):
+            return jnp.concatenate(
+                [jnp.full((1,), left, dtype), mid,
+                 jnp.full((1,), right, dtype)])
+
+        a1pl = cat(0.0, -td * a * dm, 0.0)
+        a1ql = cat(0.0, -td * bb * bm, 0.0)
+        a1pd = cat(0.0, -td * a * d0, 0.0)
+        a1qd = cat(1.0, 1.0 - td * (bb * b0 - 0.5 * r_d),
+                   1.0 + td * 0.5 * r_d)
+        a1pu = cat(0.0, -td * a * dp, 0.0)
+        a1qu = cat(0.0, -td * bb * bp, 0.0)
         # boundary data: b1 scalar + bottom-row values
         efac = jnp.exp(jnp.asarray(
-            -r_f * solver.delta_t * (solver.n_steps - 1), g.vec_s.dtype))
+            -r_f * solver.delta_t * (solver.n_steps - 1), dtype))
         b1val = (r_d - r_f) * g.vec_s[-1] * efac
         b2row = (-0.5 * r_d * g.vec_s * efac).at[0].set(0.0)
         idx_s = gridmod.find_node(g.vec_s, s0)
         idx_v = gridmod.find_node(g.vec_v, v0)
-        return ops, u0, scol, vrow, b1val, b2row, g.vec_s, idx_s, idx_v
+        return (ops, u0, (a1pl, a1ql, a1pd, a1qd, a1pu, a1qu), g.vec_v,
+                scol, vrow, b1val, b2row, g.vec_s, idx_s, idx_v)
 
     return jax.vmap(one)(strikes)
 
 
-def _build_remap_matrices(vec_s, events, dtype):
-    """Dense per-option re-map matrices R_e[c, i] with
-    U_new[:, i] = sum_c U[:, c] R[c, i] — the linear form of
-    models.douglas.apply_dividend (<= 2 nonzeros per column)."""
+def _build_remap_fields(vec_s, events, dtype):
+    """Compact per-option re-map fields: the dense matrix
+    R_e[c, i] (U_new[:, i] = sum_c U[:, c] R[c, i]) of
+    models.douglas.apply_dividend has <= 2 nonzeros per output column i,
+    so per event only (i0, w0, i1, w1), each [B, ns], is stored:
+    R_e[c, i] = w0[i]*(i0[i]==c) + w1[i]*(i1[i]==c). Indices are carried
+    in the kernel dtype (exact for node counts << 2^24)."""
     b, ns = vec_s.shape
     m1 = ns - 1
-    c_ids = jnp.arange(ns)[None, :, None]               # [1, c, 1]
-    mats = []
+    fields = []
     for amount, pct in events:
         new_s = vec_s * (1.0 - pct) - amount            # [B, i]
         # first strictly-greater index as a comparison count (vectorized;
@@ -480,16 +604,17 @@ def _build_remap_matrices(vec_s, events, dtype):
         s_lo = jnp.take_along_axis(vec_s, lo, 1)
         s_hi = jnp.take_along_axis(vec_s, idx, 1)
         w = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
-        interior = ((1.0 - w)[:, None, :] * (c_ids == lo[:, None, :])
-                    + w[:, None, :] * (c_ids == idx[:, None, :]))
-        left = (c_ids == 0) * jnp.ones_like(new_s)[:, None, :]
-        r = jnp.where((idx == 0)[:, None, :], left, interior)
-        r = jnp.where((new_s > 0.0)[:, None, :], r, 0.0)
-        mats.append(r.astype(dtype))                     # [B, c, i]
-    return mats
+        valid = (new_s > 0.0).astype(dtype)
+        is_left = idx == 0        # left extrapolation: copy column 0
+        i0 = jnp.where(is_left, 0, lo).astype(dtype)
+        w0 = valid * jnp.where(is_left, 1.0, 1.0 - w).astype(dtype)
+        i1 = jnp.where(is_left, 0, idx).astype(dtype)
+        w1 = valid * jnp.where(is_left, 0.0, w).astype(dtype)
+        fields.append((i0, w0, i1, w1))                  # each [B, ns]
+    return fields
 
 
-MAX_EVENTS_PER_LAUNCH = 2  # VMEM headroom: each R costs ns*ns*TILE floats
+MAX_EVENTS_PER_LAUNCH = 8  # compact fields: 4 x [ns, TILE] per event
 
 
 def _chunk_dividend_plan(solver, dividends):
@@ -533,12 +658,15 @@ def fused_price_batch(
     """Drop-in replacement for models.douglas.price_batch running the time
     loop in the fused Pallas kernel. Jit-wrap the caller."""
     b = strikes.shape[0]
-    n_tiles = -(-b // TILE)
-    pad = n_tiles * TILE - b
+    tile = pick_tile(spec, b, jnp.dtype(
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    ).itemsize)
+    n_tiles = -(-b // tile)
+    pad = n_tiles * tile - b
     strikes_p = jnp.concatenate(
         [strikes, jnp.broadcast_to(strikes[-1:], (pad,))]) if pad else strikes
 
-    (ops, u0, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
+    (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
                           rho, v0, r_d, r_f)
     dtype = u0.dtype
@@ -549,20 +677,24 @@ def fused_price_batch(
     a2_fac = jax.vmap(banded.penta_factor)(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2)
 
-    def tiles3(x):   # [B, nv, ns] -> [n_tiles, nv, ns, TILE]
-        return jnp.moveaxis(x.reshape(n_tiles, TILE, nv, ns), 1, -1)
+    # batch goes LAST (the lane axis); the pallas grid walks TILE-blocks.
+    # Big fields are s-major in the kernel: [s, v, options].
+    def tiles3(x):   # [B, nv, ns] -> [ns, nv, B]
+        return jnp.transpose(x, (2, 1, 0))
 
-    def tiles2(x):   # [B, n] -> [n_tiles, n, TILE]
-        return jnp.moveaxis(x.reshape(n_tiles, TILE, -1), 1, -1)
+    def tiles2(x):   # [B, n] -> [n, B]
+        return jnp.moveaxis(x, 0, -1)
 
-    def tiles1(x):   # [B] -> [n_tiles, 1, TILE]
-        return x.reshape(n_tiles, 1, TILE)
+    def tiles1(x):   # [B] -> [1, B]
+        return x.reshape(1, -1)
 
     fields = dict(
         u=tiles3(u0),
         lam=jnp.zeros_like(tiles3(u0)),
-        iml=tiles3(ops.a1_iml), imd=tiles3(ops.a1_imd),
-        imu=tiles3(ops.a1_imu),
+        a1pl=tiles2(a1pq[0]), a1ql=tiles2(a1pq[1]),
+        a1pd=tiles2(a1pq[2]), a1qd=tiles2(a1pq[3]),
+        a1pu=tiles2(a1pq[4]), a1qu=tiles2(a1pq[5]),
+        vfl=tiles2(vfull),
         sfac=tiles2(scol), vfac=tiles2(vrow),
         bsm=tiles2(ops.bs_wm), bs0=tiles2(ops.bs_w0), bsp=tiles2(ops.bs_wp),
         bvm=tiles2(ops.bv_wm), bv0=tiles2(ops.bv_w0), bvp=tiles2(ops.bv_wp),
@@ -574,70 +706,46 @@ def fused_price_batch(
         vecs=tiles2(vec_s), kk=tiles1(strikes_p),
     )
 
-    call = _segment_call(spec.m1, spec.m2, solver.theta, solver.delta_t,
-                         american, dtype.name, interpret, unroll)
-    inv_keys = ["iml", "imd", "imu", "sfac", "vfac",
+    inv_keys = ["a1pl", "a1ql", "a1pd", "a1qd", "a1pu", "a1qu", "vfl",
+                "sfac", "vfac",
                 "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
                 "al2", "al1", "ad", "au1", "au2",
                 "pgm", "phm", "pm", "pc", "pc2",
                 "b1v", "b2r", "vecs", "kk"]
-
-    def run_segment(n0, n1, u, lam):
-        n0a = jnp.asarray([n0], jnp.int32)
-        n1a = jnp.asarray([n1], jnp.int32)
-        rfa = jnp.asarray([r_f], dtype)
-        if american:
-            def per_tile(args):
-                ut, lamt, *inv = args
-                return call(n0a, n1a, rfa, ut, lamt, *inv)
-            outs = lax.map(per_tile,
-                           (u, lam, *[fields[k] for k in inv_keys]))
-            return outs[0], outs[1]
-
-        def per_tile(args):
-            ut, *inv = args
-            out = call(n0a, n1a, rfa, ut, *inv)
-            return out[0]
-        out = lax.map(per_tile, (u, *[fields[k] for k in inv_keys]))
-        return out, lam
+    inv = [fields[k] for k in inv_keys]
+    rfa = jnp.asarray([r_f], dtype)
 
     u = fields["u"]
     lam = fields["lam"]
     if dividends is not None and len(dividends) > 0:
-        # run the schedule as a few plan-chunk launches; the re-maps happen
-        # IN-KERNEL as dense R-matrix contractions (R = VMEM inputs)
+        # run the schedule as plan-chunk launches (one for the golden
+        # 4-event schedule); the re-maps happen IN-KERNEL from compact
+        # rank-structured fields
         n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
         n1a = jnp.asarray([0], jnp.int32)
-        rfa = jnp.asarray([r_f], dtype)
-        inv = [fields[k] for k in inv_keys]
         for plan, events in _chunk_dividend_plan(solver, dividends):
-            mats = _build_remap_matrices(vec_s, events, dtype)
-            r_tiles = [jnp.moveaxis(m.reshape(n_tiles, TILE, ns, ns), 1, -1)
-                       for m in mats]
+            rmf = _build_remap_fields(vec_s, events, dtype)
+            r_args = [tiles2(f) for ev in rmf for f in ev]
             chunk_call = _segment_call(
                 spec.m1, spec.m2, solver.theta, solver.delta_t, american,
-                dtype.name, interpret, unroll, plan, len(events))
+                dtype.name, interpret, unroll, plan, len(events),
+                n_tiles, tile)
             if american:
-                def per_tile(args):
-                    ut, lamt, *rest_args = args
-                    rs = rest_args[:len(r_tiles)]
-                    inv_t = rest_args[len(r_tiles):]
-                    return chunk_call(n0a, n1a, rfa, ut, lamt,
-                                      *inv_t, *rs)
-                outs = lax.map(per_tile, (u, lam, *r_tiles, *inv))
-                u, lam = outs[0], outs[1]
+                u, lam = chunk_call(n0a, n1a, rfa, u, lam, *inv, *r_args)
             else:
-                def per_tile(args):
-                    ut, *rest_args = args
-                    rs = rest_args[:len(r_tiles)]
-                    inv_t = rest_args[len(r_tiles):]
-                    out = chunk_call(n0a, n1a, rfa, ut, *inv_t, *rs)
-                    return out[0]
-                u = lax.map(per_tile, (u, *r_tiles, *inv))
+                (u,) = chunk_call(n0a, n1a, rfa, u, *inv, *r_args)
     else:
-        u, lam = run_segment(1, solver.n_steps + 1, u, lam)
+        call = _segment_call(spec.m1, spec.m2, solver.theta,
+                             solver.delta_t, american, dtype.name,
+                             interpret, unroll, n_tiles=n_tiles, tile=tile)
+        n0a = jnp.asarray([1], jnp.int32)
+        n1a = jnp.asarray([solver.n_steps + 1], jnp.int32)
+        if american:
+            u, lam = call(n0a, n1a, rfa, u, lam, *inv)
+        else:
+            (u,) = call(n0a, n1a, rfa, u, *inv)
 
-    # price extraction: U[idx_v, idx_s] per option
-    u_bf = jnp.moveaxis(u, -1, 1).reshape(n_tiles * TILE, nv, ns)
-    prices = jax.vmap(lambda ub, iv, is_: ub[iv, is_])(u_bf, idx_v, idx_s)
+    # price extraction: U[idx_s, idx_v] per option (s-major layout)
+    u_bf = jnp.moveaxis(u, -1, 0)                     # [B, ns, nv]
+    prices = jax.vmap(lambda ub, iv, is_: ub[is_, iv])(u_bf, idx_v, idx_s)
     return prices[:b]

@@ -175,5 +175,5 @@ def run_scenario(
     if csv_path:
         hio.export_calibration_fit(
             csv_path, result, scenario.s0, max(scenario.maturities),
-            scenario.r_d)
+            scenario.r_d, dividends=scenario.dividends)
     return result, wall

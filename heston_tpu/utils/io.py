@@ -52,10 +52,17 @@ def export_convergence(path, rows: Sequence[dict], reference_price: float):
 
 
 def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
-                           iv_epsilon: float = 0.01):
+                           iv_epsilon: float = 0.01, dividends=None):
     """Write strike / market / fitted / IV-difference rows plus a metadata
     header with initial & final parameters
-    (ref: src/heston_calibration.cpp:468-511)."""
+    (ref: src/heston_calibration.cpp:468-511).
+
+    When the scenario has discrete dividends, the implied-vol inversion
+    uses the escrowed-dividend-adjusted spot, exactly like the reference's
+    dividend calibration exports (S_adjusted fed to reverse_BS,
+    ref: src/heston_calibration.cpp:1500-1529, src/bs.hpp:131-160) —
+    inverting against the raw spot would price the IVs off the wrong
+    forward."""
     from heston_tpu.models import bs  # lazy: jax import
 
     import jax.numpy as jnp
@@ -65,10 +72,15 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
     market = np.asarray(result.market_prices)
     fitted = np.asarray(result.fitted_prices)
 
+    s_iv = s0
+    if dividends is not None and len(dividends) > 0:
+        s_iv = float(bs.escrowed_spot(
+            s0, t, r_d, dividends.dates, dividends.amounts,
+            dividends.percentages))
     iv_mkt = np.asarray(bs.implied_vol_chain(
-        jnp.asarray(market), s0, jnp.asarray(strikes), r_d, t))
+        jnp.asarray(market), s_iv, jnp.asarray(strikes), r_d, t))
     iv_fit = np.asarray(bs.implied_vol_chain(
-        jnp.asarray(fitted), s0, jnp.asarray(strikes), r_d, t))
+        jnp.asarray(fitted), s_iv, jnp.asarray(strikes), r_d, t))
 
     init = result.initial_params
     fin = result.params

@@ -51,6 +51,44 @@ def test_export_calibration_fit(tmp_path, params):
     assert len(lines) == 2 + 5
 
 
+def test_export_calibration_fit_dividend_adjusted_iv(tmp_path, params):
+    """Dividend scenarios must invert IVs against the escrowed-adjusted
+    spot (ref: src/heston_calibration.cpp:1500-1529): a market generated
+    with dividends at flat vol 0.2 then round-trips to IV differences of
+    ~0 only under the adjusted spot; the raw spot gives a systematic
+    skew."""
+    from heston_tpu.config import DividendSchedule
+    from heston_tpu.models import bs, calibration as calib
+
+    div = DividendSchedule(dates=(0.25, 0.75), amounts=(0.5, 0.5),
+                           percentages=(0.01, 0.01))
+    strikes = np.linspace(90.0, 110.0, 5)
+    market = np.asarray(bs.generate_market_data_with_dividends(
+        100.0, 1.0, params.r_d, jnp.asarray(strikes),
+        div.dates, div.amounts, div.percentages))
+    res = calib.CalibrationResult(
+        params=params, initial_params=params, final_error=0.0,
+        iterations=1, converged=True, fitted_prices=market,
+        market_prices=market, strikes=strikes, history=[],
+        total_pde_solves=1)
+
+    path = hio.export_calibration_fit(tmp_path / "fit_div.csv", res,
+                                      100.0, 1.0, params.r_d,
+                                      dividends=div)
+    rows = list(csv.reader(path.open()))[2:]
+    # market == fitted -> IV difference identically ~0 regardless of spot;
+    # the real check: market IV under the adjusted spot recovers 0.2 flat
+    s_adj = float(bs.escrowed_spot(100.0, 1.0, params.r_d, div.dates,
+                                   div.amounts, div.percentages))
+    iv_adj = np.asarray(bs.implied_vol_chain(
+        jnp.asarray(market), s_adj, jnp.asarray(strikes), params.r_d, 1.0))
+    np.testing.assert_allclose(iv_adj, 0.2, atol=1e-6)
+    iv_raw = np.asarray(bs.implied_vol_chain(
+        jnp.asarray(market), 100.0, jnp.asarray(strikes), params.r_d, 1.0))
+    assert np.max(np.abs(iv_raw - 0.2)) > 1e-3  # raw spot is wrong forward
+    assert all(abs(float(r[3])) < 1e-9 for r in rows)
+
+
 def test_export_benchmark(tmp_path):
     rows = [dict(m1=50, m2=25, n_steps=20, instances=500,
                  total_runtime_s=0.011)]

@@ -33,3 +33,38 @@ def test_fused_kernel_matches_xla(params, kw):
             SPEC, SOLVER, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
             p.r_d, p.r_f, interpret=True, **kw))(ks))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_fused_kernel_golden_grid(params):
+    """Fused-vs-XLA equality at the reference's golden grid m1=100, m2=75
+    (ref: src/solver.cpp:348) — the config that previously fell back to
+    XLA for VMEM and now runs fused on-chip. Few steps: interpret mode."""
+    p = params
+    spec = GridSpec(m1=100, m2=75)
+    solver = SolverConfig(n_steps=3, a2_variant="central")
+    ks = jnp.array([95.0, 100.0, 105.0], dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    assert fused_do.fits_vmem(spec)
+    want = np.array(douglas.price_batch(spec, solver, ks, *args))
+    got = np.array(jax.jit(
+        lambda k: fused_do.fused_price_batch(
+            spec, solver, k, *args, interpret=True))(ks))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+def test_fused_kernel_multi_tile(params):
+    """Batch spanning several pallas-grid tiles (the single-launch path
+    iterates TILE-blocks via the grid). f64 must match the XLA path to
+    solver-roundoff exactly; interpret mode on CPU."""
+    p = params
+    kw = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+    ks = jnp.linspace(70.0, 130.0, 300, dtype=jnp.float64)  # 3 tiles
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    want = np.array(douglas.price_batch(SPEC, SOLVER, ks, *args, **kw))
+    got = np.array(jax.jit(
+        lambda k: fused_do.fused_price_batch(
+            SPEC, SOLVER, k, *args, interpret=True, **kw))(ks))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
