@@ -58,28 +58,25 @@ def main():
         if eng == "pallas":
             from heston_tpu.pallas import fused_do
 
-            return jax.jit(lambda ks: fused_do.fused_price_batch(
+            return lambda ks: fused_do.fused_price_batch(
                 spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
                 p.v0, p.r_d, p.r_f,
                 american=True, dividends=GOLDEN_DIVIDENDS,
-            ))
-        return jax.jit(lambda ks: douglas.price_batch(
+            )
+        return lambda ks: douglas.price_batch(
             spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma,
             p.rho, p.v0, p.r_d, p.r_f,
             american=True, dividends=GOLDEN_DIVIDENDS,
-        ))
+        )
 
     priced = make_priced(engine)
-
-    def run():
-        return priced(strikes)
 
     # compile + sanity (np.array forces a real device->host fetch; plain
     # block_until_ready does not synchronize through the axon tunnel).
     # If the pallas engine fails to compile/run in this environment, fall
     # back to the XLA path rather than producing no benchmark at all.
     try:
-        out = np.array(run())
+        out = np.array(jax.jit(priced)(strikes))
     except Exception as exc:  # pragma: no cover - environment safety net
         if engine != "pallas":
             raise
@@ -87,30 +84,17 @@ def main():
               "falling back to scan", flush=True)
         engine = "scan-fallback"
         priced = make_priced("scan")
-        out = np.array(run())
+        out = np.array(jax.jit(priced)(strikes))
     assert np.all(np.isfinite(out)), "non-finite prices"
 
-    # Amortized device throughput: enqueue R batches back-to-back and fetch
-    # the last — the per-batch device time, excluding the tunnel's ~35 ms
-    # RPC round-trip. This mirrors the reference benchmark's
-    # total_runtime / runs CSV methodology (ref: src/perfomance_test.cpp:214).
-    # 50 reps per sample: the tunnel's ~35 ms RPC for the final fetch
-    # amortizes to <1 ms; the reference methodology likewise times fenced
-    # device runs without per-run host transfers.
-    reps = 50
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [run() for _ in range(reps)]
-        np.array(outs[-1])
-        samples.append((time.perf_counter() - t0) / reps)
-    value = float(np.median(samples))
+    value = _device_time_per_call(priced, strikes)
 
     extras = {}
     if engine == "pallas" and os.environ.get(
             "HESTON_BENCH_SELFTEST", "1") != "0":
         extras.update(_selftest(spec, solver, p, dtype))
         extras.update(_single_option_golden_grid(p, dtype))
+        extras.update(_lm_timing(spec, p, dtype))
 
     print(json.dumps({
         "metric": f"american_dividend_batch{batch}_m1_50_m2_25_N20_"
@@ -123,8 +107,50 @@ def main():
     return 0
 
 
+def _device_time_per_call(fn, example, reps: int = 50, samples: int = 3):
+    """Median per-call DEVICE time: the reps are chained inside ONE jitted
+    lax.scan (each rep's input depends on the previous rep's output, so
+    nothing can be elided or reordered), and the host measures a single
+    dispatch + fetch around all of them.
+
+    Why: a single jitted-call dispatch through this machine's axon tunnel
+    costs ~1.4 ms of HOST time — timing a Python loop of per-rep calls
+    (the round-1 methodology) therefore measures the host, not the chip,
+    for anything faster than that. The reference's CSV methodology
+    (total_runtime / runs around fenced device runs,
+    ref: src/perfomance_test.cpp:214) assumes ~us-scale launch cost; the
+    in-graph scan is the honest TPU equivalent."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    @jax.jit
+    def run_many(x):
+        def body(carry, i):
+            xi = x * (1.0 + (i.astype(x.dtype) + carry) * 1e-7)
+            out = fn(xi)
+            return jnp.real(out.ravel()[0]) * 1e-12, ()
+
+        c, _ = lax.scan(body, jnp.zeros((), x.dtype),
+                        jnp.arange(reps, dtype=jnp.int32))
+        return c
+
+    np.array(run_many(example))          # compile + warm
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.array(run_many(example))
+        times.append((time.perf_counter() - t0) / reps)
+    return float(np.median(times))
+
+
 def _selftest(spec, solver, p, dtype):
-    """On-chip fused-vs-XLA cross-check for all four solver variants.
+    """On-chip cross-check of the fused kernel against the XLA path run in
+    FLOAT64 (the true error of the f32 kernel, not the difference of two
+    f32 roundings) for all four solver variants.
 
     Interpret-mode CPU tests have missed a real-TPU crash mode here once
     (HBM-DMA variant, round 1) — this runs the actual Mosaic kernel on the
@@ -141,7 +167,7 @@ def _selftest(spec, solver, p, dtype):
     from heston_tpu.pallas import fused_do
 
     xla_solver = dataclasses.replace(solver, solver_engine="scan")
-    ks = jnp.linspace(75.0, 125.0, 64, dtype=dtype)
+    ks = np.linspace(75.0, 125.0, 64)
     rmses = {}
     for tag, kw in [
         ("euro", {}),
@@ -151,15 +177,55 @@ def _selftest(spec, solver, p, dtype):
     ]:
         fused = np.array(jax.jit(lambda k, kw=kw: fused_do.fused_price_batch(
             spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f, **kw))(ks))
-        want = np.array(jax.jit(lambda k, kw=kw: douglas.price_batch(
-            spec, xla_solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f, **kw))(ks))
+            p.v0, p.r_d, p.r_f, **kw))(jnp.asarray(ks, dtype)))
+        with jax.enable_x64():
+            want = np.array(jax.jit(
+                lambda k, kw=kw: douglas.price_batch(
+                    spec, xla_solver, k, 100.0, p.kappa, p.eta, p.sigma,
+                    p.rho, p.v0, p.r_d, p.r_f, **kw)
+            )(jnp.asarray(ks, jnp.float64)))
         rmses[tag] = float(np.sqrt(np.mean((fused - want) ** 2)))
     return {
         "selftest_rmse": rmses,
         "selftest_rmse_max": max(rmses.values()),
     }
+
+
+def _lm_timing(spec, p, dtype):
+    """Wall time of the fully on-chip 60-strike LM calibration with the
+    fused-kernel AD Jacobian (one jitted while_loop = one dispatch;
+    reference scenario size, ref: src/heston_calibration.cpp:58)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.config import CalibrationConfig, SolverConfig
+    from heston_tpu.models import bs, calibration as calib
+
+    solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                          a2_variant="upwind", solver_engine="pallas")
+    strikes = jnp.asarray(np.array([70.0 + i for i in range(60)]), dtype)
+    market = bs.generate_market_data(100.0, 1.0, p.r_d, strikes)
+    init = jnp.asarray([1.2, 0.05, 0.4, -0.5, 0.05], dtype)
+    cfg = CalibrationConfig(max_iter=15, tol=0.1, jacobian_mode="ad")
+
+    def run():
+        tv, info = calib.calibrate_device(
+            spec, solver, strikes, market, 100.0, init, p.r_d, p.r_f,
+            cfg=cfg)
+        return np.asarray(tv), int(np.asarray(info["iterations"]))
+
+    tv, iters = run()   # compile + warm
+    assert np.all(np.isfinite(tv))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return {"lm60_ad_pallas_s": float(np.median(times)),
+            "lm60_iterations": iters}
 
 
 def _single_option_golden_grid(p, dtype):
@@ -179,15 +245,10 @@ def _single_option_golden_grid(p, dtype):
     solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
                           a2_variant="central", solver_engine="pallas")
     ks = jnp.array([100.0], dtype=dtype)
-    fn = jax.jit(lambda k: douglas.price_batch(
-        spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-        p.v0, p.r_d, p.r_f))
-    np.array(fn(ks))  # compile
-    reps = 20
-    t0 = time.perf_counter()
-    outs = [fn(ks) for _ in range(reps)]
-    np.array(outs[-1])
-    dt = (time.perf_counter() - t0) / reps
+    dt = _device_time_per_call(
+        lambda k: douglas.price_batch(
+            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f), ks, reps=20)
     return {
         "single_option_100x75_s": dt,
         "single_option_vs_a100": 0.003 / dt,

@@ -228,14 +228,41 @@ def calibrate_device(
 
     def fleet_jacobian(tv):
         if cfg.jacobian_mode == "ad":
+            if pricer == "pde" and solver.solver_engine == "pallas":
+                from heston_tpu.pallas import fused_do
+
+                if fused_do.fits_vmem(spec):
+                    # exact forward-mode AD THROUGH the fused kernel: one
+                    # launch per maturity group carries all 5 tangent
+                    # surfaces alongside the primal
+                    interp = jax.default_backend() == "cpu"
+                    jacs, bases = [], []
+                    for (a, b, n) in groups:
+                        sol = dataclasses.replace(
+                            solver, n_steps=n,
+                            maturity=solver.maturity * n
+                            / max(solver.n_steps, 1))
+                        bb, jj = fused_do.fused_theta_jacobian(
+                            spec, sol, strikes[a:b], s0, tv, r_d, r_f,
+                            american=american, dividends=dividends,
+                            interpret=interp)
+                        bases.append(bb)
+                        jacs.append(jj)
+                    return jnp.concatenate(jacs), jnp.concatenate(bases)
             # exact forward-mode Jacobian: linearize once, push 5 tangents
             base, jvp_fn = jax.linearize(fleet_prices, tv)
             jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=tv.dtype)).T
             return jac, base
         # finite differences: 6-way bump axis over the whole fleet
-        # (ref: src/jacobian_computation.cpp:292-361)
+        # (ref: src/jacobian_computation.cpp:292-361). The pallas engine
+        # runs the bumps as 6 sequential in-graph kernel launches
+        # (pallas_call has no batching rule for the bump vmap).
         pmat = _bumped_param_matrix(tv, cfg.eps)
-        prices = jax.vmap(fleet_prices)(pmat)      # (6, n_points)
+        if pricer == "pde" and solver.solver_engine == "pallas":
+            prices = jnp.stack([fleet_prices(pmat[i])
+                                for i in range(N_PARAMS + 1)])
+        else:
+            prices = jax.vmap(fleet_prices)(pmat)  # (6, n_points)
         base = prices[0]
         jac = ((prices[1:] - base[None, :]) / cfg.eps).T
         return jac, base
@@ -266,11 +293,11 @@ def calibrate_device(
             return jnp.concatenate(outs)
 
     def _price_group(sol, ks, tv):
-        def one(k):
-            return douglas.price_option(
-                spec, sol, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
-                r_d, r_f, american=american, dividends=dividends)
-        return jax.vmap(one)(ks)
+        # price_batch dispatches to the fused Pallas kernel when
+        # solver_engine="pallas" (and the grid fits VMEM)
+        return douglas.price_batch(
+            spec, sol, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+            r_d, r_f, american=american, dividends=dividends)
 
     def lm_body(state):
         tv, lam, final_error, it, converged, fitted = state

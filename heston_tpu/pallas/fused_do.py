@@ -92,17 +92,20 @@ def fits_vmem(spec, dtype_bytes: int = 4) -> bool:
     return _FIELDS_RESIDENT * field <= _VMEM_BUDGET_BYTES
 
 
-def pick_tile(spec, batch: int, dtype_bytes: int = 4) -> int:
+def pick_tile(spec, batch: int, dtype_bytes: int = 4,
+              n_tangents: int = 0) -> int:
     """Widest lane-tile whose working set still fits VMEM.
 
     The sequential sweep loops cost ~O(10^2) cycles of loop/addressing
     overhead per iteration regardless of vector width, so the fewer
     kernel-tiles the batch needs, the better: a 512-lane tile runs the
-    same iteration count as a 128-lane one but serves 4x the options
-    (measured: 500-option batch 3.7 ms at tile=128 -> ~1.6 ms at 512)."""
+    same iteration count as a 128-lane one but serves 4x the options.
+    The forward-mode kernel holds ~3 extra full fields per tangent
+    (carry in/out + live temporaries)."""
+    n_fields = _FIELDS_RESIDENT + 3 * n_tangents
     b_pad = max(128, -128 * (-batch // 128))
     for tile in (1024, 512, 256, 128):
-        if tile <= b_pad and (_FIELDS_RESIDENT * _field_bytes(
+        if tile <= b_pad and (n_fields * _field_bytes(
                 spec, tile, dtype_bytes) <= _VMEM_BUDGET_BYTES):
             return tile
     return 128
@@ -146,7 +149,7 @@ def _b1_colrows(m1: int, m2: int):
 
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, unroll: bool, div_plan=None,
-                 n_events: int = 0):
+                 n_events: int = 0, n_tangents: int = 0):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
     segments with dividend re-maps between them. Each re-map is linear
@@ -156,37 +159,53 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     w0/w1 — and the dense matrix row for source column c is reconstructed
     on the fly inside the contraction loop. (An HBM+DMA staged variant
     crashes this TPU runtime — see memory notes; plain VMEM inputs are
-    the reliable path.)"""
+    the reliable path.)
+
+    n_tangents = K > 0 builds the FORWARD-MODE variant: the kernel also
+    carries K tangent surfaces (du_k [, dlam_k]) through the time loop,
+    consuming per-tangent 2-D field tangents. Supported tangent
+    directions are the five Heston parameters: their only influence on
+    the discretization is through the v-grid (dvfl), the A0 coefficient
+    (dsfac/dvfac), the v-direction beta weights (dbv*), and the explicit
+    A2 bands (da*) — the A1 P/Q bands, s-grid quantities, boundary data
+    and dividend re-maps are parameter-independent (tangent zero). Each
+    implicit solve's tangent reuses the PRIMAL factorization:
+    x = T^-1 r  =>  dx = T^-1 (dr - dT x)."""
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
+    K = n_tangents
     b1_rows = _b1_colrows(m1, m2)
 
     def kernel(*refs):
         (n0_ref, n1_ref, rf_ref,
          u_ref, *rest) = refs
+        rest = list(rest)
+        lam_ref = rest.pop(0) if american else None
+        (a1pl_ref, a1ql_ref, a1pd_ref, a1qd_ref, a1pu_ref, a1qu_ref,
+         vfl_ref, sfac_ref, vfac_ref,
+         bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
+         al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
+         pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
+         b1v_ref, b2r_ref, vecs_ref, kk_ref) = rest[:29]
+        rest = rest[29:]
+        r_refs = rest[:4 * n_events]
+        rest = rest[4 * n_events:]
+        du_refs = rest[:K]
+        rest = rest[K:]
+        dlam_refs = []
         if american:
-            (lam_ref,
-             a1pl_ref, a1ql_ref, a1pd_ref, a1qd_ref, a1pu_ref, a1qu_ref,
-             vfl_ref, sfac_ref, vfac_ref,
-             bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
-             al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
-             pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
-             b1v_ref, b2r_ref, vecs_ref, kk_ref,
-             *tail) = rest
-            r_refs = tail[:4 * n_events]
-            (uo_ref, lamo_ref,
-             w_ref, itmp_ref, d_ref, e_ref) = tail[4 * n_events:]
-        else:
-            (a1pl_ref, a1ql_ref, a1pd_ref, a1qd_ref, a1pu_ref, a1qu_ref,
-             vfl_ref, sfac_ref, vfac_ref,
-             bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
-             al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
-             pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
-             b1v_ref, b2r_ref, vecs_ref, kk_ref,
-             *tail) = rest
-            r_refs = tail[:4 * n_events]
-            (uo_ref, w_ref, itmp_ref, d_ref, e_ref) = tail[4 * n_events:]
+            dlam_refs = rest[:K]
+            rest = rest[K:]
+        tg_refs = []                      # per k: 11 2-D tangent fields
+        for _ in range(K):
+            tg_refs.append(rest[:11])
+            rest = rest[11:]
+        uo_ref = rest.pop(0)
+        lamo_ref = rest.pop(0) if american else None
+        duo_refs = [rest.pop(0) for _ in range(K)]
+        dlamo_refs = [rest.pop(0) for _ in range(K)] if american else []
+        (w_ref, itmp_ref, d_ref, e_ref) = rest
 
         rf = rf_ref[0]
         n0 = n0_ref[0]
@@ -262,50 +281,33 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # a 1-D v band [nv, T] broadcast over the outer s axis
             return band[None, :, :]
 
-        def step(n, carry):
-            if american:
-                u, lam_c = carry
-            else:
-                u = carry
-            nf = n.astype(u.dtype)
-            e0 = jnp.exp(rf * dt * (nf - 1.0))
-            e1 = jnp.exp(rf * dt * nf)
-            kb1 = dt * e0 + td * (e1 - e0)   # total b1 coefficient (rhs1)
-            kb2a = dt * e0                   # b2 coefficient entering rhs1
-            kb2b = td * (e1 - e0)            # b2 coefficient entering rhs2
+        def ds_of(x):
+            """beta_s first-derivative stencil along s (A0 inner factor)."""
+            return (bsm[:, None, :] * _shift_s(x, -1) + bs0[:, None, :] * x
+                    + bsp[:, None, :] * _shift_s(x, 1))
 
-            # rhs1 built with minimal live intermediates:
-            #   rhs1 = u + dt*a0r + (dt-td)*a1r + dt*a2r [+ dt*lam] + bnd
-            # with a1r = (u - M u)/td  =>  (dt-td)*a1r = c1*(u - M u)
-            c1 = (dt - td) / td
-            # accumulate rhs1 in the solve workspace ref to cap live temps
-            dsu = (bsm[:, None, :] * _shift_s(u, -1) + bs0[:, None, :] * u
-                   + bsp[:, None, :] * _shift_s(u, 1))
-            d_ref[:] = dt * (sfac[:, None, :] * vfac[None, :, :]) * (
-                bvm[None, :, :] * _shift_v(dsu, -1)
-                + bv0[None, :, :] * dsu
-                + bvp[None, :, :] * _shift_v(dsu, 1))
-            d_ref[:] = d_ref[:] + ((1.0 + c1) * u - c1 * (
-                a1full(a1pl_ref, a1ql_ref) * _shift_s(u, -1)
-                + a1full(a1pd_ref, a1qd_ref) * u
-                + a1full(a1pu_ref, a1qu_ref) * _shift_s(u, 1)))
-            # A2 applied explicitly (a2r stays live for rhs2)
-            a2r = (bandv(l2b) * _shift_v(u, -2) + bandv(l1b) * _shift_v(u, -1)
-                   + bandv(db) * u + bandv(u1b) * _shift_v(u, 1)
-                   + bandv(u2b) * _shift_v(u, 2))
-            # boundary injections as rank-1 full-array adds
-            # (b1 = scalar x static mask; b2 = one v-row)
-            bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
-                    + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
-            if american:
-                d_ref[:] = d_ref[:] + (dt * a2r + dt * lam_c + bnd1)
-            else:
-                d_ref[:] = d_ref[:] + (dt * a2r + bnd1)
+        def dv_of(x, wm, w0, wp):
+            """beta_v stencil along v with the given weight rows."""
+            return (wm[None, :, :] * _shift_v(x, -1) + w0[None, :, :] * x
+                    + wp[None, :, :] * _shift_v(x, 1))
 
-            # tridiagonal solve along s (outer axis — every iteration is a
-            # dense [nv, TILE] block op); the backward substitution writes
-            # in-place over the forward sweep (each row is read exactly
-            # once, at its own step); rhs1 is already staged in d_ref
+        def a1mul(x):
+            """Implicit A1 tridiagonal multiply (full field)."""
+            return (a1full(a1pl_ref, a1ql_ref) * _shift_s(x, -1)
+                    + a1full(a1pd_ref, a1qd_ref) * x
+                    + a1full(a1pu_ref, a1qu_ref) * _shift_s(x, 1))
+
+        def a2mul(x, c2, c1b, c0, cu1, cu2):
+            """Pentadiagonal multiply along v with the given 1-D bands."""
+            return (bandv(c2) * _shift_v(x, -2) + bandv(c1b) * _shift_v(x, -1)
+                    + bandv(c0) * x + bandv(cu1) * _shift_v(x, 1)
+                    + bandv(cu2) * _shift_v(x, 2))
+
+        def tri_solve():
+            """In-place tridiagonal solve of d_ref along s (outer axis —
+            every iteration is a dense [nv, TILE] block op); the backward
+            substitution writes over the forward sweep (each row is read
+            exactly once, at its own step)."""
             if unroll:
                 dprev = d_ref[0]
                 for i in range(1, ns):
@@ -335,14 +337,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     d_ref[i] = xnew
                     return xnew
                 lax.fori_loop(0, ns - 1, tri_bwd, xlast)
-            y1 = d_ref[:]
 
-            # pentadiagonal solve along v: stage the rhs through the
-            # v-major scratch so the sweep also iterates the OUTER axis
-            # (a sublane-axis sweep would run on 1-sublane strips)
-            e_ref[:] = jnp.swapaxes(
-                y1 - td * a2r
-                + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
+        def penta_solve():
+            """In-place pentadiagonal solve of e_ref along v (v-major
+            staging so the sweep also iterates the OUTER axis)."""
             if unroll:
                 dp1 = pm_ref[0] * e_ref[0]
                 e_ref[0] = dp1
@@ -378,15 +376,125 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     return (xj, x1)
                 lax.fori_loop(0, nv - 1, pen_bwd,
                               (e_ref[nv - 1], jnp.zeros_like(dp0)))
+
+        def unpack(carry):
+            i = 0
+            u = carry[i]; i += 1
+            lam_c = None
+            if american:
+                lam_c = carry[i]; i += 1
+            dus = carry[i:i + K]; i += K
+            dlams = carry[i:i + K] if american else ()
+            return u, lam_c, dus, dlams
+
+        def step(n, carry):
+            u, lam_c, dus, dlams = unpack(carry)
+            nf = n.astype(u.dtype)
+            e0 = jnp.exp(rf * dt * (nf - 1.0))
+            e1 = jnp.exp(rf * dt * nf)
+            kb1 = dt * e0 + td * (e1 - e0)   # total b1 coefficient (rhs1)
+            kb2a = dt * e0                   # b2 coefficient entering rhs1
+            kb2b = td * (e1 - e0)            # b2 coefficient entering rhs2
+
+            # rhs1 built with minimal live intermediates:
+            #   rhs1 = u + dt*a0r + (dt-td)*a1r + dt*a2r [+ dt*lam] + bnd
+            # with a1r = (u - M u)/td  =>  (dt-td)*a1r = c1*(u - M u)
+            c1 = (dt - td) / td
+            # accumulate rhs1 in the solve workspace ref to cap live temps
+            dsu = ds_of(u)
+            d_ref[:] = dt * (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
+                dsu, bvm, bv0, bvp)
+            d_ref[:] = d_ref[:] + ((1.0 + c1) * u - c1 * a1mul(u))
+            # A2 applied explicitly (a2r stays live for rhs2)
+            a2r = a2mul(u, l2b, l1b, db, u1b, u2b)
+            # boundary injections as rank-1 full-array adds
+            # (b1 = scalar x static mask; b2 = one v-row)
+            bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
+                    + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
+            if american:
+                d_ref[:] = d_ref[:] + (dt * a2r + dt * lam_c + bnd1)
+            else:
+                d_ref[:] = d_ref[:] + (dt * a2r + bnd1)
+
+            tri_solve()
+            y1 = d_ref[:]
+
+            e_ref[:] = jnp.swapaxes(
+                y1 - td * a2r
+                + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
+            penta_solve()
             u_bar = jnp.swapaxes(e_ref[:], 0, 1)
+
+            # ---- tangent phase: for each direction k, push the tangent
+            # surface through the SAME step using the primal trajectory
+            # (u, y1, u_bar) and factorizations; dx = T^-1 (dr - dT x).
+            new_dus, new_dlams = [], []
+            if K:
+                y1v = y1   # value survives d_ref reuse below
+                c_a0 = sfac[:, None, :] * vfac[None, :, :]
+            for k in range(K):
+                (dvfl, dsfk, dvfk, dbvm, dbv0, dbvp,
+                 dal2, dal1, dad, dau1, dau2) = [r[:] for r in tg_refs[k]]
+                du = dus[k]
+
+                def mt(x, dvfl=dvfl):
+                    """Tangent implicit-A1 multiply: d(band) = dvfl x P
+                    (P/Q are parameter-independent)."""
+                    return ((dvfl[None, :, :] * a1pl_ref[:][:, None, :])
+                            * _shift_s(x, -1)
+                            + (dvfl[None, :, :] * a1pd_ref[:][:, None, :])
+                            * x
+                            + (dvfl[None, :, :] * a1pu_ref[:][:, None, :])
+                            * _shift_s(x, 1))
+
+                # d/dtheta of the explicit A2 result on u, plus A2 on du
+                a2t = (a2mul(u, dal2, dal1, dad, dau1, dau2)
+                       + a2mul(du, l2b, l1b, db, u1b, u2b))
+                # d/dtheta of A0 u: coefficient motion + v-weight motion
+                # + A0 on du (s-weights are parameter-independent)
+                a0t = ((dsfk[:, None, :] * vfac[None, :, :]
+                        + sfac[:, None, :] * dvfk[None, :, :])
+                       * dv_of(dsu, bvm, bv0, bvp)
+                       + c_a0 * dv_of(dsu, dbvm, dbv0, dbvp)
+                       + c_a0 * dv_of(ds_of(du), bvm, bv0, bvp))
+                trhs = (dt * a0t + (1.0 + c1) * du
+                        - c1 * (mt(u) + a1mul(du)) + dt * a2t)
+                if american:
+                    trhs = trhs + dt * dlams[k]
+                # boundary tangents are zero for parameter directions
+                d_ref[:] = trhs - mt(y1v)
+                tri_solve()
+                # tangent penta: rhs = dy1 - td*a2t + td * dA2(u_bar)
+                e_ref[:] = jnp.swapaxes(
+                    d_ref[:] - td * a2t
+                    + td * a2mul(u_bar, dal2, dal1, dad, dau1, dau2), 0, 1)
+                penta_solve()
+                dubar = jnp.swapaxes(e_ref[:], 0, 1)
+
+                if american:
+                    # match XLA's maximum-JVP exactly (0.5 weight on ties)
+                    a = u_bar - dt * lam_c
+                    da = dubar - dt * dlams[k]
+                    du_new = jnp.where(
+                        a > u0, da, jnp.where(a < u0, 0.0, 0.5 * da))
+                    arg = lam_c + (u0 - u_bar) / dt
+                    darg = dlams[k] - dubar / dt
+                    dlam_new = jnp.where(
+                        arg > 0.0, darg,
+                        jnp.where(arg < 0.0, 0.0, 0.5 * darg)
+                    ) * smax_mask[:, :, None]
+                    new_dus.append(du_new)
+                    new_dlams.append(dlam_new)
+                else:
+                    new_dus.append(dubar)
 
             if american:
                 u_new = jnp.maximum(u_bar - dt * lam_c, u0)
                 # multiplier update, zeroed on the s_max column via mask
                 lam_new = (jnp.maximum(0.0, lam_c + (u0 - u_bar) / dt)
                            * smax_mask[:, :, None])
-                return (u_new, lam_new)
-            return u_bar
+                return (u_new, lam_new, *new_dus, *new_dlams)
+            return (u_bar, *new_dus)
 
         def remap(u, e_idx):
             """u <- contract(u, R_e) over the s axis. R_e is rank-
@@ -414,16 +522,16 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             lax.fori_loop(0, ns, contract, 0)
             return w_ref[:]
 
+        carry = [u_ref[:]]
+        if american:
+            carry.append(lam_ref[:])
+        carry += [r[:] for r in du_refs]
+        carry += [r[:] for r in dlam_refs]
+        carry = tuple(carry)
+
         if div_plan is None:
-            if american:
-                u_fin, lam_fin = lax.fori_loop(n0, n1, step,
-                                               (u_ref[:], lam_ref[:]))
-                uo_ref[:] = u_fin
-                lamo_ref[:] = lam_fin
-            else:
-                uo_ref[:] = lax.fori_loop(n0, n1, step, u_ref[:])
+            carry = lax.fori_loop(n0, n1, step, carry)
         else:
-            carry = (u_ref[:], lam_ref[:]) if american else u_ref[:]
             e_idx = 0
             w_dirty = False   # w_ref clobbered by a remap staging?
             for (seg_a, seg_b, k_events) in div_plan:
@@ -433,18 +541,24 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                         w_dirty = False
                     carry = lax.fori_loop(seg_a, seg_b, step, carry)
                 for _ in range(k_events):
-                    if american:
-                        uu, ll = carry
-                        carry = (remap(uu, e_idx), ll)
-                    else:
-                        carry = remap(carry, e_idx)
+                    # the re-map is linear and parameter-independent, so
+                    # it applies identically to u and every tangent
+                    u_c, lam_c, dus, dlams = unpack(carry)
+                    u_c = remap(u_c, e_idx)
+                    dus = [remap(d, e_idx) for d in dus]
+                    carry = tuple(([u_c, lam_c] if american else [u_c])
+                                  + list(dus) + list(dlams))
                     e_idx += 1
                     w_dirty = True
+
+        u_c, lam_c, dus, dlams = unpack(carry)
+        uo_ref[:] = u_c
+        if american:
+            lamo_ref[:] = lam_c
+        for k in range(K):
+            duo_refs[k][:] = dus[k]
             if american:
-                uo_ref[:] = carry[0]
-                lamo_ref[:] = carry[1]
-            else:
-                uo_ref[:] = carry
+                dlamo_refs[k][:] = dlams[k]
 
     return kernel
 
@@ -453,18 +567,16 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   american: bool, dtype_name: str, interpret: bool,
                   unroll: bool = False, div_plan=None, n_events: int = 0,
-                  n_tiles: int = 1, tile: int = TILE):
+                  n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0):
     """pallas_call for the WHOLE batch: tiles are iterated by the pallas
     grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
-    traffic; scratch is re-initialized per tile by the kernel). The
-    round-1 multi-launch form (outer lax.map of per-tile calls) spent
-    ~0.25 ms of launch overhead per tile; the grid form fits VMEM now
-    that the dividend re-maps use compact rank-structured fields instead
-    of dense [ns, ns, TILE] matrices."""
+    traffic; scratch is re-initialized per tile by the kernel).
+    n_tangents > 0 builds the forward-mode variant (see _make_kernel)."""
     nv, ns = m2 + 1, m1 + 1
+    K = n_tangents
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
-                          div_plan, n_events)
+                          div_plan, n_events, n_tangents)
 
     big_spec = lambda: pl.BlockSpec((ns, nv, tile), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
@@ -479,6 +591,9 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                                  memory_space=pltpu.SMEM)
 
     n_big = 2 if american else 1
+    n_state = n_big * (1 + K)               # u [, lam], du_k [, dlam_k]
+    # per-tangent 2-D fields: dvfl, dsfac, dvfac, dbv*(3), da2 bands (5)
+    tg_specs = ([vb_spec(), sb_spec()] + [vb_spec()] * 9) * K
     in_specs = (
         [smem1(), smem1(), smem1()]          # n0, n1, rf
         + [big_spec()] * n_big               # u [, lam]
@@ -489,10 +604,12 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         + [one_spec(), sb_spec()]            # b1v, b2r
         + [sb_spec(), one_spec()]            # vec_s, strike
         + [sb_spec()] * (4 * n_events)       # remap i0/w0/i1/w1 per event
+        + [big_spec()] * (n_state - n_big)   # du_k [, dlam_k]
+        + tg_specs
     )
     big = jax.ShapeDtypeStruct((ns, nv, n_tiles * tile), dtype)
-    out_shape = [big, big] if american else [big]
-    out_specs = [big_spec()] * len(out_shape)
+    out_shape = [big] * n_state
+    out_specs = [big_spec()] * n_state
 
     scratch = [
         pltpu.VMEM((ns, nv, tile), dtype),   # w  (Thomas multipliers;
@@ -502,10 +619,16 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         pltpu.VMEM((nv, ns, tile), dtype),   # e (v-major penta staging)
     ]
 
-    # alias the state through the call: u -> out0 (, lam -> out1)
+    # alias the state through the call: u -> out0 (, lam -> out1), and
+    # each tangent carry to its output. Output order: u [, lam],
+    # du_0..K-1 [, dlam_0..K-1]; tangent inputs sit right after the remap
+    # fields.
     aliases = {3: 0}
     if american:
         aliases[4] = 1
+    tg_in_base = 3 + n_big + 29 + 4 * n_events
+    for k in range(n_state - n_big):
+        aliases[tg_in_base + k] = n_big + k
 
     return pl.pallas_call(
         kernel,
@@ -592,17 +715,23 @@ def _build_remap_fields(vec_s, events, dtype):
     in the kernel dtype (exact for node counts << 2^24)."""
     b, ns = vec_s.shape
     m1 = ns - 1
+    c_ids = jnp.arange(ns, dtype=jnp.int32)[None, :, None]   # [1, c, 1]
     fields = []
     for amount, pct in events:
         new_s = vec_s * (1.0 - pct) - amount            # [B, i]
-        # first strictly-greater index as a comparison count (vectorized;
-        # vmapped searchsorted scalarizes on TPU)
+        # first strictly-greater index as a comparison count, and the
+        # grid values at lo/idx as one-hot contractions — vectorized:
+        # both vmapped searchsorted AND take_along_axis scalarize into
+        # per-lane gathers on TPU (measured ~2 ms for 4 events at B=512,
+        # vs ~0.2 ms for the one-hot forms)
         idx = jnp.sum(vec_s[:, :, None] <= new_s[:, None, :],
                       axis=1).astype(jnp.int32)
         idx = jnp.where(idx > m1, 0, idx)
         lo = jnp.maximum(idx - 1, 0)
-        s_lo = jnp.take_along_axis(vec_s, lo, 1)
-        s_hi = jnp.take_along_axis(vec_s, idx, 1)
+        oh_lo = (c_ids == lo[:, None, :]).astype(dtype)       # [B, c, i]
+        oh_hi = (c_ids == idx[:, None, :]).astype(dtype)
+        s_lo = jnp.sum(vec_s[:, :, None] * oh_lo, axis=1)
+        s_hi = jnp.sum(vec_s[:, :, None] * oh_hi, axis=1)
         w = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
         valid = (new_s > 0.0).astype(dtype)
         is_left = idx == 0        # left extrapolation: copy column 0
@@ -644,40 +773,20 @@ def _chunk_dividend_plan(solver, dividends):
     return chunks
 
 
-def fused_price_batch(
-    spec: GridSpec,
-    solver: SolverConfig,
-    strikes: jnp.ndarray,
-    s0,
-    kappa, eta, sigma, rho, v0, r_d, r_f,
-    american: bool = False,
-    dividends: Optional[DividendSchedule] = None,
-    interpret: bool = False,
-    unroll: bool = False,
-) -> jnp.ndarray:
-    """Drop-in replacement for models.douglas.price_batch running the time
-    loop in the fused Pallas kernel. Jit-wrap the caller."""
-    b = strikes.shape[0]
-    tile = pick_tile(spec, b, jnp.dtype(
-        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-    ).itemsize)
-    n_tiles = -(-b // tile)
-    pad = n_tiles * tile - b
-    strikes_p = jnp.concatenate(
-        [strikes, jnp.broadcast_to(strikes[-1:], (pad,))]) if pad else strikes
-
+def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
+              r_d, r_f):
+    """Build every kernel input field (batch-last, s-major) plus the
+    extraction indices for a padded strike vector."""
     (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
                           rho, v0, r_d, r_f)
-    dtype = u0.dtype
-    nv, ns = spec.m2 + 1, spec.m1 + 1
 
     # A2 implicit factorization once in XLA (small 1-D bands); the A1
     # Thomas factorization happens inside the kernel (scratch)
     a2_fac = jax.vmap(banded.penta_factor)(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2)
 
-    # batch goes LAST (the lane axis); the pallas grid walks TILE-blocks.
+    # batch goes LAST (the lane axis); the pallas grid walks tile-blocks.
     # Big fields are s-major in the kernel: [s, v, options].
     def tiles3(x):   # [B, nv, ns] -> [ns, nv, B]
         return jnp.transpose(x, (2, 1, 0))
@@ -705,47 +814,176 @@ def fused_price_batch(
         b1v=tiles1(b1val), b2r=tiles2(b2row),
         vecs=tiles2(vec_s), kk=tiles1(strikes_p),
     )
+    return fields, vec_s, idx_s, idx_v
 
-    inv_keys = ["a1pl", "a1ql", "a1pd", "a1qd", "a1pu", "a1qu", "vfl",
-                "sfac", "vfac",
-                "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
-                "al2", "al1", "ad", "au1", "au2",
-                "pgm", "phm", "pm", "pc", "pc2",
-                "b1v", "b2r", "vecs", "kk"]
-    inv = [fields[k] for k in inv_keys]
-    rfa = jnp.asarray([r_f], dtype)
 
+_INV_KEYS = ("a1pl", "a1ql", "a1pd", "a1qd", "a1pu", "a1qu", "vfl",
+             "sfac", "vfac",
+             "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
+             "al2", "al1", "ad", "au1", "au2",
+             "pgm", "phm", "pm", "pc", "pc2",
+             "b1v", "b2r", "vecs", "kk")
+
+# per-tangent 2-D field keys consumed by the forward-mode kernel, in the
+# kernel's expected order (all parameter-dependent discretization data)
+_TANGENT_KEYS = ("vfl", "sfac", "vfac", "bvm", "bv0", "bvp",
+                 "al2", "al1", "ad", "au1", "au2")
+
+
+def _pad_strikes(spec, strikes, n_tangents=0):
+    b = strikes.shape[0]
+    dtype_bytes = jnp.dtype(
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    ).itemsize
+    tile = pick_tile(spec, b, dtype_bytes, n_tangents)
+    n_tiles = -(-b // tile)
+    pad = n_tiles * tile - b
+    strikes_p = jnp.concatenate(
+        [strikes, jnp.broadcast_to(strikes[-1:], (pad,))]) if pad else strikes
+    return strikes_p, tile, n_tiles
+
+
+def _run_chunks(spec, solver, american, dividends, dtype, interpret,
+                unroll, n_tiles, tile, fields, vec_s, tangents=()):
+    """Run the (possibly dividend-segmented) time loop as chunk launches.
+    `tangents`: optional list of K dicts of 2-D tangent fields (keys =
+    _TANGENT_KEYS) plus state tangents are taken as zeros. Returns
+    (u, lam, [du_k...])."""
+    K = len(tangents)
+    inv = [fields[k] for k in _INV_KEYS]
+    rfa = jnp.asarray([fields["rf_val"]], dtype)
     u = fields["u"]
     lam = fields["lam"]
+    dus = [jnp.zeros_like(u) for _ in range(K)]
+    dlams = [jnp.zeros_like(u) for _ in range(K)] if american else []
+    tg = [t[k] for t in tangents for k in _TANGENT_KEYS]
+
+    def unpack_outs(outs):
+        outs = list(outs)
+        u_ = outs.pop(0)
+        lam_ = outs.pop(0) if american else None
+        dus_ = [outs.pop(0) for _ in range(K)]
+        dlams_ = [outs.pop(0) for _ in range(K)] if american else []
+        return u_, lam_, dus_, dlams_
+
+    def state_args():
+        return ([u, lam] if american else [u]) + dus + dlams
+
     if dividends is not None and len(dividends) > 0:
-        # run the schedule as plan-chunk launches (one for the golden
-        # 4-event schedule); the re-maps happen IN-KERNEL from compact
-        # rank-structured fields
         n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
         n1a = jnp.asarray([0], jnp.int32)
         for plan, events in _chunk_dividend_plan(solver, dividends):
             rmf = _build_remap_fields(vec_s, events, dtype)
-            r_args = [tiles2(f) for ev in rmf for f in ev]
+            r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
             chunk_call = _segment_call(
                 spec.m1, spec.m2, solver.theta, solver.delta_t, american,
                 dtype.name, interpret, unroll, plan, len(events),
-                n_tiles, tile)
-            if american:
-                u, lam = chunk_call(n0a, n1a, rfa, u, lam, *inv, *r_args)
-            else:
-                (u,) = chunk_call(n0a, n1a, rfa, u, *inv, *r_args)
+                n_tiles, tile, K)
+            sa = state_args()
+            outs = chunk_call(n0a, n1a, rfa, sa[0],
+                              *( [sa[1]] if american else [] ), *inv,
+                              *r_args, *sa[(2 if american else 1):], *tg)
+            u, lam, dus, dlams = unpack_outs(outs)
+            if not american:
+                lam = fields["lam"]
     else:
         call = _segment_call(spec.m1, spec.m2, solver.theta,
                              solver.delta_t, american, dtype.name,
-                             interpret, unroll, n_tiles=n_tiles, tile=tile)
+                             interpret, unroll, n_tiles=n_tiles, tile=tile,
+                             n_tangents=K)
         n0a = jnp.asarray([1], jnp.int32)
         n1a = jnp.asarray([solver.n_steps + 1], jnp.int32)
-        if american:
-            u, lam = call(n0a, n1a, rfa, u, lam, *inv)
-        else:
-            (u,) = call(n0a, n1a, rfa, u, *inv)
+        sa = state_args()
+        outs = call(n0a, n1a, rfa, sa[0],
+                    *( [sa[1]] if american else [] ), *inv,
+                    *sa[(2 if american else 1):], *tg)
+        u, lam, dus, dlams = unpack_outs(outs)
+    return u, lam, dus
 
-    # price extraction: U[idx_s, idx_v] per option (s-major layout)
-    u_bf = jnp.moveaxis(u, -1, 0)                     # [B, ns, nv]
-    prices = jax.vmap(lambda ub, iv, is_: ub[is_, iv])(u_bf, idx_v, idx_s)
+
+def _extract(u, idx_s, idx_v, b):
+    """Price extraction U[idx_s, idx_v] per option (s-major layout) as a
+    one-hot contraction — a vmapped scalar gather scalarizes into
+    per-option loads on TPU."""
+    ns, nv, bp = u.shape
+    mask_s = (jnp.arange(ns, dtype=idx_s.dtype)[:, None]
+              == idx_s[None, :bp]).astype(u.dtype)          # [ns, B]
+    mask_v = (jnp.arange(nv, dtype=idx_v.dtype)[:, None]
+              == idx_v[None, :bp]).astype(u.dtype)          # [nv, B]
+    prices = jnp.sum(jnp.sum(u * mask_v[None, :, :], axis=1)
+                     * mask_s, axis=0)                      # [B]
     return prices[:b]
+
+
+def fused_price_batch(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: jnp.ndarray,
+    s0,
+    kappa, eta, sigma, rho, v0, r_d, r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    interpret: bool = False,
+    unroll: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for models.douglas.price_batch running the time
+    loop in the fused Pallas kernel. Jit-wrap the caller."""
+    b = strikes.shape[0]
+    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes)
+    fields, vec_s, idx_s, idx_v = _assemble(
+        spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f)
+    dtype = fields["u"].dtype
+    fields["rf_val"] = r_f
+    u, _, _ = _run_chunks(spec, solver, american, dividends, dtype,
+                          interpret, unroll, n_tiles, tile, fields, vec_s)
+    return _extract(u, idx_s, idx_v, b)
+
+
+def fused_theta_jacobian(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: jnp.ndarray,
+    s0,
+    theta_vec: jnp.ndarray,       # (5,) = (kappa, eta, sigma, rho, v0)
+    r_d, r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    interpret: bool = False,
+    unroll: bool = False,
+):
+    """(base_prices [B], jacobian [B, 5]) via EXACT forward-mode AD
+    through the fused kernel: XLA differentiates the field preparation
+    (grid/operator assembly) for the five parameter directions, and the
+    forward-mode kernel variant carries all five tangent surfaces through
+    the time loop alongside the primal in ONE launch — the Pallas
+    counterpart of calibrate_device's jacobian_mode='ad'
+    (ref: src/jacobian_computation.cpp:204-364 runs 6 bumped solves
+    instead)."""
+    b = strikes.shape[0]
+    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes, n_tangents=5)
+
+    def prep(tv):
+        return _assemble(spec, solver, strikes_p, s0, tv[0], tv[1], tv[2],
+                         tv[3], tv[4], r_d, r_f)
+
+    fields, vec_s, idx_s, idx_v = prep(theta_vec)
+    dtype = fields["u"].dtype
+    fields["rf_val"] = r_f
+
+    def prep_tangent_fields(tv):
+        f, _, _, _ = prep(tv)
+        return tuple(f[k] for k in _TANGENT_KEYS)
+
+    # d(fields)/d(theta): each leaf gains a trailing (5,) axis
+    dfields = jax.jacfwd(prep_tangent_fields)(theta_vec.astype(dtype))
+    tangents = [
+        {k: jnp.moveaxis(leaf, -1, 0)[kk]
+         for k, leaf in zip(_TANGENT_KEYS, dfields)}
+        for kk in range(5)
+    ]
+    u, _, dus = _run_chunks(spec, solver, american, dividends, dtype,
+                            interpret, unroll, n_tiles, tile, fields,
+                            vec_s, tangents)
+    base = _extract(u, idx_s, idx_v, b)
+    jac = jnp.stack([_extract(du, idx_s, idx_v, b) for du in dus], axis=-1)
+    return base, jac

@@ -68,3 +68,62 @@ def test_fused_kernel_multi_tile(params):
         lambda k: fused_do.fused_price_batch(
             SPEC, SOLVER, k, *args, interpret=True, **kw))(ks))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+])
+def test_fused_theta_jacobian_matches_xla_ad(params, kw):
+    """Forward-mode AD THROUGH the fused kernel == jax.jacfwd through the
+    XLA path, in f64 (the kernel carries all 5 tangent surfaces through
+    the time loop; solves reuse the primal factorization via
+    dx = T^-1 (dr - dT x)). Covers American LCP tangents (maximum-JVP
+    tie handling) and the linear dividend re-map of tangents."""
+    p = params
+    tv = jnp.array([p.kappa, p.eta, p.sigma, p.rho, p.v0],
+                   dtype=jnp.float64)
+    ks = jnp.linspace(85.0, 115.0, 6, dtype=jnp.float64)
+
+    def price_xla(t):
+        def one(k):
+            return douglas.price_option(
+                SPEC, SOLVER, k, 100.0, t[0], t[1], t[2], t[3], t[4],
+                p.r_d, p.r_f, **kw)
+        return jax.vmap(one)(ks)
+
+    want_base = np.array(price_xla(tv))
+    want_jac = np.array(jax.jacfwd(price_xla)(tv))
+    base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
+        SPEC, SOLVER, ks, 100.0, t, p.r_d, p.r_f, interpret=True, **kw))(tv)
+    np.testing.assert_allclose(np.array(base), want_base, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
+
+
+def test_calibrate_device_pallas_engine_matches_scan(params):
+    """The fully on-chip LM with solver_engine='pallas' (fused AD Jacobian
+    + fused trial pricing) reproduces the scan-engine run to roundoff —
+    the flagship calibration path now exercises the Pallas kernel for
+    both the Jacobian fleet and the trial solves."""
+    import dataclasses
+
+    from heston_tpu.config import CalibrationConfig
+    from heston_tpu.models import bs, calibration as calib
+
+    p = params
+    spec = GridSpec(m1=12, m2=8)
+    strikes = jnp.linspace(85.0, 115.0, 8)
+    market = bs.generate_market_data(100.0, 1.0, p.r_d, strikes)
+    init = jnp.array([1.2, 0.05, 0.4, -0.5, 0.05])
+    cfg = CalibrationConfig(max_iter=6, tol=1e-10, jacobian_mode="ad")
+    res = {}
+    for eng in ("scan", "pallas"):
+        solver = SolverConfig(n_steps=6, a2_variant="upwind",
+                              solver_engine=eng)
+        tv, info = calib.calibrate_device(
+            spec, solver, strikes, market, 100.0, init, p.r_d, p.r_f,
+            cfg=cfg, american=True)
+        res[eng] = np.asarray(tv)
+    np.testing.assert_allclose(res["pallas"], res["scan"], rtol=0,
+                               atol=1e-10)
