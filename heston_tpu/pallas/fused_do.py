@@ -10,22 +10,25 @@ latency. The reference achieves the same effect on GPU by running the whole
 time loop inside one thread-team (ref: src/device_solver.hpp:196-266); this
 is the TPU-native equivalent.
 
-Layout: batch in the LANE dimension (tile = 128 options), s on the OUTER
-axis, v on the sublane axis: all big fields are [m1+1, m2+1, 128]
-(s, v, options). Why s-major: the tridiagonal sweep along s is the
-longest sequential recurrence (m1+1 iterations, twice per step), and
-slicing the outer axis yields dense [m2+1, 128] vector blocks — slicing
-a SUBLANE axis instead (round-1 layout) wastes 7/8 of every vector
-register on a 1-sublane strip and made the sweeps ~4x slower. The
-pentadiagonal sweep along v gets the same outer-axis treatment by
-staging its rhs through a small [m2+1, m1+1, 128] transpose scratch
-(2 in-kernel transposes per step, far cheaper than sublane-strip
-sweeps). unroll=True switches the sweeps to fully static unrolled form
-(identical runtime on v5e but ~7x slower to compile).
+Layout: batch in the LANE dimension (tile auto-sized 128..1024 options),
+s on the OUTER axis, v on the sublane axis: big fields are
+[m1+1, m2+1, tile] (s, v, options). Why s-major: the tridiagonal sweep
+along s is the longest sequential recurrence (m1+1 iterations, twice per
+step), and slicing the outer axis yields dense [m2+1, tile] vector
+blocks — slicing a SUBLANE axis instead (round-1 layout) wastes 7/8 of
+every vector register on a 1-sublane strip. The pentadiagonal sweep
+along v gets the same outer-axis treatment by staging its rhs through a
+v-major transpose scratch (2 in-kernel transposes per step). unroll=True
+switches the sweeps to fully static unrolled form (identical runtime on
+v5e but ~7x slower to compile).
 
-VMEM economy (the v5e budget is 16 MiB):
-  * only U / lambda / payoff and the three A1 bands are full 3-D fields;
-    both implicit factorizations are computed in-kernel into scratch,
+VMEM economy (v5e physical VMEM is well beyond the compiler's 16 MiB
+default scoped cap — the kernel raises it via CompilerParams and the
+golden grid m1=100, m2=75 runs fused with a ~54 MiB working set):
+  * only U / lambda (and the K tangent surfaces in forward mode) are
+    full 3-D fields; the A1 bands are carried in their exact rank-2 form
+    v_j*P[i] + Q[i] (six [ns, tile] fields; the implicit rows and the
+    Thomas factorization are derived in-kernel into scratch),
   * A0's coefficient rho*sigma*s*v is applied as a separable outer product
     of two 2-D fields,
   * the boundary vectors b1/b2 are injected DURING the solve sweeps from
@@ -34,14 +37,19 @@ VMEM economy (the v5e budget is 16 MiB):
     ref: src/BoundaryConditions.hpp:70-80),
   * dividend re-maps run IN-KERNEL: each event's linear re-map matrix has
     <= 2 nonzeros per output column (linear interpolation,
-    ref: src/solver.hpp:382-425), so it is carried as four [ns, TILE]
+    ref: src/solver.hpp:382-425), so it is carried as four [ns, tile]
     fields (two source indices + two weights) and the matrix row for
-    source column c is reconstructed on the fly during the contraction —
-    ~50x less VMEM than the dense [ns, ns, TILE] form,
-  * batch tiles are iterated by the PALLAS GRID (single kernel launch for
-    the whole batch, Mosaic pipelining the per-tile HBM loads) rather
-    than an outer lax.map of per-tile launches — per-launch overhead was
-    the dominant cost of the multi-launch form.
+    source column c is reconstructed on the fly during the contraction,
+  * batch tiles are iterated by the PALLAS GRID within one launch.
+
+Forward-mode AD: _make_kernel(n_tangents=K) carries K tangent surfaces
+through the loop (see fused_theta_jacobian) — tangent solves reuse the
+primal factorizations via dx = T^-1 (dr - dT x), so the flagship
+calibration's exact 5-parameter Jacobian is ONE kernel launch.
+
+TPU perf traps encoded here (measured on this v5e): vmapped scalar
+gathers / take_along_axis / searchsorted all scalarize per lane — every
+index operation is a comparison-count or one-hot contraction instead.
 """
 
 from __future__ import annotations
@@ -211,22 +219,28 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         n0 = n0_ref[0]
         n1 = n1_ref[0]
 
-        # The implicit A1 bands are RANK-2 in (s, v):
+        # The A1 bands are RANK-2 in (s, v):
         #   band[i, j] = v_j * P[i] + Q[i]
         # (exact: A1 = 0.5 s^2 v delta + (r_d - r_f) s beta - r_d/2, the
         # only v dependence is the linear diffusion coefficient;
-        # ref: src/hes_mat_fac.cpp:61-91). Bands are therefore carried as
-        # six [ns, T] fields + the raw v-grid [nv, T] and rows/full fields
-        # are reconstructed on the fly — 3 full 3-D VMEM inputs saved, and
-        # the AD/tangent kernel gets 2-D band tangents for free.
+        # ref: src/hes_mat_fac.cpp:61-91). The EXPLICIT bands are carried
+        # as six [ns, T] fields + the raw v-grid [nv, T]; the implicit
+        # rows I - td*A1 are derived in-kernel (same arithmetic as the
+        # XLA assembly — and the explicit multiply avoids the f32
+        # cancellation of reconstructing td*A1u as u - (I - td*A1)u).
         vfull = vfl_ref[:]                                  # [nv, T]
 
         def a1row(p_ref, q_ref, i):
-            """Implicit-band row i as a dense [nv, T] block."""
+            """Explicit-band row i as a dense [nv, T] block."""
             return vfull * p_ref[i][None, :] + q_ref[i][None, :]
 
+        def a1row_imp(p_ref, q_ref, i, diag=False):
+            """Implicit (I - td*A1) band row i."""
+            row = -td * a1row(p_ref, q_ref, i)
+            return row + 1.0 if diag else row
+
         def a1full(p_ref, q_ref):
-            """Whole implicit band as [ns, nv, T]."""
+            """Whole explicit band as [ns, nv, T]."""
             return (vfull[None, :, :] * p_ref[:][:, None, :]
                     + q_ref[:][:, None, :])
 
@@ -235,14 +249,14 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         # Runs once per tile — and again after dividend re-maps, which
         # borrow w_ref as their accumulator.
         def factorize():
-            t0 = a1row(a1pd_ref, a1qd_ref, 0)
+            t0 = a1row_imp(a1pd_ref, a1qd_ref, 0, diag=True)
             itmp_ref[0] = 1.0 / t0
             w_ref[0] = jnp.zeros_like(t0)
 
             def fac_body(i, temp_prev):
-                wi = a1row(a1pl_ref, a1ql_ref, i) / temp_prev
-                temp = (a1row(a1pd_ref, a1qd_ref, i)
-                        - wi * a1row(a1pu_ref, a1qu_ref, i - 1))
+                wi = a1row_imp(a1pl_ref, a1ql_ref, i) / temp_prev
+                temp = (a1row_imp(a1pd_ref, a1qd_ref, i, diag=True)
+                        - wi * a1row_imp(a1pu_ref, a1qu_ref, i - 1))
                 w_ref[i] = wi
                 itmp_ref[i] = 1.0 / temp
                 return temp
@@ -292,7 +306,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     + wp[None, :, :] * _shift_v(x, 1))
 
         def a1mul(x):
-            """Implicit A1 tridiagonal multiply (full field)."""
+            """Explicit A1 tridiagonal multiply (full field)."""
             return (a1full(a1pl_ref, a1ql_ref) * _shift_s(x, -1)
                     + a1full(a1pd_ref, a1qd_ref) * x
                     + a1full(a1pu_ref, a1qu_ref) * _shift_s(x, 1))
@@ -317,7 +331,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 d_ref[ns - 1] = xnext
                 for i in range(ns - 2, -1, -1):
                     xnext = (d_ref[i]
-                             - a1row(a1pu_ref, a1qu_ref, i) * xnext
+                             - a1row_imp(a1pu_ref, a1qu_ref, i) * xnext
                              ) * itmp_ref[i]
                     d_ref[i] = xnext
             else:
@@ -332,7 +346,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 def tri_bwd(k, xnext):
                     i = ns - 2 - k
                     xnew = (d_ref[i]
-                            - a1row(a1pu_ref, a1qu_ref, i) * xnext
+                            - a1row_imp(a1pu_ref, a1qu_ref, i) * xnext
                             ) * itmp_ref[i]
                     d_ref[i] = xnew
                     return xnew
@@ -396,15 +410,15 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             kb2a = dt * e0                   # b2 coefficient entering rhs1
             kb2b = td * (e1 - e0)            # b2 coefficient entering rhs2
 
-            # rhs1 built with minimal live intermediates:
-            #   rhs1 = u + dt*a0r + (dt-td)*a1r + dt*a2r [+ dt*lam] + bnd
-            # with a1r = (u - M u)/td  =>  (dt-td)*a1r = c1*(u - M u)
-            c1 = (dt - td) / td
+            # rhs1 = u + dt*a0r + (dt-td)*a1r + dt*a2r [+ dt*lam] + bnd
+            # (explicit A1 bands directly — the round-1 (u - M u)/td
+            # reconstruction cancels catastrophically in f32)
+            c1e = dt - td
             # accumulate rhs1 in the solve workspace ref to cap live temps
             dsu = ds_of(u)
             d_ref[:] = dt * (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
                 dsu, bvm, bv0, bvp)
-            d_ref[:] = d_ref[:] + ((1.0 + c1) * u - c1 * a1mul(u))
+            d_ref[:] = d_ref[:] + (u + c1e * a1mul(u))
             # A2 applied explicitly (a2r stays live for rhs2)
             a2r = a2mul(u, l2b, l1b, db, u1b, u2b)
             # boundary injections as rank-1 full-array adds
@@ -437,8 +451,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  dal2, dal1, dad, dau1, dau2) = [r[:] for r in tg_refs[k]]
                 du = dus[k]
 
-                def mt(x, dvfl=dvfl):
-                    """Tangent implicit-A1 multiply: d(band) = dvfl x P
+                def mt_exp(x, dvfl=dvfl):
+                    """Tangent EXPLICIT-A1 multiply: d(band) = dvfl x P
                     (P/Q are parameter-independent)."""
                     return ((dvfl[None, :, :] * a1pl_ref[:][:, None, :])
                             * _shift_s(x, -1)
@@ -457,12 +471,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                        * dv_of(dsu, bvm, bv0, bvp)
                        + c_a0 * dv_of(dsu, dbvm, dbv0, dbvp)
                        + c_a0 * dv_of(ds_of(du), bvm, bv0, bvp))
-                trhs = (dt * a0t + (1.0 + c1) * du
-                        - c1 * (mt(u) + a1mul(du)) + dt * a2t)
+                trhs = (dt * a0t + du
+                        + c1e * (mt_exp(u) + a1mul(du)) + dt * a2t)
                 if american:
                     trhs = trhs + dt * dlams[k]
-                # boundary tangents are zero for parameter directions
-                d_ref[:] = trhs - mt(y1v)
+                # boundary tangents are zero for parameter directions;
+                # d(I - td*A1) = -td * dA1
+                d_ref[:] = trhs + td * mt_exp(y1v)
                 tri_solve()
                 # tangent penta: rhs = dy1 - td*a2t + td * dA2(u_bar)
                 e_ref[:] = jnp.swapaxes(
@@ -667,12 +682,12 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         scol = scol.at[0].set(0.0).at[-1].set(0.0)
         vrow = g.vec_v
         vrow = vrow.at[0].set(0.0).at[-1].set(0.0)
-        # rank-2 form of the implicit A1 bands (I - td*A1)[i, j] =
-        # vec_v[j] * P[i] + Q[i]; see the kernel's a1row/a1full. Boundary
-        # rows: row 0 is identity, row m1 keeps only the -r_d/2 reaction
-        # (ref: src/hes_mat_fac.cpp:61-91).
+        # rank-2 form of the EXPLICIT A1 bands: A1[i, j] =
+        # vec_v[j] * P[i] + Q[i]; the kernel derives the implicit rows
+        # I - td*A1 itself (a1row_imp). Boundary rows: row 0 zero (its
+        # implicit row is identity), row m1 keeps only the -r_d/2
+        # reaction (ref: src/hes_mat_fac.cpp:61-91).
         m1 = spec.m1
-        td = solver.theta * solver.delta_t
         h0 = g.dels[: m1 - 1]
         h1 = g.dels[1:m1]
         dm, d0, dp = coeff.w_delta(h0, h1)
@@ -686,13 +701,12 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                 [jnp.full((1,), left, dtype), mid,
                  jnp.full((1,), right, dtype)])
 
-        a1pl = cat(0.0, -td * a * dm, 0.0)
-        a1ql = cat(0.0, -td * bb * bm, 0.0)
-        a1pd = cat(0.0, -td * a * d0, 0.0)
-        a1qd = cat(1.0, 1.0 - td * (bb * b0 - 0.5 * r_d),
-                   1.0 + td * 0.5 * r_d)
-        a1pu = cat(0.0, -td * a * dp, 0.0)
-        a1qu = cat(0.0, -td * bb * bp, 0.0)
+        a1pl = cat(0.0, a * dm, 0.0)
+        a1ql = cat(0.0, bb * bm, 0.0)
+        a1pd = cat(0.0, a * d0, 0.0)
+        a1qd = cat(0.0, bb * b0 - 0.5 * r_d, -0.5 * r_d)
+        a1pu = cat(0.0, a * dp, 0.0)
+        a1qu = cat(0.0, bb * bp, 0.0)
         # boundary data: b1 scalar + bottom-row values
         efac = jnp.exp(jnp.asarray(
             -r_f * solver.delta_t * (solver.n_steps - 1), dtype))
