@@ -132,7 +132,7 @@ def _device_time_per_call(fn, example, reps: int = 50, samples: int = 3):
         def body(carry, i):
             xi = x * (1.0 + (i.astype(x.dtype) + carry) * 1e-7)
             out = fn(xi)
-            return jnp.real(out.ravel()[0]) * 1e-12, ()
+            return (out.ravel()[0] * 1e-12).astype(x.dtype), ()
 
         c, _ = lax.scan(body, jnp.zeros((), x.dtype),
                         jnp.arange(reps, dtype=jnp.int32))

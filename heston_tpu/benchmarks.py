@@ -29,11 +29,27 @@ from heston_tpu.utils import io as hio
 DEFAULT_INSTANCES = (1, 10, 20, 50, 100, 200, 300, 500)
 
 
-def _timed(fn, reps: int = 10):
-    np.array(fn())                       # compile + sync
+def _timed(pricer, strikes, reps: int = 10):
+    """Per-batch device time with the reps chained inside one jitted
+    lax.scan — a single jitted-call dispatch costs ~1.4 ms of host time
+    on this machine's TPU tunnel, so a Python rep loop measures the host
+    for anything faster (see bench.py::_device_time_per_call)."""
+    from jax import lax
+
+    @jax.jit
+    def run_many(x):
+        def body(carry, i):
+            xi = x * (1.0 + (i.astype(x.dtype) + carry) * 1e-7)
+            out = pricer(xi)
+            return (out.ravel()[0] * 1e-12).astype(x.dtype), ()
+
+        c, _ = lax.scan(body, jnp.zeros((), x.dtype),
+                        jnp.arange(reps, dtype=jnp.int32))
+        return c
+
+    np.array(run_many(strikes))          # compile + sync
     t0 = time.perf_counter()
-    outs = [fn() for _ in range(reps)]
-    np.array(outs[-1])                   # device fence via host fetch
+    np.array(run_many(strikes))
     return (time.perf_counter() - t0) / reps
 
 
@@ -55,13 +71,13 @@ def run_sweep(
     if engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        pricer = jax.jit(lambda ks: fused_do.fused_price_batch(
+        pricer = lambda ks: fused_do.fused_price_batch(
             spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
-            p.r_d, p.r_f, american=american, dividends=dividends))
+            p.r_d, p.r_f, american=american, dividends=dividends)
     else:
-        pricer = jax.jit(lambda ks: douglas.price_batch(
+        pricer = lambda ks: douglas.price_batch(
             spec, solver, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
-            p.r_d, p.r_f, american=american, dividends=dividends))
+            p.r_d, p.r_f, american=american, dividends=dividends)
 
     # arch tag, the analog of the reference's cudaGetDeviceProperties
     # filename tagging (ref: src/perfomance_test.cpp:507-534)
@@ -69,7 +85,7 @@ def run_sweep(
     rows = []
     for n in instances:
         strikes = jnp.linspace(70.0, 130.0, n, dtype=dtype)
-        t = _timed(lambda: pricer(strikes), reps)
+        t = _timed(pricer, strikes, reps)
         rows.append(dict(m1=spec.m1, m2=spec.m2, n_steps=solver.n_steps,
                          instances=n, total_runtime_s=t,
                          device=device_kind))
