@@ -356,7 +356,7 @@ def price_batch(
 
     solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
     (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path."""
-    if solver.solver_engine == "pallas":
+    if solver.solver_engine == "pallas" and solver.scheme == "do":
         from heston_tpu.pallas import fused_do
 
         if fused_do.fits_vmem(spec):

@@ -65,11 +65,32 @@ def _local_prices(spec, solver, american, dividends, ks, tv, s0, r_d, r_f):
 
 
 def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
+    if solver.solver_engine == "pallas" and solver.scheme == "do":
+        from heston_tpu.pallas import fused_do
+
+        if fused_do.fits_vmem(spec):
+            # exact forward-mode AD through the fused kernel, one launch
+            # per shard (the distributed analog of
+            # calibrate_device(jacobian_mode='ad'))
+            interp = jax.default_backend() == "cpu"
+            base, jac = fused_do.fused_theta_jacobian(
+                spec, solver, ks, s0, jnp.asarray(tv), r_d, r_f,
+                american=american, dividends=dividends, interpret=interp)
+            return jac, base
     pmat = _bumped_param_matrix(tv, eps)  # (6, 5)
-    prices = jax.vmap(
-        lambda pv: _local_prices(spec, solver, american, dividends,
-                                 ks, pv, s0, r_d, r_f)
-    )(pmat)                                # (6, B_local)
+    if solver.solver_engine == "pallas":
+        # pallas_call has no batching rule for the bump vmap — run the
+        # bumps as sequential in-graph launches
+        prices = jnp.stack([
+            _local_prices(spec, solver, american, dividends,
+                          ks, pmat[i], s0, r_d, r_f)
+            for i in range(N_PARAMS + 1)
+        ])                                 # (6, B_local)
+    else:
+        prices = jax.vmap(
+            lambda pv: _local_prices(spec, solver, american, dividends,
+                                     ks, pv, s0, r_d, r_f)
+        )(pmat)                            # (6, B_local)
     base = prices[0]
     jac = ((prices[1:] - base[None, :]) / eps).T
     return jac, base
@@ -83,6 +104,8 @@ def _price_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
         mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=P(AXIS),
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -95,6 +118,7 @@ def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
         mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -118,6 +142,7 @@ def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P(), P(), P(), P()),
         out_specs=(P(), P(AXIS), P()),
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -102,3 +102,22 @@ def test_tracking_matches_plain_run(params):
     # lambda vanishes at the s_max column every step (ref: the stability
     # clamp at src/device_solver.hpp:935-939)
     assert float(jnp.max(jnp.abs(lambdas[1:, :, -1]))) == 0.0
+
+
+def test_pallas_engine_respects_scheme(params):
+    """engine='pallas' must NOT silently run the Douglas kernel for
+    CS/MCS configs — those schemes fall back to the XLA stepper."""
+    import numpy as np
+    from heston_tpu.models import douglas
+
+    p = params
+    spec = GridSpec(m1=20, m2=10)
+    ks = jnp.array([95.0, 105.0])
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    for scheme in ("cs", "mcs"):
+        want = np.array(douglas.price_batch(
+            spec, SolverConfig(n_steps=4, scheme=scheme), ks, *args))
+        got = np.array(douglas.price_batch(
+            spec, SolverConfig(n_steps=4, scheme=scheme,
+                               solver_engine="pallas"), ks, *args))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)

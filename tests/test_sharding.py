@@ -88,3 +88,27 @@ def test_sharded_pricing_fns_match_plain(params, mesh):
                                atol=1e-9)
     np.testing.assert_allclose(np.array(b_sh), np.array(b), rtol=0,
                                atol=1e-12)
+
+
+def test_sharded_fused_ad_jacobian_matches_single_device(params, mesh):
+    """solver_engine='pallas' on a sharded book: each device runs the
+    fused kernel (exact AD Jacobian through it) on its shard; the
+    distributed result equals the single-device fused Jacobian to
+    roundoff."""
+    import dataclasses
+
+    from heston_tpu.pallas import fused_do
+
+    solver_p = dataclasses.replace(SOLVER, solver_engine="pallas")
+    strikes = jnp.linspace(80.0, 120.0, 16)
+    tv = _theta(params)
+    jac_fn, price_fn = sharded_pricing_fns(mesh)
+    j_sh, b_sh = jac_fn(SPEC, solver_p, strikes, 100.0, tv,
+                        params.r_d, params.r_f, american=True)
+    b, j = fused_do.fused_theta_jacobian(
+        SPEC, solver_p, strikes, 100.0, tv, params.r_d, params.r_f,
+        american=True, interpret=True)
+    np.testing.assert_allclose(np.array(b_sh), np.array(b), rtol=0,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.array(j_sh), np.array(j), rtol=0,
+                               atol=1e-10)
