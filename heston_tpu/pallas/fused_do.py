@@ -65,7 +65,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
 from heston_tpu.models import douglas
-from heston_tpu.ops import banded
 from heston_tpu.ops import coeff
 from heston_tpu.ops import grid as gridmod
 from heston_tpu.ops import operators
@@ -194,9 +193,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
          vfl_ref, sfac_ref, vfac_ref,
          bsm_ref, bs0_ref, bsp_ref, bvm_ref, bv0_ref, bvp_ref,
          al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
-         pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref,
-         b1v_ref, b2r_ref, vecs_ref, kk_ref) = rest[:29]
-        rest = rest[29:]
+         b1v_ref, b2r_ref, vecs_ref, kk_ref) = rest[:24]
+        rest = rest[24:]
         r_refs = rest[:4 * n_events]
         rest = rest[4 * n_events:]
         du_refs = rest[:K]
@@ -213,7 +211,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         lamo_ref = rest.pop(0) if american else None
         duo_refs = [rest.pop(0) for _ in range(K)]
         dlamo_refs = [rest.pop(0) for _ in range(K)] if american else []
-        (w_ref, itmp_ref, d_ref, e_ref) = rest
+        (w_ref, itmp_ref, d_ref, e_ref,
+         pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref) = rest
 
         rf = rf_ref[0]
         n0 = n0_ref[0]
@@ -262,8 +261,6 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 return temp
             lax.fori_loop(1, ns, fac_body, t0)
 
-        factorize()
-
         # loop-invariant 2-D fields
         sfac = sfac_ref[:]              # [ns, T] rho*sigma*s (interior mask)
         vfac = vfac_ref[:]              # [nv, T] v (interior mask)
@@ -294,6 +291,39 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         def bandv(band):
             # a 1-D v band [nv, T] broadcast over the outer s axis
             return band[None, :, :]
+
+        def factorize_penta():
+            """LU-style sweep coefficients of the implicit A2 system
+            I - td*A2, derived from the explicit bands in-kernel (the
+            round-1 design precomputed them with an XLA lax.scan in the
+            field prep, ~26 sequential host-graph ops per call). Exactly
+            banded.penta_factor's recurrence
+            (ref: src/hes_a2_shuffled_kernels.hpp:241-299)."""
+            zrow = jnp.zeros_like(vfull[0])
+            # statically unrolled (nv <= ~150 rows of [T]-wide ops):
+            # dynamic sublane writes on 2-D scratch hit a Mosaic relayout
+            # bug ("non-singleton logical dimension is replicated"),
+            # static indices lower cleanly
+            c1p, c2p, cc1p, cc2p = zrow, zrow, zrow, zrow
+            for j in range(nv):
+                il2 = -td * al2_ref[j]
+                il1 = -td * al1_ref[j]
+                idd = 1.0 - td * ad_ref[j]
+                iu1 = -td * au1_ref[j]
+                iu2 = -td * au2_ref[j]
+                big_l = il1 - il2 * c2p
+                m = 1.0 / (idd - big_l * c1p - il2 * cc2p)
+                c = (iu1 - big_l * cc1p) * m
+                c2 = iu2 * m
+                pc_ref[j] = c
+                pc2_ref[j] = c2
+                pgm_ref[j] = big_l * m
+                phm_ref[j] = il2 * m
+                pm_ref[j] = m
+                c1p, c2p, cc1p, cc2p = c, c1p, c2, cc1p
+
+        factorize()
+        factorize_penta()
 
         def ds_of(x):
             """beta_s first-derivative stencil along s (A0 inner factor)."""
@@ -615,7 +645,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         + [sb_spec()] * 6 + [vb_spec()]      # A1 P/Q bands, vfull
         + [sb_spec(), vb_spec()]             # sfac, vfac
         + [sb_spec()] * 3 + [vb_spec()] * 3  # bs, bv weights
-        + [vb_spec()] * 10                   # a2 bands + penta factors
+        + [vb_spec()] * 5                    # explicit a2 bands
         + [one_spec(), sb_spec()]            # b1v, b2r
         + [sb_spec(), one_spec()]            # vec_s, strike
         + [sb_spec()] * (4 * n_events)       # remap i0/w0/i1/w1 per event
@@ -632,7 +662,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         pltpu.VMEM((ns, nv, tile), dtype),   # 1/temp
         pltpu.VMEM((ns, nv, tile), dtype),   # d (solve workspace)
         pltpu.VMEM((nv, ns, tile), dtype),   # e (v-major penta staging)
-    ]
+    ] + [pltpu.VMEM((nv, tile), dtype)] * 5  # penta factors (in-kernel)
 
     # alias the state through the call: u -> out0 (, lam -> out1), and
     # each tangent carry to its output. Output order: u [, lam],
@@ -641,7 +671,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     aliases = {3: 0}
     if american:
         aliases[4] = 1
-    tg_in_base = 3 + n_big + 29 + 4 * n_events
+    tg_in_base = 3 + n_big + 24 + 4 * n_events
     for k in range(n_state - n_big):
         aliases[tg_in_base + k] = n_big + k
 
@@ -795,11 +825,6 @@ def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
                           rho, v0, r_d, r_f)
 
-    # A2 implicit factorization once in XLA (small 1-D bands); the A1
-    # Thomas factorization happens inside the kernel (scratch)
-    a2_fac = jax.vmap(banded.penta_factor)(
-        ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2)
-
     # batch goes LAST (the lane axis); the pallas grid walks tile-blocks.
     # Big fields are s-major in the kernel: [s, v, options].
     def tiles3(x):   # [B, nv, ns] -> [ns, nv, B]
@@ -823,8 +848,6 @@ def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
         bvm=tiles2(ops.bv_wm), bv0=tiles2(ops.bv_w0), bvp=tiles2(ops.bv_wp),
         al2=tiles2(ops.a2_l2), al1=tiles2(ops.a2_l1), ad=tiles2(ops.a2_d),
         au1=tiles2(ops.a2_u1), au2=tiles2(ops.a2_u2),
-        pgm=tiles2(a2_fac.gm), phm=tiles2(a2_fac.hm), pm=tiles2(a2_fac.m),
-        pc=tiles2(a2_fac.c), pc2=tiles2(a2_fac.c2),
         b1v=tiles1(b1val), b2r=tiles2(b2row),
         vecs=tiles2(vec_s), kk=tiles1(strikes_p),
     )
@@ -835,7 +858,6 @@ _INV_KEYS = ("a1pl", "a1ql", "a1pd", "a1qd", "a1pu", "a1qu", "vfl",
              "sfac", "vfac",
              "bsm", "bs0", "bsp", "bvm", "bv0", "bvp",
              "al2", "al1", "ad", "au1", "au2",
-             "pgm", "phm", "pm", "pc", "pc2",
              "b1v", "b2r", "vecs", "kk")
 
 # per-tangent 2-D field keys consumed by the forward-mode kernel, in the
