@@ -24,12 +24,16 @@ REGIMES = {
 }
 
 
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
 @pytest.mark.parametrize("name", list(REGIMES))
-def test_extreme_regimes_finite_and_ordered(params, name):
+def test_extreme_regimes_finite_and_ordered(params, name, engine):
+    import dataclasses
+
     r = REGIMES[name]
+    solver = dataclasses.replace(SOLVER, solver_engine=engine)
     strikes = jnp.array([70.0, 90.0, 100.0, 115.0, 140.0])
     prices = np.array(douglas.price_batch(
-        SPEC, SOLVER, strikes, 100.0, r["kappa"], r["eta"], r["sigma"],
+        SPEC, solver, strikes, 100.0, r["kappa"], r["eta"], r["sigma"],
         r["rho"], r["v0"], params.r_d, params.r_f,
         american=True, dividends=GOLDEN_DIVIDENDS))
     assert np.all(np.isfinite(prices)), f"{name}: non-finite prices"
