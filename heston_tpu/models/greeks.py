@@ -37,7 +37,47 @@ def price_and_greeks(
     dividends: Optional[DividendSchedule] = None,
 ) -> Dict[str, jax.Array]:
     """Price + (delta, vega_v0, and the five model-parameter sensitivities)
-    for one option via forward-mode AD."""
+    for one option via forward-mode AD.
+
+    With solver_engine="pallas" the five parameter sensitivities come
+    from the fused kernel's forward-mode variant (one launch,
+    fused_do.fused_theta_jacobian); delta needs s-grid-motion tangents
+    (the spot moves the grid itself) that the kernel does not carry, so
+    its single tangent runs through the XLA path."""
+    dtype = jnp.result_type(float)
+
+    if (solver.solver_engine == "pallas" and solver.scheme == "do"):
+        from heston_tpu.pallas import fused_do
+
+        if fused_do.fits_vmem(spec):
+            import dataclasses
+
+            interp = jax.default_backend() == "cpu"
+            tv = jnp.stack([jnp.asarray(v, dtype)
+                            for v in (kappa, eta, sigma, rho, v0)])
+            base, jac = fused_do.fused_theta_jacobian(
+                spec, solver, jnp.asarray(strike, dtype)[None], s0, tv,
+                r_d, r_f, american=american, dividends=dividends,
+                interpret=interp)
+
+            xla_solver = dataclasses.replace(solver, solver_engine="scan")
+
+            def price_s0(s):
+                return douglas.price_option(
+                    spec, xla_solver, strike, s, kappa, eta, sigma, rho,
+                    v0, r_d, r_f, american=american, dividends=dividends)
+
+            _, delta = jax.jvp(price_s0, (jnp.asarray(s0, dtype),),
+                               (jnp.ones((), dtype),))
+            return {
+                "price": base[0],
+                "delta": delta,
+                "d_kappa": jac[0, 0],
+                "d_eta": jac[0, 1],
+                "d_sigma": jac[0, 2],
+                "d_rho": jac[0, 3],
+                "vega_v0": jac[0, 4],
+            }
 
     def price_fn(x):
         s0_, kappa_, eta_, sigma_, rho_, v0_ = x
@@ -45,7 +85,7 @@ def price_and_greeks(
             spec, solver, strike, s0_, kappa_, eta_, sigma_, rho_, v0_,
             r_d, r_f, american=american, dividends=dividends)
 
-    x = jnp.stack([jnp.asarray(v, jnp.result_type(float))
+    x = jnp.stack([jnp.asarray(v, dtype)
                    for v in (s0, kappa, eta, sigma, rho, v0)])
     price, jvp_fn = jax.linearize(price_fn, x)
     grads = jax.vmap(jvp_fn)(jnp.eye(6, dtype=x.dtype))

@@ -50,13 +50,26 @@ class Grid(NamedTuple):
 
 
 def _insert_and_crop(nodes: jnp.ndarray, value) -> jnp.ndarray:
-    """Append `value`, sort ascending, drop the largest node.
+    """Insert `value` into the ascending `nodes`, drop the largest node.
 
     Exactly the reference's push_back / sort / pop_back
-    (ref: src/grid.cpp:34-37). Keeps the shape static for jit/vmap.
-    """
-    extended = jnp.concatenate([nodes, jnp.asarray(value, nodes.dtype)[None]])
-    return jnp.sort(extended)[:-1]
+    (ref: src/grid.cpp:34-37) — but since `nodes` is already sorted, the
+    insertion point is a comparison count and the result is assembled
+    with shifts + selects instead of jnp.sort: bitwise-identical values
+    (stable sort places `value` after equal nodes, i.e. at
+    count(nodes <= value)), no O(n log n) sorting network per option,
+    and — decisive for the AD Jacobian — no permutation gathers in the
+    tangent (sort's JVP gathers scalarize per lane on TPU). If `value`
+    exceeds every node it lands at the end and is itself the dropped
+    largest, reproducing the reference's S_max-discarding quirk. Keeps
+    the shape static for jit/vmap."""
+    value = jnp.asarray(value, nodes.dtype)
+    n = nodes.shape[0]
+    idx = jnp.sum((nodes <= value).astype(jnp.int32))
+    i = jnp.arange(n)
+    shifted = jnp.concatenate([nodes[:1], nodes[:-1]])  # nodes[i-1]
+    return jnp.where(i < idx, nodes,
+                     jnp.where(i == idx, value, shifted))
 
 
 def make_s_nodes(m1: int, s_max: jnp.ndarray, s0, strike, c) -> jnp.ndarray:

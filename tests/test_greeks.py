@@ -40,3 +40,23 @@ def test_greeks_financial_sanity(params):
     assert float(g["vega_v0"]) > 0.0          # more variance -> dearer call
     assert float(g["d_eta"]) > 0.0            # higher long-run var -> dearer
     assert float(g["price"]) > 0.0
+
+
+def test_greeks_pallas_engine_matches_scan(params):
+    """engine='pallas' greeks: parameter sensitivities through the fused
+    kernel's forward-mode variant, delta through the XLA tangent — all
+    equal to the pure-XLA AD greeks to roundoff."""
+    import dataclasses
+
+    p = params
+    spec = GridSpec(m1=16, m2=10)
+    want = greeks.price_and_greeks(
+        spec, SolverConfig(n_steps=6), 100.0, 100.0, p.kappa, p.eta,
+        p.sigma, p.rho, p.v0, p.r_d, p.r_f, american=True)
+    got = greeks.price_and_greeks(
+        spec, SolverConfig(n_steps=6, solver_engine="pallas"), 100.0,
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f,
+        american=True)
+    for k in want:
+        np.testing.assert_allclose(float(got[k]), float(want[k]),
+                                   rtol=1e-9, atol=1e-10, err_msg=k)
