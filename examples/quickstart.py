@@ -4,6 +4,11 @@ synthetic market, export the fit.
 Runs on CPU or TPU:  python examples/quickstart.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
