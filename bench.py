@@ -89,7 +89,7 @@ def main():
 
     value = _device_time_per_call(priced, strikes)
 
-    extras = {}
+    extras = {"harness_floor_s": _harness_floor(strikes)}
     if engine == "pallas" and os.environ.get(
             "HESTON_BENCH_SELFTEST", "1") != "0":
         extras.update(_selftest(spec, solver, p, dtype))
@@ -107,7 +107,7 @@ def main():
     return 0
 
 
-def _device_time_per_call(fn, example, reps: int = 50, samples: int = 3):
+def _device_time_per_call(fn, example, reps: int = 500, samples: int = 3):
     """Median per-call DEVICE time: the reps are chained inside ONE jitted
     lax.scan (each rep's input depends on the previous rep's output, so
     nothing can be elided or reordered), and the host measures a single
@@ -119,7 +119,15 @@ def _device_time_per_call(fn, example, reps: int = 50, samples: int = 3):
     for anything faster than that. The reference's CSV methodology
     (total_runtime / runs around fenced device runs,
     ref: src/perfomance_test.cpp:214) assumes ~us-scale launch cost; the
-    in-graph scan is the honest TPU equivalent."""
+    in-graph scan is the honest TPU equivalent.
+
+    Reps sizing: one dispatch+fetch round trip costs a FIXED ~29 ms on
+    this tunnel regardless of scan length (measured: floor*reps is
+    constant at reps = 50/200/500, and a trivial `x*2` body measures
+    29ms/reps exactly), so the floor it adds per rep is 29e-3/reps —
+    0.58 ms at the round-2 reps=50 (dominating sub-ms kernels!) vs
+    0.058 ms at reps=500. The floor is measured with a trivial body and
+    reported alongside (see _harness_floor) rather than subtracted."""
     import time
 
     import jax
@@ -145,6 +153,16 @@ def _device_time_per_call(fn, example, reps: int = 50, samples: int = 3):
         np.array(run_many(example))
         times.append((time.perf_counter() - t0) / reps)
     return float(np.median(times))
+
+
+def _harness_floor(example, reps: int = 500):
+    """Per-rep cost of the timing harness itself (trivial body): the
+    fixed ~29 ms dispatch+fetch RPC of this tunnel divided by reps.
+    Included in every reported number (NOT subtracted); reported so the
+    overstatement is visible."""
+    import jax.numpy as jnp
+
+    return _device_time_per_call(lambda x: x * 2.0, example, reps=reps)
 
 
 def _selftest(spec, solver, p, dtype):
@@ -211,26 +229,21 @@ def _lm_timing(spec, p, dtype):
     init = jnp.asarray([1.2, 0.05, 0.4, -0.5, 0.05], dtype)
     cfg = CalibrationConfig(max_iter=15, tol=0.1, jacobian_mode="ad")
 
-    def run():
+    def run(init_vec):
         return calib.calibrate_device(
-            spec, solver, strikes, market, 100.0, init, p.r_d, p.r_f,
+            spec, solver, strikes, market, 100.0, init_vec, p.r_d, p.r_f,
             cfg=cfg)
 
-    tv, info = run()   # compile + warm
+    tv, info = jax.jit(run)(init)   # compile + warm
     tv = np.asarray(tv)
     iters = int(np.asarray(info["iterations"]))
     assert np.all(np.isfinite(tv))
-    # amortize the ~35 ms tunnel RPC of the result fetch over several
-    # enqueued runs (same pattern as _device_time_per_call)
-    reps = 10
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [run() for _ in range(reps)]
-        np.asarray(outs[-1][0])
-        times.append((time.perf_counter() - t0) / reps)
-    return {"lm60_ad_pallas_s": float(np.median(times)),
-            "lm60_iterations": iters}
+    # chain full LM runs inside one jitted scan (serial dependency via a
+    # perturbed start vector) — the same fixed-RPC amortization as
+    # _device_time_per_call; the round-2 Python-loop harness paid ~5 ms
+    # of host dispatch/fetch per rep on top of the device time
+    dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=100)
+    return {"lm60_ad_pallas_s": dt, "lm60_iterations": iters}
 
 
 def _single_option_golden_grid(p, dtype):
@@ -253,7 +266,7 @@ def _single_option_golden_grid(p, dtype):
     dt = _device_time_per_call(
         lambda k: douglas.price_batch(
             spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f), ks, reps=20)
+            p.v0, p.r_d, p.r_f), ks, reps=500)
     return {
         "single_option_100x75_s": dt,
         "single_option_vs_a100": 0.003 / dt,

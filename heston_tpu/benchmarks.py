@@ -29,11 +29,13 @@ from heston_tpu.utils import io as hio
 DEFAULT_INSTANCES = (1, 10, 20, 50, 100, 200, 300, 500)
 
 
-def _timed(pricer, strikes, reps: int = 10):
+def _timed(pricer, strikes, reps: int = 200):
     """Per-batch device time with the reps chained inside one jitted
-    lax.scan — a single jitted-call dispatch costs ~1.4 ms of host time
-    on this machine's TPU tunnel, so a Python rep loop measures the host
-    for anything faster (see bench.py::_device_time_per_call)."""
+    lax.scan — one dispatch+fetch through this machine's TPU tunnel costs
+    a fixed ~29 ms regardless of scan length, so a Python rep loop
+    measures the host for anything faster, and the per-rep floor here is
+    29e-3/reps (see bench.py::_device_time_per_call; raise `reps` when
+    sweeping sub-ms batch sizes)."""
     from jax import lax
 
     @jax.jit
@@ -63,7 +65,7 @@ def run_sweep(
     engine: str = "pallas",
     dtype=jnp.float32,
     csv_path: Optional[str] = None,
-    reps: int = 10,
+    reps: int = 200,
 ):
     """Returns a list of row dicts; optionally writes the reference-format
     CSV (ref: src/perfomance_test.cpp:214-221)."""

@@ -76,7 +76,7 @@ TILE = 128
 # the chip's VMEM. The 16 MiB figure of round 1 was only the compiler's
 # default scoped-vmem cap — the kernel now raises it via CompilerParams
 # (vmem_limit_bytes below) and the reference's golden grid m1=100, m2=75
-# (~54 MiB working set) compiles and runs on v5e at 2.6 ms/option.
+# (~54 MiB working set) compiles and runs on v5e at 0.67 ms/option.
 # 64 MiB is the measured-safe budget; truly oversized grids (e.g. the
 # m1=300 convergence studies) still fall back to the XLA path.
 _VMEM_BUDGET_BYTES = 64 * 1024 * 1024
