@@ -117,6 +117,24 @@ def make_grid(spec: GridSpec, s0, strike, v0) -> Grid:
     )
 
 
+def make_uniform_grid(m1: int, m2: int, s0, v0, s_min, s_max,
+                      v_min, v_max) -> Grid:
+    """Uniformly spaced grid with the same S_0/V_0 insert-and-crop
+    semantics as the sinh grids — the reference's debug/validation grid
+    (ref: src/grid.cpp:112-164). Note the reference applies the same
+    push/sort/pop to the uniform nodes, so the largest nominal node is
+    dropped; reproduced here via _insert_and_crop."""
+    dtype = jnp.result_type(float)
+    i = jnp.arange(m1 + 1, dtype=dtype)
+    j = jnp.arange(m2 + 1, dtype=dtype)
+    ds = (jnp.asarray(s_max, dtype) - s_min) / m1
+    dv = (jnp.asarray(v_max, dtype) - v_min) / m2
+    vec_s = _insert_and_crop(s_min + i * ds, jnp.asarray(s0, dtype))
+    vec_v = _insert_and_crop(v_min + j * dv, jnp.asarray(v0, dtype))
+    return Grid(vec_s=vec_s, vec_v=vec_v,
+                dels=jnp.diff(vec_s), delv=jnp.diff(vec_v))
+
+
 def rebuild_variance(spec: GridSpec, grid: Grid, v0_new) -> Grid:
     """Rebuild only the variance direction for a new v0.
 

@@ -78,3 +78,24 @@ def test_rebuild_variance_matches_fresh_build():
     g3 = gridmod.make_grid(spec, 100.0, 100.0, 0.04 + 1e-6)
     np.testing.assert_array_equal(np.array(g2.vec_v), np.array(g3.vec_v))
     assert float(jnp.min(jnp.abs(g2.vec_v - (0.04 + 1e-6)))) == 0.0
+
+
+def test_uniform_grid_matches_reference_semantics():
+    """make_uniform_grid replicates create_uniform_grid
+    (ref: src/grid.cpp:112-164): uniform nodes, then S_0/V_0 push/sort/pop
+    (dropping the largest node), then delta recomputation."""
+    m1, m2 = 10, 6
+    s0, v0 = 103.7, 0.037
+    g = gridmod.make_uniform_grid(m1, m2, s0, v0, 0.0, 200.0, 0.0, 1.0)
+    # reference semantics in plain numpy
+    vs = np.linspace(0.0, 200.0, m1 + 1)
+    vs = np.sort(np.append(vs, s0))[:-1]
+    vv = np.linspace(0.0, 1.0, m2 + 1)
+    vv = np.sort(np.append(vv, v0))[:-1]
+    np.testing.assert_allclose(np.array(g.vec_s), vs, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(g.vec_v), vv, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(g.dels), np.diff(vs), atol=1e-12)
+    np.testing.assert_allclose(np.array(g.delv), np.diff(vv), atol=1e-12)
+    # spot/variance lie exactly on nodes
+    assert float(jnp.min(jnp.abs(g.vec_s - s0))) == 0.0
+    assert float(jnp.min(jnp.abs(g.vec_v - v0))) == 0.0
