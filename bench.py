@@ -127,32 +127,13 @@ def _device_time_per_call(fn, example, reps: int = 500, samples: int = 3):
     29ms/reps exactly), so the floor it adds per rep is 29e-3/reps —
     0.58 ms at the round-2 reps=50 (dominating sub-ms kernels!) vs
     0.058 ms at reps=500. The floor is measured with a trivial body and
-    reported alongside (see _harness_floor) rather than subtracted."""
-    import time
+    reported alongside (see _harness_floor) rather than subtracted.
 
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax import lax
+    Thin alias of the shared harness heston_tpu.benchmarks.timed_scan
+    (one implementation for bench.py and the CSV sweeps)."""
+    from heston_tpu.benchmarks import timed_scan
 
-    @jax.jit
-    def run_many(x):
-        def body(carry, i):
-            xi = x * (1.0 + (i.astype(x.dtype) + carry) * 1e-7)
-            out = fn(xi)
-            return (out.ravel()[0] * 1e-12).astype(x.dtype), ()
-
-        c, _ = lax.scan(body, jnp.zeros((), x.dtype),
-                        jnp.arange(reps, dtype=jnp.int32))
-        return c
-
-    np.array(run_many(example))          # compile + warm
-    times = []
-    for _ in range(samples):
-        t0 = time.perf_counter()
-        np.array(run_many(example))
-        times.append((time.perf_counter() - t0) / reps)
-    return float(np.median(times))
+    return timed_scan(fn, example, reps=reps, samples=samples)
 
 
 def _harness_floor(example, reps: int = 500):

@@ -29,30 +29,42 @@ from heston_tpu.utils import io as hio
 DEFAULT_INSTANCES = (1, 10, 20, 50, 100, 200, 300, 500)
 
 
-def _timed(pricer, strikes, reps: int = 200):
-    """Per-batch device time with the reps chained inside one jitted
-    lax.scan — one dispatch+fetch through this machine's TPU tunnel costs
-    a fixed ~29 ms regardless of scan length, so a Python rep loop
-    measures the host for anything faster, and the per-rep floor here is
-    29e-3/reps (see bench.py::_device_time_per_call; raise `reps` when
-    sweeping sub-ms batch sizes)."""
+def timed_scan(fn, example, reps: int = 200, samples: int = 1):
+    """Median per-call DEVICE time of `fn(example)`: the reps are chained
+    inside ONE jitted lax.scan (each rep's input depends on the previous
+    rep's output, so nothing can be elided or reordered) and the host
+    measures one dispatch + fetch around all of them.
+
+    One dispatch+fetch through this machine's TPU tunnel costs a FIXED
+    ~29 ms regardless of scan length, so a Python rep loop measures the
+    host for anything faster, and the per-rep floor here is 29e-3/reps —
+    size `reps` so that is negligible against the kernel being measured
+    (500 for sub-ms kernels). The single shared harness for bench.py and
+    the sweep below."""
     from jax import lax
 
     @jax.jit
     def run_many(x):
         def body(carry, i):
             xi = x * (1.0 + (i.astype(x.dtype) + carry) * 1e-7)
-            out = pricer(xi)
+            out = fn(xi)
             return (out.ravel()[0] * 1e-12).astype(x.dtype), ()
 
         c, _ = lax.scan(body, jnp.zeros((), x.dtype),
                         jnp.arange(reps, dtype=jnp.int32))
         return c
 
-    np.array(run_many(strikes))          # compile + sync
-    t0 = time.perf_counter()
-    np.array(run_many(strikes))
-    return (time.perf_counter() - t0) / reps
+    np.array(run_many(example))          # compile + sync
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.array(run_many(example))
+        times.append((time.perf_counter() - t0) / reps)
+    return float(np.median(times))
+
+
+def _timed(pricer, strikes, reps: int = 200):
+    return timed_scan(pricer, strikes, reps=reps)
 
 
 def run_sweep(

@@ -138,19 +138,17 @@ def main(argv=None):
     spec, solver, params = _configs(args)
 
     if args.cmd == "price":
+        import dataclasses
+
         strikes = jnp.asarray(args.strikes)
         divs = _parse_dividends(args.dividends)
-        if args.engine == "pallas":
-            from heston_tpu.pallas import fused_do
-
-            prices = jax.jit(lambda k: fused_do.fused_price_batch(
-                spec, solver, k, args.spot, params.kappa, params.eta,
-                params.sigma, params.rho, params.v0, params.r_d, params.r_f,
-                american=args.american, dividends=divs))(strikes)
-        else:
-            prices = douglas.price_batch_params(
-                spec, solver, strikes, args.spot, params,
-                american=args.american, dividends=divs)
+        # route through price_batch_params so the standard dispatch gate
+        # applies (DO-only fused kernel, VMEM fit, XLA fallback)
+        engine = "pallas" if args.engine == "pallas" else "scan"
+        prices = douglas.price_batch_params(
+            spec, dataclasses.replace(solver, solver_engine=engine),
+            strikes, args.spot, params,
+            american=args.american, dividends=divs)
         for k, v in zip(args.strikes, np.asarray(prices)):
             print(json.dumps({"strike": k, "price": float(v)}))
 

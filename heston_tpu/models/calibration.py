@@ -73,6 +73,18 @@ class CalibrationTargets:
         return out
 
 
+def _kernel_dispatched(spec, solver) -> bool:
+    """Whether price_batch will ACTUALLY run the fused Pallas kernel for
+    this config (it falls back to the vmappable XLA path for non-DO
+    schemes and oversized grids) — the FD bump loop must serialize only
+    in the former case (pallas_call has no batching rule)."""
+    if solver.solver_engine != "pallas":
+        return False
+    from heston_tpu.pallas import fused_do
+
+    return fused_do.use_fused(spec, solver)
+
+
 def _bumped_param_matrix(theta_vec: Array, eps: float) -> Array:
     """Rows: [base, kappa+eps, eta+eps, sigma+eps, rho+eps, v0+eps].
 
@@ -231,11 +243,14 @@ def calibrate_device(
             if pricer == "pde" and solver.solver_engine == "pallas":
                 from heston_tpu.pallas import fused_do
 
-                if fused_do.fits_vmem(spec):
+                if fused_do.use_fused(spec, solver, n_tangents=5):
                     # exact forward-mode AD THROUGH the fused kernel: one
                     # launch per maturity group carries all 5 tangent
-                    # surfaces alongside the primal
-                    interp = jax.default_backend() == "cpu"
+                    # surfaces alongside the primal. use_fused guards the
+                    # scheme (DO-only kernel — trial pricing dispatches on
+                    # the same predicate, so Jacobian and residuals always
+                    # come from the SAME discretization) and the tangent-
+                    # inclusive VMEM working set.
                     jacs, bases = [], []
                     for (a, b, n) in groups:
                         sol = dataclasses.replace(
@@ -244,8 +259,7 @@ def calibrate_device(
                             / max(solver.n_steps, 1))
                         bb, jj = fused_do.fused_theta_jacobian(
                             spec, sol, strikes[a:b], s0, tv, r_d, r_f,
-                            american=american, dividends=dividends,
-                            interpret=interp)
+                            american=american, dividends=dividends)
                         bases.append(bb)
                         jacs.append(jj)
                     return jnp.concatenate(jacs), jnp.concatenate(bases)
@@ -254,11 +268,13 @@ def calibrate_device(
             jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=tv.dtype)).T
             return jac, base
         # finite differences: 6-way bump axis over the whole fleet
-        # (ref: src/jacobian_computation.cpp:292-361). The pallas engine
-        # runs the bumps as 6 sequential in-graph kernel launches
-        # (pallas_call has no batching rule for the bump vmap).
+        # (ref: src/jacobian_computation.cpp:292-361). When the fused
+        # kernel actually runs, the bumps go as 6 sequential in-graph
+        # kernel launches (pallas_call has no batching rule for the bump
+        # vmap); when price_batch falls back to the XLA path (non-DO
+        # scheme / oversized grid), the bump axis vmaps as usual.
         pmat = _bumped_param_matrix(tv, cfg.eps)
-        if pricer == "pde" and solver.solver_engine == "pallas":
+        if pricer == "pde" and _kernel_dispatched(spec, solver):
             prices = jnp.stack([fleet_prices(pmat[i])
                                 for i in range(N_PARAMS + 1)])
         else:

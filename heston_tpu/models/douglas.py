@@ -356,21 +356,16 @@ def price_batch(
 
     solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
     (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path."""
-    if solver.solver_engine == "pallas" and solver.scheme == "do":
+    if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if fused_do.fits_vmem(spec):
-            # on CPU backends the Mosaic kernel only exists in interpret
-            # mode — auto-select it so engine="pallas" configs stay
-            # portable (tests / virtual-mesh runs)
-            interpret = jax.default_backend() == "cpu"
+        if fused_do.use_fused(spec, solver):
             return fused_do.fused_price_batch(
                 spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                 r_d, r_f, american=american, dividends=dividends,
-                interpret=interpret,
             )
-        # grid too large for the fused kernel's VMEM working set —
-        # fall through to the XLA path
+        # non-DO scheme or grid too large for the fused kernel's VMEM
+        # working set — fall through to the XLA path
 
     def one(k):
         return price_option(

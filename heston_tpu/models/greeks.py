@@ -46,19 +46,17 @@ def price_and_greeks(
     its single tangent runs through the XLA path."""
     dtype = jnp.result_type(float)
 
-    if (solver.solver_engine == "pallas" and solver.scheme == "do"):
+    if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if fused_do.fits_vmem(spec):
+        if fused_do.use_fused(spec, solver, n_tangents=5):
             import dataclasses
 
-            interp = jax.default_backend() == "cpu"
             tv = jnp.stack([jnp.asarray(v, dtype)
                             for v in (kappa, eta, sigma, rho, v0)])
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, jnp.asarray(strike, dtype)[None], s0, tv,
-                r_d, r_f, american=american, dividends=dividends,
-                interpret=interp)
+                r_d, r_f, american=american, dividends=dividends)
 
             xla_solver = dataclasses.replace(solver, solver_engine="scan")
 

@@ -90,17 +90,37 @@ def _field_bytes(spec, tile: int, dtype_bytes: int) -> int:
     return (spec.m1 + 1) * nv_pad * tile * dtype_bytes
 
 
-def fits_vmem(spec, dtype_bytes: int = 4) -> bool:
+def fits_vmem(spec, dtype_bytes: int = 4, n_tangents: int = 0) -> bool:
     """Whether the fused kernel's working set fits VMEM for this grid at
     the minimum tile width. Both reference grids (m1=50, m2=25 production
     and m1=100, m2=75 golden) fit; price_batch falls back to the XLA path
-    beyond."""
+    beyond. The forward-mode kernel holds ~3 extra full fields per
+    tangent (carry in/out + live temporaries), so AD callers must gate
+    with n_tangents=5 — the primal fitting does NOT imply the Jacobian
+    variant fits (at the golden grid it does not)."""
     field = _field_bytes(spec, 128, dtype_bytes)
-    return _FIELDS_RESIDENT * field <= _VMEM_BUDGET_BYTES
+    return (_FIELDS_RESIDENT + 3 * n_tangents) * field <= _VMEM_BUDGET_BYTES
+
+
+def _live_dtype_bytes() -> int:
+    return 8 if jax.config.read("jax_enable_x64") else 4
+
+
+def use_fused(spec, solver, n_tangents: int = 0) -> bool:
+    """THE dispatch predicate for every fused-kernel call site
+    (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
+    LM): the kernel implements the Douglas scheme only, requires the
+    pallas engine, and its working set — including tangent surfaces and
+    the live dtype width — must fit VMEM. Call sites must not re-derive
+    any part of this condition (a missed scheme check here once produced
+    a DO-Jacobian / CS-residual mismatch in calibrate_device)."""
+    return (solver.solver_engine == "pallas"
+            and solver.scheme == "do"
+            and fits_vmem(spec, _live_dtype_bytes(), n_tangents))
 
 
 def pick_tile(spec, batch: int, dtype_bytes: int = 4,
-              n_tangents: int = 0) -> int:
+              n_tangents: int = 0, strict: bool = True) -> int:
     """Widest lane-tile whose working set still fits VMEM.
 
     The sequential sweep loops cost ~O(10^2) cycles of loop/addressing
@@ -108,14 +128,26 @@ def pick_tile(spec, batch: int, dtype_bytes: int = 4,
     kernel-tiles the batch needs, the better: a 512-lane tile runs the
     same iteration count as a 128-lane one but serves 4x the options.
     The forward-mode kernel holds ~3 extra full fields per tangent
-    (carry in/out + live temporaries)."""
+    (carry in/out + live temporaries).
+
+    strict=False (interpret mode, where VMEM is not real) falls back to
+    the minimum tile when nothing fits."""
     n_fields = _FIELDS_RESIDENT + 3 * n_tangents
     b_pad = max(128, -128 * (-batch // 128))
     for tile in (1024, 512, 256, 128):
         if tile <= b_pad and (n_fields * _field_bytes(
                 spec, tile, dtype_bytes) <= _VMEM_BUDGET_BYTES):
             return tile
-    return 128
+    if not strict:
+        return 128
+    # Even the minimum tile exceeds the budget: the caller skipped the
+    # fits_vmem(n_tangents=...) gate. Fail loudly here instead of letting
+    # Mosaic reject the oversized kernel with a scoped-VMEM error.
+    raise ValueError(
+        f"fused kernel working set exceeds VMEM at the minimum tile for "
+        f"grid ({spec.m1}, {spec.m2}) with {n_tangents} tangents; gate "
+        f"the call with fused_do.use_fused/fits_vmem and fall back to "
+        f"the XLA path")
 
 
 def _shift_s(x, k):
@@ -866,12 +898,10 @@ _TANGENT_KEYS = ("vfl", "sfac", "vfac", "bvm", "bv0", "bvp",
                  "al2", "al1", "ad", "au1", "au2")
 
 
-def _pad_strikes(spec, strikes, n_tangents=0):
+def _pad_strikes(spec, strikes, n_tangents=0, strict=True):
     b = strikes.shape[0]
-    dtype_bytes = jnp.dtype(
-        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
-    ).itemsize
-    tile = pick_tile(spec, b, dtype_bytes, n_tangents)
+    dtype_bytes = _live_dtype_bytes()
+    tile = pick_tile(spec, b, dtype_bytes, n_tangents, strict=strict)
     n_tiles = -(-b // tile)
     pad = n_tiles * tile - b
     strikes_p = jnp.concatenate(
@@ -959,13 +989,20 @@ def fused_price_batch(
     kappa, eta, sigma, rho, v0, r_d, r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     unroll: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for models.douglas.price_batch running the time
-    loop in the fused Pallas kernel. Jit-wrap the caller."""
+    loop in the fused Pallas kernel. Jit-wrap the caller.
+
+    interpret=None auto-selects interpret mode on CPU backends (the
+    Mosaic kernel only exists on TPU) so engine="pallas" configs stay
+    portable across tests / virtual-mesh runs."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
-    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes)
+    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
+                                            strict=not interpret)
     fields, vec_s, idx_s, idx_v = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f)
     dtype = fields["u"].dtype
@@ -984,7 +1021,7 @@ def fused_theta_jacobian(
     r_d, r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     unroll: bool = False,
 ):
     """(base_prices [B], jacobian [B, 5]) via EXACT forward-mode AD
@@ -994,27 +1031,34 @@ def fused_theta_jacobian(
     the time loop alongside the primal in ONE launch — the Pallas
     counterpart of calibrate_device's jacobian_mode='ad'
     (ref: src/jacobian_computation.cpp:204-364 runs 6 bumped solves
-    instead)."""
+    instead).
+
+    interpret=None auto-selects interpret mode on CPU backends."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
-    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes, n_tangents=5)
-
-    def prep(tv):
-        return _assemble(spec, solver, strikes_p, s0, tv[0], tv[1], tv[2],
-                         tv[3], tv[4], r_d, r_f)
-
-    fields, vec_s, idx_s, idx_v = prep(theta_vec)
-    dtype = fields["u"].dtype
-    fields["rf_val"] = r_f
+    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes, n_tangents=5,
+                                            strict=not interpret)
 
     def prep_tangent_fields(tv):
-        f, _, _, _ = prep(tv)
-        return tuple(f[k] for k in _TANGENT_KEYS)
+        f, vec_s_, idx_s_, idx_v_ = _assemble(
+            spec, solver, strikes_p, s0, tv[0], tv[1], tv[2], tv[3],
+            tv[4], r_d, r_f)
+        return (tuple(f[k] for k in _TANGENT_KEYS),
+                (f, vec_s_, idx_s_, idx_v_))
 
-    # d(fields)/d(theta): each leaf gains a trailing (5,) axis
-    dfields = jax.jacfwd(prep_tangent_fields)(theta_vec.astype(dtype))
+    # one linearized assembly: the primal fields come out as aux of the
+    # same trace that provides the tangent-field JVP (a separate
+    # jax.jacfwd(prep) would re-emit the whole vmapped grid/operator
+    # assembly graph a second time)
+    dtype = jnp.result_type(float)   # matches the grid/field build dtype
+    _, jvp_fn, (fields, vec_s, idx_s, idx_v) = jax.linearize(
+        prep_tangent_fields, theta_vec.astype(dtype), has_aux=True)
+    fields["rf_val"] = r_f
+    basis = jnp.eye(5, dtype=dtype)
+    dfields = jax.vmap(jvp_fn)(basis)   # each leaf gains a leading (5,)
     tangents = [
-        {k: jnp.moveaxis(leaf, -1, 0)[kk]
-         for k, leaf in zip(_TANGENT_KEYS, dfields)}
+        {k: leaf[kk] for k, leaf in zip(_TANGENT_KEYS, dfields)}
         for kk in range(5)
     ]
     u, _, dus = _run_chunks(spec, solver, american, dividends, dtype,

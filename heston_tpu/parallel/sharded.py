@@ -25,7 +25,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
 from heston_tpu.models import douglas
-from heston_tpu.models.calibration import N_PARAMS, _bumped_param_matrix
+from heston_tpu.models.calibration import (
+    N_PARAMS,
+    _bumped_param_matrix,
+    _kernel_dispatched,
+)
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -65,22 +69,23 @@ def _local_prices(spec, solver, american, dividends, ks, tv, s0, r_d, r_f):
 
 
 def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
-    if solver.solver_engine == "pallas" and solver.scheme == "do":
+    if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if fused_do.fits_vmem(spec):
+        if fused_do.use_fused(spec, solver, n_tangents=5):
             # exact forward-mode AD through the fused kernel, one launch
             # per shard (the distributed analog of
-            # calibrate_device(jacobian_mode='ad'))
-            interp = jax.default_backend() == "cpu"
+            # calibrate_device(jacobian_mode='ad')); use_fused guards the
+            # DO-only scheme and the tangent-inclusive VMEM working set
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, ks, s0, jnp.asarray(tv), r_d, r_f,
-                american=american, dividends=dividends, interpret=interp)
+                american=american, dividends=dividends)
             return jac, base
     pmat = _bumped_param_matrix(tv, eps)  # (6, 5)
-    if solver.solver_engine == "pallas":
+    if _kernel_dispatched(spec, solver):
         # pallas_call has no batching rule for the bump vmap — run the
-        # bumps as sequential in-graph launches
+        # bumps as sequential in-graph launches (only when the fused
+        # kernel actually runs; the XLA fallback vmaps as usual)
         prices = jnp.stack([
             _local_prices(spec, solver, american, dividends,
                           ks, pmat[i], s0, r_d, r_f)

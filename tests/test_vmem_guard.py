@@ -30,3 +30,40 @@ def test_large_grid_falls_back_to_xla(params):
         spec, SolverConfig(n_steps=4, a2_variant="central",
                            solver_engine="pallas"), ks, *args))
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fits_vmem_tangent_aware():
+    """The forward-mode kernel holds ~3 extra fields per tangent: the
+    golden grid fits the PRIMAL working set in f32 but NOT the 5-tangent
+    Jacobian variant (29 fields) — AD callers must gate with
+    n_tangents=5 or Mosaic rejects the kernel on hardware."""
+    assert fused_do.fits_vmem(GridSpec(m1=100, m2=75), 4)
+    assert not fused_do.fits_vmem(GridSpec(m1=100, m2=75), 4, n_tangents=5)
+    # the production grid fits even with all five tangents
+    assert fused_do.fits_vmem(GridSpec(m1=50, m2=25), 4, n_tangents=5)
+
+
+def test_use_fused_predicate():
+    """Single dispatch predicate: pallas engine + DO scheme + VMEM fit."""
+    import dataclasses
+
+    spec = GridSpec(m1=50, m2=25)
+    pal = SolverConfig(n_steps=4, solver_engine="pallas")
+    assert fused_do.use_fused(spec, pal)
+    assert not fused_do.use_fused(spec, dataclasses.replace(pal, scheme="cs"))
+    assert not fused_do.use_fused(spec, dataclasses.replace(pal, scheme="mcs"))
+    assert not fused_do.use_fused(
+        spec, dataclasses.replace(pal, solver_engine="scan"))
+    assert not fused_do.use_fused(GridSpec(m1=300, m2=150), pal)
+
+
+def test_pick_tile_strict_raises_when_oversized():
+    """Skipping the fits_vmem gate must fail loudly (strict mode) instead
+    of handing Mosaic an oversized kernel; interpret mode (no real VMEM)
+    keeps the loose minimum-tile fallback."""
+    import pytest
+
+    big = GridSpec(m1=300, m2=150)
+    with pytest.raises(ValueError, match="exceeds VMEM"):
+        fused_do.pick_tile(big, 128, 4)
+    assert fused_do.pick_tile(big, 128, 4, strict=False) == 128
