@@ -31,6 +31,12 @@ def call_price(s, k, r, vol, t) -> Array:
     )
 
 
+def put_price(s, k, r, vol, t) -> Array:
+    """European put via put-call parity (framework extension — the
+    reference is calls-only; oracle for the PDE put support)."""
+    return call_price(s, k, r, vol, t) - s + k * jnp.exp(-r * t)
+
+
 def call_vega(s, k, r, vol, t) -> Array:
     """dPrice/dVol (ref: src/bs.hpp:124-127)."""
     d1 = (jnp.log(s / k) + (r + 0.5 * vol * vol) * t) / (vol * jnp.sqrt(t))

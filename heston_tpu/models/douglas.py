@@ -55,7 +55,7 @@ class PreparedInstance(NamedTuple):
     ops: operators.HestonOperators
     a1_fac: banded.TridiagFactor
     a2_fac: banded.PentaFactor
-    u0: Array        # payoff surface max(s - K, 0), (m2+1, m1+1)
+    u0: Array        # payoff surface max(+-(s - K), 0), (m2+1, m1+1)
     idx_s: Array     # spot node index (int32 scalar)
     idx_v: Array     # variance node index (int32 scalar)
 
@@ -72,6 +72,7 @@ def prepare_instance(
     v0,
     r_d,
     r_f,
+    option_type: str = "call",
 ) -> PreparedInstance:
     """Build grid, operators, factorizations and payoff for one option."""
     grid = make_grid(spec, s0, strike, v0)
@@ -87,12 +88,16 @@ def prepare_instance(
         solver.delta_t,
         solver.n_steps,
         solver.a2_variant,
+        option_type,
+        strike,
     )
     a1_fac = banded.tridiag_factor(ops.a1_iml, ops.a1_imd, ops.a1_imu)
     a2_fac = banded.penta_factor(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2
     )
-    u0 = jnp.maximum(grid.vec_s[None, :] - strike, 0.0) * jnp.ones(
+    intrinsic = (grid.vec_s[None, :] - strike if option_type == "call"
+                 else strike - grid.vec_s[None, :])
+    u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones(
         (spec.m2 + 1, 1), grid.vec_s.dtype
     )
     return PreparedInstance(
@@ -106,13 +111,16 @@ def prepare_instance(
     )
 
 
-def apply_dividend(u: Array, vec_s: Array, amount, pct) -> Array:
+def apply_dividend(u: Array, vec_s: Array, amount, pct,
+                   option_type: str = "call") -> Array:
     """Surface re-map for one discrete dividend.
 
     For each s-node: new_s = s*(1-pct) - amount, then linear interpolation of
     the old surface at new_s. Replicates the reference exactly, including
     idx==0 -> left extrapolation and new_s <= 0 -> 0
-    (ref: src/solver.hpp:382-425)."""
+    (ref: src/solver.hpp:382-425). For PUTS (framework extension) the
+    new_s <= 0 region copies column 0 instead of zeroing — U(0) ~ K
+    there, and the call convention is only exact because U(0) = 0."""
     m1 = vec_s.shape[-1] - 1
     new_s = vec_s * (1.0 - pct) - amount
     # first index with vec_s[k] > new_s (strict); 0 if none (matches the
@@ -133,13 +141,17 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct) -> Array:
 
     left = u[..., 0:1] * jnp.ones_like(new_s)
     out = jnp.where(idx == 0, left, interp)
+    if option_type == "put":
+        return jnp.where(new_s > 0.0, out, left)
     return jnp.where(new_s > 0.0, out, 0.0)
 
 
 def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
-             r_f, american: bool):
+             b_rate, american: bool):
     """One ADI step (Douglas / Craig-Sneyd / modified Craig-Sneyd);
-    n is the 1-based (possibly traced) step index.
+    n is the 1-based (possibly traced) step index. `b_rate` is the
+    boundary-vector scaling rate (r_f for calls, r_d for puts —
+    operators.boundary_rate).
 
     DO  (ref: src/solver.hpp:19-95): predictor + A1/A2 implicit corrections.
     CS  (ref: src/solver.hpp:678-778): adds a 1/2*dt mixed-derivative
@@ -155,8 +167,8 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
         else solver.solver_engine
     dtype = u.dtype
     nf = jnp.asarray(n, dtype)
-    e_nm1 = jnp.exp(r_f * dt * (nf - 1.0))
-    e_n = jnp.exp(r_f * dt * nf)
+    e_nm1 = jnp.exp(b_rate * dt * (nf - 1.0))
+    e_n = jnp.exp(b_rate * dt * nf)
 
     a0r = operators.a0_multiply(ops, u)
     a1r = operators.a1_multiply(ops, u)
@@ -204,17 +216,21 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
 def run_time_loop(
     inst: PreparedInstance,
     solver: SolverConfig,
-    r_f,
+    b_rate,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Array:
-    """Run all N DO steps (with dividend re-maps between segments)."""
+    """Run all N DO steps (with dividend re-maps between segments).
+
+    `b_rate` scales the boundary vectors through time (r_f for calls —
+    what every reference path passes — r_d for puts)."""
     u = inst.u0
     lam = jnp.zeros_like(u)
 
     def body(n, carry):
         uu, ll = carry
-        return _do_step(n, uu, ll, inst, solver, r_f, american)
+        return _do_step(n, uu, ll, inst, solver, b_rate, american)
 
     def run_range(n0, n1, carry):
         if n1 <= n0:
@@ -233,7 +249,8 @@ def run_time_loop(
             carry = run_range(n_next, n, carry)
             uu, ll = carry
             for amount, pct in events:
-                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct)
+                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct,
+                                    option_type)
             carry = run_range(n, n + 1, (uu, ll))
             n_next = n + 1
     carry = run_range(n_next, solver.n_steps + 1, carry)
@@ -243,9 +260,10 @@ def run_time_loop(
 def solve_with_tracking(
     inst: PreparedInstance,
     solver: SolverConfig,
-    r_f,
+    b_rate,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ):
     """Run the time loop recording the full price surface (and the American
     lambda-multiplier surface) after every step — the TPU equivalent of the
@@ -257,7 +275,7 @@ def solve_with_tracking(
 
     def scan_range(n0, n1, carry):
         def body(carry_, n):
-            out = _do_step(n, carry_[0], carry_[1], inst, solver, r_f,
+            out = _do_step(n, carry_[0], carry_[1], inst, solver, b_rate,
                            american)
             return out, out
         ns_ = jnp.arange(n0, n1)
@@ -279,7 +297,8 @@ def solve_with_tracking(
                 chunks_lam.append(hist[1])
             uu, ll = carry
             for amount, pct in events:
-                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct)
+                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct,
+                                    option_type)
             carry, hist = scan_range(n, n + 1, (uu, ll))
             chunks_u.append(hist[0])
             chunks_lam.append(hist[1])
@@ -305,12 +324,22 @@ def price_option(
     r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Array:
-    """Price a single call option; returns a scalar. Pure & vmappable."""
+    """Price a single option; returns a scalar. Pure & vmappable.
+
+    option_type="put" is a framework extension (the reference prices
+    calls only): put payoff, put far-field boundary treatment
+    (operators.build_a1_bands / build_boundary_vectors) and the r_d
+    boundary scaling rate; American puts — the canonical early-exercise
+    case — run through the same lambda-multiplier LCP."""
     inst = prepare_instance(
-        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f
+        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        option_type,
     )
-    u = run_time_loop(inst, solver, r_f, american, dividends)
+    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+    u = run_time_loop(inst, solver, b_rate, american, dividends,
+                      option_type)
     return u[inst.idx_v, inst.idx_s]
 
 
@@ -322,19 +351,23 @@ def price_surface(
     params: HestonParams,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ):
     """Full terminal surface + grid (for exports / inspection)."""
     inst = prepare_instance(
         spec, solver, strike, s0, params.kappa, params.eta, params.sigma,
-        params.rho, params.v0, params.r_d, params.r_f,
+        params.rho, params.v0, params.r_d, params.r_f, option_type,
     )
-    u = run_time_loop(inst, solver, params.r_f, american, dividends)
+    b_rate = operators.boundary_rate(params.r_d, params.r_f, option_type)
+    u = run_time_loop(inst, solver, b_rate, american, dividends,
+                      option_type)
     return u, inst.grid
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "solver", "american", "dividends"),
+    static_argnames=("spec", "solver", "american", "dividends",
+                     "option_type"),
 )
 def price_batch(
     spec: GridSpec,
@@ -350,6 +383,7 @@ def price_batch(
     r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Array:
     """Batched pricing over a strike vector (the reference's one-team-per-
     option parallelism, ref: src/device_solver.hpp:53-185, as a vmap).
@@ -363,6 +397,7 @@ def price_batch(
             return fused_do.fused_price_batch(
                 spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                 r_d, r_f, american=american, dividends=dividends,
+                option_type=option_type,
             )
         # non-DO scheme or grid too large for the fused kernel's VMEM
         # working set — fall through to the XLA path
@@ -371,6 +406,7 @@ def price_batch(
         return price_option(
             spec, solver, k, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
             american=american, dividends=dividends,
+            option_type=option_type,
         )
 
     return jax.vmap(one)(strikes)
@@ -384,10 +420,11 @@ def price_batch_params(
     params: HestonParams,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Array:
     """Convenience wrapper taking a HestonParams dataclass."""
     return price_batch(
         spec, solver, strikes, s0, params.kappa, params.eta, params.sigma,
         params.rho, params.v0, params.r_d, params.r_f,
-        american=american, dividends=dividends,
+        american=american, dividends=dividends, option_type=option_type,
     )

@@ -66,9 +66,22 @@ def call_price(
     return s0 * p1 - strike * jnp.exp(-r * t) * p2
 
 
+def put_price(
+    s0, strike, v0, kappa, eta, sigma, rho, r, t,
+    n_quad: int = 256, u_max: float = 200.0,
+) -> Array:
+    """European put via put-call parity (exact for European exercise):
+    P = C - S0 + K*exp(-rT). Oracle for the PDE put extension (the
+    reference prices calls only)."""
+    c = call_price(s0, strike, v0, kappa, eta, sigma, rho, r, t,
+                   n_quad=n_quad, u_max=u_max)
+    return c - s0 + strike * jnp.exp(-r * t)
+
+
 def price_chain(s0, strikes: Array, v0, kappa, eta, sigma, rho, r, t,
-                n_quad: int = 256) -> Array:
+                n_quad: int = 256, option_type: str = "call") -> Array:
     """Vmapped semi-analytic chain pricing."""
-    fn = lambda k: call_price(s0, k, v0, kappa, eta, sigma, rho, r, t,
-                              n_quad=n_quad)
+    base = call_price if option_type == "call" else put_price
+    fn = lambda k: base(s0, k, v0, kappa, eta, sigma, rho, r, t,
+                        n_quad=n_quad)
     return jax.vmap(fn)(strikes)

@@ -96,13 +96,18 @@ class HestonOperators(NamedTuple):
     b: Array
 
 
-def build_a1_bands(grid: Grid, r_d, r_f):
+def build_a1_bands(grid: Grid, r_d, r_f, option_type: str = "call"):
     """S-direction tridiagonal bands (ref: src/hes_mat_fac.cpp:61-91,
     src/hes_a1_kernels.hpp:49-107).
 
     Interior rows i = 1..m1-1 get 0.5*s^2*v*delta + (r_d-r_f)*s*beta - r_d/2;
-    row 0 is zero (payoff boundary), row m1 carries only -r_d/2 on the
-    diagonal."""
+    row m1 carries only -r_d/2 on the diagonal. Row 0 (s = 0): zero for
+    calls (U(0) = 0 payoff boundary, implicit row becomes identity); for
+    PUTS the s = 0 far field is U(0, tau) = K*e^{-r_d*tau}, and at s = 0
+    every s-derivative term of A1 vanishes, so the row carries exactly
+    the remaining -r_d/2 reaction (A2 supplies the other half on every
+    column) — giving the correct full -r_d decay of the s = 0 column.
+    Puts are a TPU-framework extension; the reference prices calls only."""
     m1 = grid.m1
     s = grid.vec_s
     v = grid.vec_v
@@ -119,9 +124,11 @@ def build_a1_bands(grid: Grid, r_d, r_f):
     mu_int = a * dp[None, :] + bb * bp[None, :]
 
     zcol = jnp.zeros((v.shape[0], 1), s.dtype)
+    d_left = 0.0 if option_type == "call" else -0.5 * r_d
     ml = jnp.concatenate([zcol, ml_int, zcol], axis=1)
     md = jnp.concatenate(
-        [zcol, md_int, jnp.full((v.shape[0], 1), -0.5 * r_d, s.dtype)], axis=1
+        [jnp.full((v.shape[0], 1), d_left, s.dtype), md_int,
+         jnp.full((v.shape[0], 1), -0.5 * r_d, s.dtype)], axis=1
     )
     mu = jnp.concatenate([zcol, mu_int, zcol], axis=1)
     return ml, md, mu
@@ -196,30 +203,59 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str):
     return l2, l1, d, u1, u2
 
 
-def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float):
-    """Call-option boundary injection vectors b1 (S-direction) and b2
-    (V-direction), including the reference's flat-index placement of b1 at
+def boundary_rate(r_d, r_f, option_type: str = "call"):
+    """Growth rate of the boundary-vector time scaling e^{rate*dt*n}.
+
+    The call far-field values scale with e^{-r_f*tau} (the reference's
+    e^{r_f dt n} stepper factor, ref: src/solver.hpp:65-68); the put
+    far fields U(0, tau) = K e^{-r_d tau} and U(., v_max) = K e^{-r_d tau}
+    scale with r_d instead — same machinery, different rate."""
+    return r_f if option_type == "call" else r_d
+
+
+def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
+                           option_type: str = "call", strike=None):
+    """Boundary injection vectors b1 (S-direction) and b2 (V-direction).
+
+    Calls: includes the reference's flat-index placement of b1 at
     m1*(j+1) — which is NOT the S_max column for j >= 1; reproduced exactly
     (ref: src/BoundaryConditions.hpp:70-80, src/hes_boundary_kernels.hpp:53-66).
     b0 (mixed) is identically zero; b = b0 + b1 + b2.
+
+    Puts (framework extension — the reference prices calls only): b1 = 0
+    (U -> 0 at s_max, and the s = 0 far field is carried by the A1 row-0
+    band, see build_a1_bands); b2 injects the missing A2 reaction on the
+    v_max row using the put far-field value U(s, v_max) = K*e^{-r_d*tau}
+    (BS sigma->inf limit), scaled through time by e^{r_d dt n}
+    (boundary_rate). `strike` is required for puts.
     """
     m1, m2 = grid.m1, grid.m2
     s = grid.vec_s
     dtype = s.dtype
     shape = (m2 + 1, m1 + 1)
 
-    efac = jnp.exp(jnp.asarray(-r_f * delta_t * (n_steps - 1), dtype))
+    rate = boundary_rate(r_d, r_f, option_type)
+    efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
 
-    # b1: flat indices m1*(j+1), j = 0..m2 (static index arithmetic)
-    flat = np.array([m1 * (j + 1) for j in range(m2 + 1)])
-    rows = flat // (m1 + 1)
-    cols = flat % (m1 + 1)
-    b1 = jnp.zeros(shape, dtype).at[rows, cols].set(
-        (r_d - r_f) * s[m1] * efac
-    )
-
-    # b2: top variance row (j = m2), s-nodes 1..m1
-    b2 = jnp.zeros(shape, dtype).at[m2, 1:].set(-0.5 * r_d * s[1:] * efac)
+    if option_type == "call":
+        # b1: flat indices m1*(j+1), j = 0..m2 (static index arithmetic)
+        flat = np.array([m1 * (j + 1) for j in range(m2 + 1)])
+        rows = flat // (m1 + 1)
+        cols = flat % (m1 + 1)
+        b1 = jnp.zeros(shape, dtype).at[rows, cols].set(
+            (r_d - r_f) * s[m1] * efac
+        )
+        # b2: top variance row (j = m2), s-nodes 1..m1
+        b2 = jnp.zeros(shape, dtype).at[m2, 1:].set(
+            -0.5 * r_d * s[1:] * efac)
+    elif option_type == "put":
+        if strike is None:
+            raise ValueError("put boundary vectors require the strike")
+        b1 = jnp.zeros(shape, dtype)
+        b2 = jnp.zeros(shape, dtype).at[m2, 1:].set(
+            -0.5 * r_d * jnp.asarray(strike, dtype) * efac)
+    else:
+        raise ValueError(f"unknown option_type: {option_type!r}")
 
     return b1, b2, b1 + b2
 
@@ -236,6 +272,8 @@ def build_operators(
     delta_t: float,
     n_steps: int,
     a2_variant: str = "upwind",
+    option_type: str = "call",
+    strike=None,
 ) -> HestonOperators:
     """Assemble every operator for one option instance (pure / vmappable)."""
     m1, m2 = grid.m1, grid.m2
@@ -255,7 +293,7 @@ def build_operators(
     a0_c = rho * sigma * interior_mask * v[:, None] * s[None, :]
 
     # --- A1 ---
-    a1_ml, a1_md, a1_mu = build_a1_bands(grid, r_d, r_f)
+    a1_ml, a1_md, a1_mu = build_a1_bands(grid, r_d, r_f, option_type)
     td = theta * delta_t
     a1_iml = -td * a1_ml
     a1_imd = 1.0 - td * a1_md
@@ -272,7 +310,8 @@ def build_operators(
     a2_iu2 = -td * a2_u2
 
     # --- boundaries ---
-    b1, b2, b = build_boundary_vectors(grid, r_d, r_f, n_steps, delta_t)
+    b1, b2, b = build_boundary_vectors(grid, r_d, r_f, n_steps, delta_t,
+                                       option_type, strike)
 
     return HestonOperators(
         a0_c=a0_c,

@@ -188,7 +188,8 @@ def _b1_colrows(m1: int, m2: int):
 
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, unroll: bool, div_plan=None,
-                 n_events: int = 0, n_tangents: int = 0):
+                 n_events: int = 0, n_tangents: int = 0,
+                 put: bool = False):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
     segments with dividend re-maps between them. Each re-map is linear
@@ -317,7 +318,9 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         smax_mask = (s_ids != ns - 1).astype(dtype)   # [ns, nv]
         if american:
             # payoff is v-independent: reconstruct from the s-grid
-            u0row = jnp.maximum(vecs_ref[:] - kk_ref[0][None, :], 0.0)
+            intrinsic = (kk_ref[0][None, :] - vecs_ref[:] if put
+                         else vecs_ref[:] - kk_ref[0][None, :])
+            u0row = jnp.maximum(intrinsic, 0.0)
             u0 = u0row[:, None, :]
 
         def bandv(band):
@@ -644,7 +647,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   american: bool, dtype_name: str, interpret: bool,
                   unroll: bool = False, div_plan=None, n_events: int = 0,
-                  n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0):
+                  n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0,
+                  put: bool = False):
     """pallas_call for the WHOLE batch: tiles are iterated by the pallas
     grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
     traffic; scratch is re-initialized per tile by the kernel).
@@ -653,7 +657,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     K = n_tangents
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
-                          div_plan, n_events, n_tangents)
+                          div_plan, n_events, n_tangents, put)
 
     big_spec = lambda: pl.BlockSpec((ns, nv, tile), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
@@ -726,17 +730,20 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
 
 
 def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
-                     r_d, r_f):
+                     r_d, r_f, option_type="call"):
     """vmap the existing operator assembly over the book, then transpose
     every field to batch-last tiles."""
+    put = option_type == "put"
 
     def one(k):
         g = gridmod.make_grid(spec, s0, k, v0)
         ops = operators.build_operators(
             g, kappa, eta, sigma, rho, r_d, r_f, solver.theta,
-            solver.delta_t, solver.n_steps, solver.a2_variant)
+            solver.delta_t, solver.n_steps, solver.a2_variant,
+            option_type, k)
         dtype = g.vec_s.dtype
-        u0 = jnp.maximum(g.vec_s[None, :] - k, 0.0) * jnp.ones(
+        intrinsic = k - g.vec_s[None, :] if put else g.vec_s[None, :] - k
+        u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones(
             (spec.m2 + 1, 1), dtype)
         # separable A0 coefficient: rho*sigma*s (cols 1..m1-1) x v (rows
         # 1..m2-1); product equals ops.a0_c
@@ -766,14 +773,24 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         a1pl = cat(0.0, a * dm, 0.0)
         a1ql = cat(0.0, bb * bm, 0.0)
         a1pd = cat(0.0, a * d0, 0.0)
-        a1qd = cat(0.0, bb * b0 - 0.5 * r_d, -0.5 * r_d)
+        # puts: row 0 (s = 0) carries the -r_d/2 reaction of the far
+        # field U(0, tau) = K e^{-r_d tau} (see operators.build_a1_bands)
+        q_left = -0.5 * r_d if put else 0.0
+        a1qd = cat(q_left, bb * b0 - 0.5 * r_d, -0.5 * r_d)
         a1pu = cat(0.0, a * dp, 0.0)
         a1qu = cat(0.0, bb * bp, 0.0)
-        # boundary data: b1 scalar + bottom-row values
+        # boundary data: b1 scalar + bottom-row values, scaled through
+        # time at operators.boundary_rate (r_f calls / r_d puts)
+        rate = operators.boundary_rate(r_d, r_f, option_type)
         efac = jnp.exp(jnp.asarray(
-            -r_f * solver.delta_t * (solver.n_steps - 1), dtype))
-        b1val = (r_d - r_f) * g.vec_s[-1] * efac
-        b2row = (-0.5 * r_d * g.vec_s * efac).at[0].set(0.0)
+            -rate * solver.delta_t * (solver.n_steps - 1), dtype))
+        if put:
+            b1val = jnp.zeros((), dtype)
+            b2row = (-0.5 * r_d * efac * k * jnp.ones_like(g.vec_s)
+                     ).at[0].set(0.0)
+        else:
+            b1val = (r_d - r_f) * g.vec_s[-1] * efac
+            b2row = (-0.5 * r_d * g.vec_s * efac).at[0].set(0.0)
         idx_s = gridmod.find_node(g.vec_s, s0)
         idx_v = gridmod.find_node(g.vec_v, v0)
         return (ops, u0, (a1pl, a1ql, a1pd, a1qd, a1pu, a1qu), g.vec_v,
@@ -782,13 +799,18 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     return jax.vmap(one)(strikes)
 
 
-def _build_remap_fields(vec_s, events, dtype):
+def _build_remap_fields(vec_s, events, dtype, option_type="call"):
     """Compact per-option re-map fields: the dense matrix
     R_e[c, i] (U_new[:, i] = sum_c U[:, c] R[c, i]) of
     models.douglas.apply_dividend has <= 2 nonzeros per output column i,
     so per event only (i0, w0, i1, w1), each [B, ns], is stored:
     R_e[c, i] = w0[i]*(i0[i]==c) + w1[i]*(i1[i]==c). Indices are carried
-    in the kernel dtype (exact for node counts << 2^24)."""
+    in the kernel dtype (exact for node counts << 2^24).
+
+    Calls zero the surface where the dividend pushes new_s <= 0 (the
+    reference's convention, exact because U(0) = 0 for calls); puts copy
+    column 0 instead (U(0) ~ K there — zeroing would destroy the put's
+    deep-ITM region)."""
     b, ns = vec_s.shape
     m1 = ns - 1
     c_ids = jnp.arange(ns, dtype=jnp.int32)[None, :, None]   # [1, c, 1]
@@ -809,7 +831,8 @@ def _build_remap_fields(vec_s, events, dtype):
         s_lo = jnp.sum(vec_s[:, :, None] * oh_lo, axis=1)
         s_hi = jnp.sum(vec_s[:, :, None] * oh_hi, axis=1)
         w = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
-        valid = (new_s > 0.0).astype(dtype)
+        valid = ((new_s > 0.0).astype(dtype)
+                 if option_type == "call" else jnp.ones_like(new_s))
         is_left = idx == 0        # left extrapolation: copy column 0
         i0 = jnp.where(is_left, 0, lo).astype(dtype)
         w0 = valid * jnp.where(is_left, 1.0, 1.0 - w).astype(dtype)
@@ -850,12 +873,12 @@ def _chunk_dividend_plan(solver, dividends):
 
 
 def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
-              r_d, r_f):
+              r_d, r_f, option_type="call"):
     """Build every kernel input field (batch-last, s-major) plus the
     extraction indices for a padded strike vector."""
     (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
-                          rho, v0, r_d, r_f)
+                          rho, v0, r_d, r_f, option_type)
 
     # batch goes LAST (the lane axis); the pallas grid walks tile-blocks.
     # Big fields are s-major in the kernel: [s, v, options].
@@ -910,11 +933,13 @@ def _pad_strikes(spec, strikes, n_tangents=0, strict=True):
 
 
 def _run_chunks(spec, solver, american, dividends, dtype, interpret,
-                unroll, n_tiles, tile, fields, vec_s, tangents=()):
+                unroll, n_tiles, tile, fields, vec_s, tangents=(),
+                option_type="call"):
     """Run the (possibly dividend-segmented) time loop as chunk launches.
     `tangents`: optional list of K dicts of 2-D tangent fields (keys =
     _TANGENT_KEYS) plus state tangents are taken as zeros. Returns
     (u, lam, [du_k...])."""
+    put = option_type == "put"
     K = len(tangents)
     inv = [fields[k] for k in _INV_KEYS]
     rfa = jnp.asarray([fields["rf_val"]], dtype)
@@ -939,12 +964,12 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
         n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
         n1a = jnp.asarray([0], jnp.int32)
         for plan, events in _chunk_dividend_plan(solver, dividends):
-            rmf = _build_remap_fields(vec_s, events, dtype)
+            rmf = _build_remap_fields(vec_s, events, dtype, option_type)
             r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
             chunk_call = _segment_call(
                 spec.m1, spec.m2, solver.theta, solver.delta_t, american,
                 dtype.name, interpret, unroll, plan, len(events),
-                n_tiles, tile, K)
+                n_tiles, tile, K, put)
             sa = state_args()
             outs = chunk_call(n0a, n1a, rfa, sa[0],
                               *( [sa[1]] if american else [] ), *inv,
@@ -956,7 +981,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
         call = _segment_call(spec.m1, spec.m2, solver.theta,
                              solver.delta_t, american, dtype.name,
                              interpret, unroll, n_tiles=n_tiles, tile=tile,
-                             n_tangents=K)
+                             n_tangents=K, put=put)
         n0a = jnp.asarray([1], jnp.int32)
         n1a = jnp.asarray([solver.n_steps + 1], jnp.int32)
         sa = state_args()
@@ -991,6 +1016,7 @@ def fused_price_batch(
     dividends: Optional[DividendSchedule] = None,
     interpret: Optional[bool] = None,
     unroll: bool = False,
+    option_type: str = "call",
 ) -> jnp.ndarray:
     """Drop-in replacement for models.douglas.price_batch running the time
     loop in the fused Pallas kernel. Jit-wrap the caller.
@@ -1004,11 +1030,13 @@ def fused_price_batch(
     strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
                                             strict=not interpret)
     fields, vec_s, idx_s, idx_v = _assemble(
-        spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f)
+        spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        option_type)
     dtype = fields["u"].dtype
-    fields["rf_val"] = r_f
+    fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     u, _, _ = _run_chunks(spec, solver, american, dividends, dtype,
-                          interpret, unroll, n_tiles, tile, fields, vec_s)
+                          interpret, unroll, n_tiles, tile, fields, vec_s,
+                          option_type=option_type)
     return _extract(u, idx_s, idx_v, b)
 
 
@@ -1023,6 +1051,7 @@ def fused_theta_jacobian(
     dividends: Optional[DividendSchedule] = None,
     interpret: Optional[bool] = None,
     unroll: bool = False,
+    option_type: str = "call",
 ):
     """(base_prices [B], jacobian [B, 5]) via EXACT forward-mode AD
     through the fused kernel: XLA differentiates the field preparation
@@ -1043,7 +1072,7 @@ def fused_theta_jacobian(
     def prep_tangent_fields(tv):
         f, vec_s_, idx_s_, idx_v_ = _assemble(
             spec, solver, strikes_p, s0, tv[0], tv[1], tv[2], tv[3],
-            tv[4], r_d, r_f)
+            tv[4], r_d, r_f, option_type)
         return (tuple(f[k] for k in _TANGENT_KEYS),
                 (f, vec_s_, idx_s_, idx_v_))
 
@@ -1054,7 +1083,7 @@ def fused_theta_jacobian(
     dtype = jnp.result_type(float)   # matches the grid/field build dtype
     _, jvp_fn, (fields, vec_s, idx_s, idx_v) = jax.linearize(
         prep_tangent_fields, theta_vec.astype(dtype), has_aux=True)
-    fields["rf_val"] = r_f
+    fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     basis = jnp.eye(5, dtype=dtype)
     dfields = jax.vmap(jvp_fn)(basis)   # each leaf gains a leading (5,)
     tangents = [
@@ -1063,7 +1092,7 @@ def fused_theta_jacobian(
     ]
     u, _, dus = _run_chunks(spec, solver, american, dividends, dtype,
                             interpret, unroll, n_tiles, tile, fields,
-                            vec_s, tangents)
+                            vec_s, tangents, option_type)
     base = _extract(u, idx_s, idx_v, b)
     jac = jnp.stack([_extract(du, idx_s, idx_v, b) for du in dus], axis=-1)
     return base, jac

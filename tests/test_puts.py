@@ -1,0 +1,155 @@
+"""Put-option support (framework extension — the reference prices calls
+only, src/bs.hpp:44 / src/solver.cpp; American puts are THE canonical
+early-exercise problem, which a calls-only Heston solver cannot express
+without dividends).
+
+Put discretization design (see operators.build_a1_bands /
+build_boundary_vectors): put payoff; s = 0 far field U(0, tau) =
+K e^{-r_d tau} carried by the A1 row-0 reaction; b1 = 0 (U -> 0 at
+s_max); v_max row pinned to the sigma->inf limit K e^{-r_d tau} via b2;
+boundary scaling rate r_d instead of r_f.
+
+Validation strategy (no golden values exist upstream):
+  * European put vs the semi-analytic CF put (parity-exact oracle),
+    converging under refinement,
+  * discrete put-call parity at matched grids,
+  * American put >= European put, >= intrinsic,
+  * r_d = 0, no dividends: American put == European put (early exercise
+    never optimal),
+  * fused Pallas kernel == XLA path in f64 for all variants.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heston_tpu.config import (
+    GOLDEN_DIVIDENDS,
+    GridSpec,
+    HestonParams,
+    SolverConfig,
+)
+from heston_tpu.models import douglas, heston_cf
+from heston_tpu.pallas import fused_do
+
+P = HestonParams()
+SPEC = GridSpec(m1=50, m2=25)
+SOLVER = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                      a2_variant="upwind")
+
+
+def _price(spec, solver, k, **kw):
+    return float(douglas.price_option(
+        spec, solver, k, 100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0,
+        P.r_d, P.r_f, **kw))
+
+
+def test_european_put_converges_to_cf():
+    """PDE put converges to the semi-analytic CF put under refinement."""
+    want = float(heston_cf.put_price(
+        100.0, 100.0, P.v0, P.kappa, P.eta, P.sigma, P.rho, P.r_d, 1.0))
+    errs = []
+    for (m1, m2, n) in [(50, 25, 20), (100, 50, 80)]:
+        got = _price(GridSpec(m1=m1, m2=m2),
+                     dataclasses.replace(SOLVER, n_steps=n),
+                     100.0, option_type="put")
+        errs.append(abs(got - want))
+    assert errs[1] < errs[0]
+    assert errs[1] < 0.02, (errs, want)
+
+
+def test_put_call_parity_european():
+    """C - P = S0 - K e^{-r_d T} (r_f = 0) to discretization accuracy,
+    shrinking under refinement."""
+    diffs = []
+    for (m1, m2, n) in [(50, 25, 20), (100, 50, 80)]:
+        spec = GridSpec(m1=m1, m2=m2)
+        sol = dataclasses.replace(SOLVER, n_steps=n)
+        c = _price(spec, sol, 100.0)
+        p = _price(spec, sol, 100.0, option_type="put")
+        parity = 100.0 - 100.0 * np.exp(-P.r_d * 1.0)
+        diffs.append(abs((c - p) - parity))
+    assert diffs[1] < diffs[0]
+    assert diffs[1] < 0.02, diffs
+
+
+def test_american_put_dominates():
+    """American >= European, and >= intrinsic at every tested strike."""
+    for k in (80.0, 100.0, 120.0):
+        euro = _price(SPEC, SOLVER, k, option_type="put")
+        amer = _price(SPEC, SOLVER, k, option_type="put", american=True)
+        assert amer >= euro - 1e-10, (k, amer, euro)
+        assert amer >= max(k - 100.0, 0.0) - 1e-8, (k, amer)
+    # early-exercise premium is strictly positive for deep ITM puts
+    euro = _price(SPEC, SOLVER, 130.0, option_type="put")
+    amer = _price(SPEC, SOLVER, 130.0, option_type="put", american=True)
+    assert amer > euro + 1e-3, (amer, euro)
+
+
+def test_american_put_equals_european_at_zero_rate():
+    """With r_d = 0 and no dividends, early exercise of a put is never
+    optimal -> American == European up to the Ikonen-Toivanen splitting
+    error (the lambda-multiplier LCP is an O(dt) operator splitting; at
+    the payoff kink it leaves ~3e-5 of residual even when the constraint
+    is globally inactive — measured 3.7e-5 at 50x25x20 and 3.1e-5 at
+    100x50x80)."""
+    p0 = dataclasses.replace(P, r_d=0.0)
+
+    def price(american):
+        return float(douglas.price_option(
+            SPEC, SOLVER, 100.0, 100.0, p0.kappa, p0.eta, p0.sigma,
+            p0.rho, p0.v0, p0.r_d, p0.r_f, option_type="put",
+            american=american))
+
+    assert abs(price(True) - price(False)) < 1e-4
+
+
+def test_put_with_dividends_worth_more():
+    """Cash dividends lower the forward -> puts gain value."""
+    base = _price(SPEC, SOLVER, 100.0, option_type="put")
+    with_div = _price(SPEC, SOLVER, 100.0, option_type="put",
+                      dividends=GOLDEN_DIVIDENDS)
+    assert with_div > base + 1e-3
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(dividends=GOLDEN_DIVIDENDS),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+])
+def test_fused_kernel_puts_match_xla(kw):
+    """f64 fused kernel == XLA path for every put variant (interpret)."""
+    ks = jnp.array([85.0, 100.0, 115.0], dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0, P.r_d, P.r_f))
+    want = np.array(douglas.price_batch(
+        SPEC, SOLVER, ks, *args, option_type="put", **kw))
+    got = np.array(jax.jit(
+        lambda k: fused_do.fused_price_batch(
+            SPEC, SOLVER, k, *args, interpret=True, option_type="put",
+            **kw))(ks))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+def test_fused_put_jacobian_matches_xla_ad():
+    """Forward-mode AD through the kernel handles puts: equals jacfwd of
+    the XLA path in f64."""
+    ks = jnp.array([90.0, 105.0], dtype=jnp.float64)
+    tv = jnp.array(P.bumpable(), dtype=jnp.float64)
+
+    def xla_prices(t):
+        return douglas.price_batch(
+            SPEC, SOLVER, ks, 100.0, t[0], t[1], t[2], t[3], t[4],
+            P.r_d, P.r_f, american=True, option_type="put")
+
+    want_jac = np.array(jax.jacfwd(xla_prices)(tv))
+    base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
+        SPEC, SOLVER, ks, 100.0, t, P.r_d, P.r_f, american=True,
+        option_type="put", interpret=True))(tv)
+    np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.array(base), np.array(xla_prices(tv)),
+                               rtol=0, atol=1e-11)
