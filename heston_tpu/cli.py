@@ -73,13 +73,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="heston_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("price", help="price a batch of call options")
+    p = sub.add_parser("price", help="price a batch of options")
     _add_common(p)
     p.add_argument("--strikes", type=float, nargs="+", required=True)
     p.add_argument("--american", action="store_true")
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
     p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--option-type", default="call", choices=["call", "put"])
 
     p = sub.add_parser("calibrate", help="run a calibration scenario")
     _add_common(p)
@@ -109,6 +110,7 @@ def main(argv=None):
     p.add_argument("--american", action="store_true")
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
+    p.add_argument("--option-type", default="call", choices=["call", "put"])
 
     p = sub.add_parser("surface", help="export a price surface CSV")
     _add_common(p)
@@ -117,6 +119,7 @@ def main(argv=None):
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
     p.add_argument("--csv", default="surface.csv")
+    p.add_argument("--option-type", default="call", choices=["call", "put"])
     p.add_argument("--track-lambda", action="store_true",
                    help="also export the American lambda-multiplier surface "
                         "(<csv>.lambda.csv), the reference's lambda-tracking "
@@ -148,7 +151,8 @@ def main(argv=None):
         prices = douglas.price_batch_params(
             spec, dataclasses.replace(solver, solver_engine=engine),
             strikes, args.spot, params,
-            american=args.american, dividends=divs)
+            american=args.american, dividends=divs,
+            option_type=args.option_type)
         for k, v in zip(args.strikes, np.asarray(prices)):
             print(json.dumps({"strike": k, "price": float(v)}))
 
@@ -197,19 +201,24 @@ def main(argv=None):
         out = greeks_mod.price_and_greeks(
             spec, solver, args.strike, args.spot, params.kappa, params.eta,
             params.sigma, params.rho, params.v0, params.r_d, params.r_f,
-            american=args.american, dividends=divs)
+            american=args.american, dividends=divs,
+            option_type=args.option_type)
         print(json.dumps({k: float(v) for k, v in out.items()}))
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)
         if args.track_lambda:
+            from heston_tpu.ops import operators
+
             inst = douglas.prepare_instance(
                 spec, solver, args.strike, args.spot, params.kappa,
                 params.eta, params.sigma, params.rho, params.v0,
-                params.r_d, params.r_f)
+                params.r_d, params.r_f, args.option_type)
+            b_rate = operators.boundary_rate(params.r_d, params.r_f,
+                                             args.option_type)
             surfaces, lambdas = douglas.solve_with_tracking(
-                inst, solver, params.r_f, american=args.american,
-                dividends=divs)
+                inst, solver, b_rate, american=args.american,
+                dividends=divs, option_type=args.option_type)
             u, grid = surfaces[-1], inst.grid
             lam_path = hio.export_surface(
                 str(args.csv) + ".lambda.csv", grid,
@@ -218,7 +227,8 @@ def main(argv=None):
         else:
             u, grid = douglas.price_surface(
                 spec, solver, args.strike, args.spot, params,
-                american=args.american, dividends=divs)
+                american=args.american, dividends=divs,
+                option_type=args.option_type)
             lam_path = None
         path = hio.export_surface(args.csv, grid, np.asarray(u),
                                   metadata={"strike": args.strike,

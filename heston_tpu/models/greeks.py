@@ -26,7 +26,8 @@ from heston_tpu.models import douglas
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "solver", "american", "dividends"))
+    jax.jit, static_argnames=("spec", "solver", "american", "dividends",
+                              "option_type"))
 def price_and_greeks(
     spec: GridSpec,
     solver: SolverConfig,
@@ -35,6 +36,7 @@ def price_and_greeks(
     kappa, eta, sigma, rho, v0, r_d, r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Dict[str, jax.Array]:
     """Price + (delta, vega_v0, and the five model-parameter sensitivities)
     for one option via forward-mode AD.
@@ -56,14 +58,16 @@ def price_and_greeks(
                             for v in (kappa, eta, sigma, rho, v0)])
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, jnp.asarray(strike, dtype)[None], s0, tv,
-                r_d, r_f, american=american, dividends=dividends)
+                r_d, r_f, american=american, dividends=dividends,
+                option_type=option_type)
 
             xla_solver = dataclasses.replace(solver, solver_engine="scan")
 
             def price_s0(s):
                 return douglas.price_option(
                     spec, xla_solver, strike, s, kappa, eta, sigma, rho,
-                    v0, r_d, r_f, american=american, dividends=dividends)
+                    v0, r_d, r_f, american=american, dividends=dividends,
+                    option_type=option_type)
 
             _, delta = jax.jvp(price_s0, (jnp.asarray(s0, dtype),),
                                (jnp.ones((), dtype),))
@@ -81,7 +85,8 @@ def price_and_greeks(
         s0_, kappa_, eta_, sigma_, rho_, v0_ = x
         return douglas.price_option(
             spec, solver, strike, s0_, kappa_, eta_, sigma_, rho_, v0_,
-            r_d, r_f, american=american, dividends=dividends)
+            r_d, r_f, american=american, dividends=dividends,
+            option_type=option_type)
 
     x = jnp.stack([jnp.asarray(v, dtype)
                    for v in (s0, kappa, eta, sigma, rho, v0)])

@@ -153,3 +153,31 @@ def test_fused_put_jacobian_matches_xla_ad():
     np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
     np.testing.assert_allclose(np.array(base), np.array(xla_prices(tv)),
                                rtol=0, atol=1e-11)
+
+
+def test_put_greeks_sanity():
+    """AD greeks through the put path: negative delta, positive vega."""
+    from heston_tpu.models import greeks
+
+    g = greeks.price_and_greeks(
+        SPEC, SOLVER, 100.0, 100.0, P.kappa, P.eta, P.sigma, P.rho,
+        P.v0, P.r_d, P.r_f, option_type="put")
+    assert -0.9 < float(g["delta"]) < -0.1    # ATM put delta
+    assert float(g["vega_v0"]) > 0.0          # more variance -> dearer put
+    assert float(g["price"]) > 0.0
+
+
+def test_cli_price_puts(capsys):
+    """CLI --option-type put: decreasing in moneyness, parity ordering."""
+    import json
+
+    from heston_tpu import cli
+
+    rc = cli.main(["price", "--strikes", "90", "100", "110",
+                   "--m1", "20", "--m2", "10", "--n-steps", "4",
+                   "--option-type", "put"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    prices = [l["price"] for l in lines]
+    assert prices[0] < prices[1] < prices[2]  # puts gain with strike
+    assert all(p > 0 for p in prices)
