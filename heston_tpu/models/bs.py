@@ -43,9 +43,20 @@ def call_vega(s, k, r, vol, t) -> Array:
     return s * jnp.exp(-0.5 * d1 * d1) * jnp.sqrt(t / (2.0 * jnp.pi))
 
 
-def generate_market_data(s0, t, r_d, strikes: Array, vol=MARKET_VOL) -> Array:
-    """Synthetic market chain at flat vol (ref: src/bs.hpp:57-76)."""
-    return call_price(s0, strikes, r_d, vol, t)
+def put_to_call_parity(p, s, k, r, t) -> Array:
+    """European put price -> parity-equivalent call price
+    C = P + S - K e^{-rT} (exact for European exercise; lets the
+    call-based implied-vol inversion serve put chains)."""
+    return p + s - k * jnp.exp(-r * t)
+
+
+def generate_market_data(s0, t, r_d, strikes: Array, vol=MARKET_VOL,
+                         option_type: str = "call") -> Array:
+    """Synthetic market chain at flat vol (ref: src/bs.hpp:57-76).
+    option_type="put" is a framework extension (the reference is
+    calls-only)."""
+    fn = call_price if option_type == "call" else put_price
+    return fn(s0, strikes, r_d, vol, t)
 
 
 def escrowed_spot(s0, t, r_d, dates, amounts, percentages):
@@ -63,13 +74,14 @@ def escrowed_spot(s0, t, r_d, dates, amounts, percentages):
 
 
 def generate_market_data_with_dividends(
-    s0, t, r_d, strikes: Array, dates, amounts, percentages, vol=MARKET_VOL
+    s0, t, r_d, strikes: Array, dates, amounts, percentages, vol=MARKET_VOL,
+    option_type: str = "call",
 ) -> Array:
     """Escrowed-dividend-adjusted synthetic chain (ref: src/bs.hpp:78-114):
     spot reduced by PV of cash dividends and by s0*pct discounted."""
-    return call_price(
-        escrowed_spot(s0, t, r_d, dates, amounts, percentages),
-        strikes, r_d, vol, t)
+    fn = call_price if option_type == "call" else put_price
+    return fn(escrowed_spot(s0, t, r_d, dates, amounts, percentages),
+              strikes, r_d, vol, t)
 
 
 def implied_vol(

@@ -64,6 +64,8 @@ class CalibrationTargets:
     r_f: float = 0.0
     american: bool = False
     dividends: Optional[DividendSchedule] = None
+    option_type: str = "call"   # "put" = framework extension (ref is
+                                # calls-only, src/bs.hpp:44)
 
     def groups(self) -> List[Tuple[float, np.ndarray]]:
         """(maturity, point-index array) per distinct maturity, in order."""
@@ -99,7 +101,8 @@ def _bumped_param_matrix(theta_vec: Array, eps: float) -> Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "solver", "american", "dividends", "eps"),
+    static_argnames=("spec", "solver", "american", "dividends", "eps",
+                     "option_type"),
 )
 def jacobian_and_prices(
     spec: GridSpec,
@@ -112,6 +115,7 @@ def jacobian_and_prices(
     eps: float = 1e-6,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Tuple[Array, Array]:
     """Returns (J [n_strikes, 5], base_prices [n_strikes]).
 
@@ -122,6 +126,7 @@ def jacobian_and_prices(
         return douglas.price_option(
             spec, solver, k, s0, pvec[0], pvec[1], pvec[2], pvec[3], pvec[4],
             r_d, r_f, american=american, dividends=dividends,
+            option_type=option_type,
         )
 
     pmat = _bumped_param_matrix(theta_vec, eps)              # (6, 5)
@@ -136,7 +141,8 @@ def jacobian_and_prices(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "solver", "american", "dividends"),
+    static_argnames=("spec", "solver", "american", "dividends",
+                     "option_type"),
 )
 def base_prices(
     spec: GridSpec,
@@ -148,6 +154,7 @@ def base_prices(
     r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> Array:
     """Batched pricing at one parameter set
     (ref: src/jacobian_computation.cpp:368 compute_base_prices)."""
@@ -157,6 +164,7 @@ def base_prices(
             spec, solver, k, s0, theta_vec[0], theta_vec[1], theta_vec[2],
             theta_vec[3], theta_vec[4], r_d, r_f,
             american=american, dividends=dividends,
+            option_type=option_type,
         )
 
     return jax.vmap(price_one)(strikes)
@@ -198,7 +206,7 @@ def _clamp_vec_traced(vec: Array, cfg: CalibrationConfig) -> Array:
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "solver", "cfg", "american", "dividends",
-                     "group_steps", "pricer"),
+                     "group_steps", "pricer", "option_type"),
 )
 def calibrate_device(
     spec: GridSpec,
@@ -214,6 +222,7 @@ def calibrate_device(
     dividends=None,
     group_steps: Tuple[Tuple[int, int, int], ...] = (),
     pricer: str = "pde",
+    option_type: str = "call",
 ):
     """Device-resident Levenberg-Marquardt: the ENTIRE iteration loop runs
     inside one jitted lax.while_loop — Jacobian fleet, damped 5x5 solve,
@@ -259,7 +268,8 @@ def calibrate_device(
                             / max(solver.n_steps, 1))
                         bb, jj = fused_do.fused_theta_jacobian(
                             spec, sol, strikes[a:b], s0, tv, r_d, r_f,
-                            american=american, dividends=dividends)
+                            american=american, dividends=dividends,
+                            option_type=option_type)
                         bases.append(bb)
                         jacs.append(jj)
                     return jnp.concatenate(jacs), jnp.concatenate(bases)
@@ -296,7 +306,7 @@ def calibrate_device(
                 t_group = solver.maturity * n / max(solver.n_steps, 1)
                 outs.append(heston_cf.price_chain(
                     s0, strikes[a:b], tv[4], tv[0], tv[1], tv[2], tv[3],
-                    r_d, t_group))
+                    r_d, t_group, option_type=option_type))
             return jnp.concatenate(outs)
     else:
         def fleet_prices(tv):
@@ -313,7 +323,8 @@ def calibrate_device(
         # solver_engine="pallas" (and the grid fits VMEM)
         return douglas.price_batch(
             spec, sol, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
-            r_d, r_f, american=american, dividends=dividends)
+            r_d, r_f, american=american, dividends=dividends,
+            option_type=option_type)
 
     def lm_body(state):
         tv, lam, final_error, it, converged, fitted = state
@@ -429,6 +440,7 @@ def calibrate(
                 targets.s0, jnp.asarray(tv), targets.r_d, targets.r_f,
                 eps=cfg.eps, american=targets.american,
                 dividends=targets.dividends,
+                option_type=targets.option_type,
             )
             J[idx] = np.asarray(j)
             P[idx] = np.asarray(p)
@@ -441,6 +453,7 @@ def calibrate(
                 spec, solver_for(mat), jnp.asarray(targets.strikes[idx]),
                 targets.s0, jnp.asarray(tv), targets.r_d, targets.r_f,
                 american=targets.american, dividends=targets.dividends,
+                option_type=targets.option_type,
             ))
         return P
 

@@ -59,16 +59,19 @@ def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, int]:
     return x, n
 
 
-def _local_prices(spec, solver, american, dividends, ks, tv, s0, r_d, r_f):
+def _local_prices(spec, solver, american, dividends, option_type,
+                  ks, tv, s0, r_d, r_f):
     # price_batch dispatches on solver.solver_engine, so a mesh of chips can
     # each run the fused Pallas kernel on its shard of the book
     return douglas.price_batch(
         spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
         r_d, r_f, american=american, dividends=dividends,
+        option_type=option_type,
     )
 
 
-def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
+def _local_jac(spec, solver, american, dividends, eps, option_type,
+               ks, tv, s0, r_d, r_f):
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
@@ -79,7 +82,8 @@ def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
             # DO-only scheme and the tangent-inclusive VMEM working set
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, ks, s0, jnp.asarray(tv), r_d, r_f,
-                american=american, dividends=dividends)
+                american=american, dividends=dividends,
+                option_type=option_type)
             return jac, base
     pmat = _bumped_param_matrix(tv, eps)  # (6, 5)
     if _kernel_dispatched(spec, solver):
@@ -87,14 +91,14 @@ def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
         # bumps as sequential in-graph launches (only when the fused
         # kernel actually runs; the XLA fallback vmaps as usual)
         prices = jnp.stack([
-            _local_prices(spec, solver, american, dividends,
+            _local_prices(spec, solver, american, dividends, option_type,
                           ks, pmat[i], s0, r_d, r_f)
             for i in range(N_PARAMS + 1)
         ])                                 # (6, B_local)
     else:
         prices = jax.vmap(
             lambda pv: _local_prices(spec, solver, american, dividends,
-                                     ks, pv, s0, r_d, r_f)
+                                     option_type, ks, pv, s0, r_d, r_f)
         )(pmat)                            # (6, B_local)
     base = prices[0]
     jac = ((prices[1:] - base[None, :]) / eps).T
@@ -103,9 +107,10 @@ def _local_jac(spec, solver, american, dividends, eps, ks, tv, s0, r_d, r_f):
 
 @functools.lru_cache(maxsize=None)
 def _price_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
-                american: bool, dividends):
+                american: bool, dividends, option_type: str = "call"):
     fn = shard_map(
-        functools.partial(_local_prices, spec, solver, american, dividends),
+        functools.partial(_local_prices, spec, solver, american, dividends,
+                          option_type),
         mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=P(AXIS),
@@ -117,9 +122,11 @@ def _price_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
 
 @functools.lru_cache(maxsize=None)
 def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
-              american: bool, dividends, eps: float):
+              american: bool, dividends, eps: float,
+              option_type: str = "call"):
     fn = shard_map(
-        functools.partial(_local_jac, spec, solver, american, dividends, eps),
+        functools.partial(_local_jac, spec, solver, american, dividends, eps,
+                          option_type),
         mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
@@ -130,10 +137,11 @@ def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
 
 @functools.lru_cache(maxsize=None)
 def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
-                    american: bool, dividends, eps: float):
+                    american: bool, dividends, eps: float,
+                    option_type: str = "call"):
     def local(ks, mkt, w, tv, lam_, s0, r_d, r_f):
         jac, base = _local_jac(spec, solver, american, dividends, eps,
-                               ks, tv, s0, r_d, r_f)
+                               option_type, ks, tv, s0, r_d, r_f)
         resid = (mkt - base) * w
         jac = jac * w[:, None]
         jtj = jax.lax.psum(jac.T @ jac, AXIS)
@@ -163,6 +171,7 @@ def price_batch_sharded(
     r_f,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ) -> jax.Array:
     """Price the book with the batch axis sharded across the mesh.
 
@@ -172,7 +181,7 @@ def price_batch_sharded(
     n_dev = mesh.devices.size
     padded, n = _pad_to(jnp.asarray(strikes), n_dev)
     dtype = padded.dtype
-    fn = _price_exec(mesh, spec, solver, american, dividends)
+    fn = _price_exec(mesh, spec, solver, american, dividends, option_type)
     out = fn(shard_batch(padded, mesh), jnp.asarray(theta_vec, dtype),
              jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
              jnp.asarray(r_f, dtype))
@@ -193,6 +202,7 @@ def jacobian_normal_eq_sharded(
     eps: float = 1e-6,
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
 ):
     """One fully-distributed LM linear-algebra step.
 
@@ -206,7 +216,8 @@ def jacobian_normal_eq_sharded(
     padded_m, _ = _pad_to(jnp.asarray(market_prices), n_dev)
     dtype = padded_k.dtype
     valid = (jnp.arange(padded_k.shape[0]) < n).astype(dtype)
-    fn = _normal_eq_exec(mesh, spec, solver, american, dividends, eps)
+    fn = _normal_eq_exec(mesh, spec, solver, american, dividends, eps,
+                         option_type)
     delta, base, sse = fn(
         shard_batch(padded_k, mesh), shard_batch(padded_m, mesh),
         shard_batch(valid, mesh), jnp.asarray(theta_vec, dtype),
@@ -221,21 +232,22 @@ def sharded_pricing_fns(mesh: Mesh):
     that run the PDE fleet sharded over the mesh."""
 
     def jac_fn(spec, solver, strikes, s0, theta_vec, r_d, r_f, eps=1e-6,
-               american=False, dividends=None):
+               american=False, dividends=None, option_type="call"):
         n_dev = mesh.devices.size
         padded, n = _pad_to(jnp.asarray(strikes), n_dev)
         dtype = padded.dtype
-        fn = _jac_exec(mesh, spec, solver, american, dividends, eps)
+        fn = _jac_exec(mesh, spec, solver, american, dividends, eps,
+                       option_type)
         jac, base = fn(shard_batch(padded, mesh),
                        jnp.asarray(theta_vec, dtype), jnp.asarray(s0, dtype),
                        jnp.asarray(r_d, dtype), jnp.asarray(r_f, dtype))
         return jac[:n], base[:n]
 
     def price_fn(spec, solver, strikes, s0, theta_vec, r_d, r_f,
-                 american=False, dividends=None):
+                 american=False, dividends=None, option_type="call"):
         return price_batch_sharded(
             mesh, spec, solver, strikes, s0, theta_vec, r_d, r_f,
-            american=american, dividends=dividends,
+            american=american, dividends=dividends, option_type=option_type,
         )
 
     return jac_fn, price_fn

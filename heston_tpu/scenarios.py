@@ -47,6 +47,8 @@ class Scenario:
     r_f: float = 0.0
     max_iter: int = 15
     tol: float = 0.1
+    option_type: str = "call"   # "put" = framework extension (the
+                                # reference's six drivers are calls-only)
 
     def build_targets(self) -> calib.CalibrationTargets:
         if len(self.maturities) == 1:
@@ -69,14 +71,16 @@ class Scenario:
                 prices[idx] = np.asarray(bs.generate_market_data_with_dividends(
                     self.s0, float(t), self.r_d, jnp.asarray(strikes[idx]),
                     self.dividends.dates, self.dividends.amounts,
-                    self.dividends.percentages))
+                    self.dividends.percentages,
+                    option_type=self.option_type))
             else:
                 prices[idx] = np.asarray(bs.generate_market_data(
-                    self.s0, float(t), self.r_d, jnp.asarray(strikes[idx])))
+                    self.s0, float(t), self.r_d, jnp.asarray(strikes[idx]),
+                    option_type=self.option_type))
         return calib.CalibrationTargets(
             strikes=strikes, maturities=mats, prices=prices, s0=self.s0,
             r_d=self.r_d, r_f=self.r_f, american=self.american,
-            dividends=self.dividends)
+            dividends=self.dividends, option_type=self.option_type)
 
 
 SCENARIOS = {
@@ -93,6 +97,10 @@ SCENARIOS = {
         "american_dividends_multi", american=True,
         dividends=CALIB_DIVIDENDS,
         maturities=(0.25, 0.5, 0.75, 1.0), strikes_per_maturity=20),
+    # framework extension: fit an American-put chain (the canonical
+    # early-exercise market; no reference analog)
+    "american_puts": Scenario(
+        "american_puts", american=True, option_type="put"),
 }
 
 
@@ -144,7 +152,8 @@ def run_scenario(
             jnp.asarray(targets.prices), targets.s0,
             jnp.asarray(init.bumpable()), targets.r_d, targets.r_f,
             cfg=cfg, american=targets.american,
-            dividends=targets.dividends, group_steps=groups)
+            dividends=targets.dividends, group_steps=groups,
+            option_type=targets.option_type)
         tv = np.asarray(tv)
         result = calib.CalibrationResult(
             params=dataclasses.replace(
@@ -175,5 +184,6 @@ def run_scenario(
     if csv_path:
         hio.export_calibration_fit(
             csv_path, result, scenario.s0, max(scenario.maturities),
-            scenario.r_d, dividends=scenario.dividends)
+            scenario.r_d, dividends=scenario.dividends,
+            option_type=scenario.option_type)
     return result, wall

@@ -52,7 +52,8 @@ def export_convergence(path, rows: Sequence[dict], reference_price: float):
 
 
 def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
-                           iv_epsilon: float = 0.01, dividends=None):
+                           iv_epsilon: float = 0.01, dividends=None,
+                           option_type: str = "call"):
     """Write strike / market / fitted / IV-difference rows plus a metadata
     header with initial & final parameters
     (ref: src/heston_calibration.cpp:468-511).
@@ -77,10 +78,20 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
         s_iv = float(bs.escrowed_spot(
             s0, t, r_d, dividends.dates, dividends.amounts,
             dividends.percentages))
+    mkt_c = jnp.asarray(market)
+    fit_c = jnp.asarray(fitted)
+    if option_type == "put":
+        # put chains (framework extension): convert to parity-equivalent
+        # call prices against the same (adjusted) spot so the call-based
+        # Newton inversion applies — IVs are identical by parity
+        mkt_c = bs.put_to_call_parity(mkt_c, s_iv, jnp.asarray(strikes),
+                                      r_d, t)
+        fit_c = bs.put_to_call_parity(fit_c, s_iv, jnp.asarray(strikes),
+                                      r_d, t)
     iv_mkt = np.asarray(bs.implied_vol_chain(
-        jnp.asarray(market), s_iv, jnp.asarray(strikes), r_d, t))
+        mkt_c, s_iv, jnp.asarray(strikes), r_d, t))
     iv_fit = np.asarray(bs.implied_vol_chain(
-        jnp.asarray(fitted), s_iv, jnp.asarray(strikes), r_d, t))
+        fit_c, s_iv, jnp.asarray(strikes), r_d, t))
 
     init = result.initial_params
     fin = result.params

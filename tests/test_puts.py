@@ -181,3 +181,66 @@ def test_cli_price_puts(capsys):
     prices = [l["price"] for l in lines]
     assert prices[0] < prices[1] < prices[2]  # puts gain with strike
     assert all(p > 0 for p in prices)
+
+
+def test_put_chain_calibration_reduces_error():
+    """LM fit of a flat-vol-0.2 BS PUT chain (framework extension of the
+    reference's European acceptance scenario,
+    ref: src/heston_calibration.cpp:77-83): SSE must collapse 100x."""
+    from heston_tpu.config import CalibrationConfig
+    from heston_tpu.models import bs
+    from heston_tpu.models import calibration as calib
+
+    spec = GridSpec(m1=30, m2=15)
+    solver = SolverConfig(n_steps=10, theta=0.8, maturity=1.0,
+                          a2_variant="upwind")
+    n = 12
+    strikes = np.array([70.0 + i * 60.0 / n for i in range(n)])
+    market = np.asarray(bs.generate_market_data(
+        100.0, 1.0, P.r_d, jnp.asarray(strikes), option_type="put"))
+    targets = calib.CalibrationTargets(
+        strikes=strikes, maturities=np.full(n, 1.0), prices=market,
+        s0=100.0, r_d=P.r_d, r_f=P.r_f, option_type="put")
+    init = HestonParams(kappa=1.5, eta=0.04, sigma=0.3, rho=-0.9, v0=0.04)
+    res = calib.calibrate(targets, spec, solver, init,
+                          CalibrationConfig(max_iter=8, tol=1e-4))
+
+    init_prices = np.asarray(calib.base_prices(
+        spec, solver, jnp.asarray(strikes), 100.0,
+        jnp.array(init.bumpable()), P.r_d, P.r_f, option_type="put"))
+    init_sse = float(np.sum((market - init_prices) ** 2))
+    assert res.final_error < init_sse * 1e-2
+    # the fitted chain must actually be a put chain (increasing in strike)
+    assert res.fitted_prices[0] < res.fitted_prices[-1]
+
+
+def test_put_market_data_and_iv_roundtrip():
+    """BS put chain inverts back to the flat generating vol through the
+    parity conversion used by export_calibration_fit."""
+    from heston_tpu.models import bs
+
+    strikes = jnp.array([85.0, 100.0, 115.0])
+    puts = bs.generate_market_data(100.0, 1.0, P.r_d, strikes,
+                                   option_type="put")
+    calls = bs.put_to_call_parity(puts, 100.0, strikes, P.r_d, 1.0)
+    ivs = np.asarray(bs.implied_vol_chain(calls, 100.0, strikes,
+                                          P.r_d, 1.0))
+    np.testing.assert_allclose(ivs, bs.MARKET_VOL, atol=1e-6)
+
+
+def test_sharded_puts_match_single_device():
+    """option_type threads through the shard_map pricing path."""
+    from heston_tpu.models import calibration as calib
+    from heston_tpu.parallel import make_mesh
+    from heston_tpu.parallel.sharded import price_batch_sharded
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    strikes = jnp.linspace(80.0, 120.0, 16)
+    tv = jnp.array(P.bumpable())
+    want = calib.base_prices(SPEC, SOLVER, strikes, 100.0, tv,
+                             P.r_d, P.r_f, option_type="put")
+    got = price_batch_sharded(mesh, SPEC, SOLVER, strikes, 100.0, tv,
+                              P.r_d, P.r_f, option_type="put")
+    np.testing.assert_allclose(np.array(got), np.array(want), rtol=0,
+                               atol=1e-12)
