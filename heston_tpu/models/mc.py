@@ -33,7 +33,8 @@ def feller_condition(kappa, eta, sigma) -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_paths", "n_steps", "scheme"))
+                   static_argnames=("num_paths", "n_steps", "scheme",
+                                    "option_type"))
 def price_european_call_mc(
     key: jax.Array,
     s0,
@@ -49,6 +50,7 @@ def price_european_call_mc(
     num_paths: int = 100_000,
     n_steps: int = N_STEPS_PER_YEAR,
     scheme: str = "truncation",
+    option_type: str = "call",
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (price, 95% confidence half-width).
 
@@ -57,7 +59,9 @@ def price_european_call_mc(
     scheme="reflection": V -> |V| after each update, for parameter sets that
     violate the Feller condition. The reference's reflection variant is
     disabled/broken (returns zeros, ref: src/MC_hes.cpp:102-156); this one
-    works."""
+    works.
+    option_type="put" is a framework extension (the reference simulates
+    calls only) — same paths, put payoff."""
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     sqrt_dt = jnp.sqrt(dt)
@@ -83,7 +87,9 @@ def price_european_call_mc(
     (s_fin, _), _ = lax.scan(step, (s_init, v_init), keys)
 
     disc = jnp.exp(-r_d * t)
-    payoff = disc * jnp.maximum(s_fin - strike, 0.0)
+    intrinsic = (s_fin - strike if option_type == "call"
+                 else strike - s_fin)
+    payoff = disc * jnp.maximum(intrinsic, 0.0)
     mean = jnp.mean(payoff)
     # standard error of the mean (the reference divides by M twice,
     # ref: src/MC_hes.cpp:91-94 — statistically corrected here)

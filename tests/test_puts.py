@@ -244,3 +244,17 @@ def test_sharded_puts_match_single_device():
                               P.r_d, P.r_f, option_type="put")
     np.testing.assert_allclose(np.array(got), np.array(want), rtol=0,
                                atol=1e-12)
+
+
+def test_mc_put_matches_cf():
+    """MC put (same paths, put payoff) agrees with the CF put within its
+    own 95% confidence band."""
+    from heston_tpu.models import mc
+
+    want = float(heston_cf.put_price(
+        100.0, 100.0, P.v0, P.kappa, P.eta, P.sigma, P.rho, P.r_d, 1.0))
+    price, half = mc.price_european_call_mc(
+        jax.random.PRNGKey(7), 100.0, P.v0, 100.0, P.r_d, P.r_f,
+        P.kappa, P.eta, P.sigma, P.rho, 1.0, num_paths=60_000,
+        n_steps=200, scheme="reflection", option_type="put")
+    assert abs(float(price) - want) < 2.0 * float(half) + 0.05
