@@ -86,7 +86,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("scenario", choices=[
         "european", "american", "dividends", "american_dividends",
-        "european_multi", "american_dividends_multi", "american_puts"])
+        "european_multi", "american_dividends_multi", "european_puts",
+        "american_puts"])
     p.add_argument("--csv", default=None)
     p.add_argument("--sharded", action="store_true",
                    help="shard the option book over all devices")

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from heston_tpu.ops.operators import is_put  # validated dispatch
+
 Array = jnp.ndarray
 
 MARKET_VOL = 0.2  # flat vol used for synthetic chains (ref: src/bs.hpp:65)
@@ -55,7 +57,7 @@ def generate_market_data(s0, t, r_d, strikes: Array, vol=MARKET_VOL,
     """Synthetic market chain at flat vol (ref: src/bs.hpp:57-76).
     option_type="put" is a framework extension (the reference is
     calls-only)."""
-    fn = call_price if option_type == "call" else put_price
+    fn = put_price if is_put(option_type) else call_price
     return fn(s0, strikes, r_d, vol, t)
 
 
@@ -79,7 +81,7 @@ def generate_market_data_with_dividends(
 ) -> Array:
     """Escrowed-dividend-adjusted synthetic chain (ref: src/bs.hpp:78-114):
     spot reduced by PV of cash dividends and by s0*pct discounted."""
-    fn = call_price if option_type == "call" else put_price
+    fn = put_price if is_put(option_type) else call_price
     return fn(escrowed_spot(s0, t, r_d, dates, amounts, percentages),
               strikes, r_d, vol, t)
 

@@ -141,6 +141,52 @@ def jacobian_and_prices(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("spec", "solver", "american", "dividends", "eps",
+                     "option_type"),
+)
+def jacobian_and_prices_ad(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    theta_vec: Array,
+    r_d,
+    r_f,
+    eps: float = 0.0,           # ignored; FD-signature compatibility
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+) -> Tuple[Array, Array]:
+    """EXACT forward-mode Jacobian for the host LM loop — drop-in for
+    `jacobian_and_prices`. Required in float32, where a 1e-6 FD bump
+    drowns in rounding noise (the on-chip loop already switches to AD;
+    this is the host-loop counterpart). With solver_engine="pallas" the
+    tangents ride THROUGH the fused kernel in one launch."""
+    if solver.solver_engine == "pallas":
+        from heston_tpu.pallas import fused_do
+
+        if fused_do.use_fused(spec, solver, n_tangents=5):
+            base, jac = fused_do.fused_theta_jacobian(
+                spec, solver, strikes, s0, jnp.asarray(theta_vec),
+                r_d, r_f, american=american, dividends=dividends,
+                option_type=option_type)
+            return jac, base
+
+    def fleet(tv):
+        def price_one(k):
+            return douglas.price_option(
+                spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+                r_d, r_f, american=american, dividends=dividends,
+                option_type=option_type)
+        return jax.vmap(price_one)(strikes)
+
+    base, jvp_fn = jax.linearize(fleet, jnp.asarray(theta_vec))
+    jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=base.dtype)).T
+    return jac, base
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("spec", "solver", "american", "dividends",
                      "option_type"),
 )
@@ -409,8 +455,14 @@ def calibrate(
     the reference has no such facility, SURVEY.md §5).
     """
     from heston_tpu.utils.checkpoint import LMState
-    jac_fn = jacobian_and_prices if pricing_fns is None else pricing_fns[0]
-    price_fn = base_prices if pricing_fns is None else pricing_fns[1]
+    if pricing_fns is not None:
+        jac_fn, price_fn = pricing_fns[0], pricing_fns[1]
+    else:
+        # cfg.jacobian_mode="ad": exact forward-mode Jacobian (mandatory
+        # in float32, where the 1e-6 FD bump is rounding noise)
+        jac_fn = (jacobian_and_prices_ad if cfg.jacobian_mode == "ad"
+                  else jacobian_and_prices)
+        price_fn = base_prices
 
     spy = steps_per_year if steps_per_year is not None else solver.n_steps
     groups = targets.groups()

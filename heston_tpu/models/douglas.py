@@ -95,9 +95,9 @@ def prepare_instance(
     a2_fac = banded.penta_factor(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2
     )
-    intrinsic = (grid.vec_s[None, :] - strike if option_type == "call"
-                 else strike - grid.vec_s[None, :])
-    u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones(
+    u0 = jnp.maximum(
+        operators.intrinsic_value(grid.vec_s[None, :], strike, option_type),
+        0.0) * jnp.ones(
         (spec.m2 + 1, 1), grid.vec_s.dtype
     )
     return PreparedInstance(
@@ -141,7 +141,7 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct,
 
     left = u[..., 0:1] * jnp.ones_like(new_s)
     out = jnp.where(idx == 0, left, interp)
-    if option_type == "put":
+    if operators.is_put(option_type):
         return jnp.where(new_s > 0.0, out, left)
     return jnp.where(new_s > 0.0, out, 0.0)
 
@@ -329,10 +329,10 @@ def price_option(
     """Price a single option; returns a scalar. Pure & vmappable.
 
     option_type="put" is a framework extension (the reference prices
-    calls only): put payoff, put far-field boundary treatment
-    (operators.build_a1_bands / build_boundary_vectors) and the r_d
-    boundary scaling rate; American puts — the canonical early-exercise
-    case — run through the same lambda-multiplier LCP."""
+    calls only): put payoff and injection-free put boundaries — the far
+    fields emerge from the full -r_d reaction (operators.build_a1_bands
+    / build_a2_bands; b1 = b2 = 0); American puts — the canonical
+    early-exercise case — run through the same lambda-multiplier LCP."""
     inst = prepare_instance(
         spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type,

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from heston_tpu.ops.operators import is_put
+
 Array = jnp.ndarray
 
 
@@ -81,7 +83,7 @@ def put_price(
 def price_chain(s0, strikes: Array, v0, kappa, eta, sigma, rho, r, t,
                 n_quad: int = 256, option_type: str = "call") -> Array:
     """Vmapped semi-analytic chain pricing."""
-    base = call_price if option_type == "call" else put_price
+    base = put_price if is_put(option_type) else call_price
     fn = lambda k: base(s0, k, v0, kappa, eta, sigma, rho, r, t,
                         n_quad=n_quad)
     return jax.vmap(fn)(strikes)

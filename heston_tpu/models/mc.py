@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from heston_tpu.ops import operators
+
 N_STEPS_PER_YEAR = 350
 NORMAL_SCORE = 1.96
 
@@ -87,8 +89,7 @@ def price_european_call_mc(
     (s_fin, _), _ = lax.scan(step, (s_init, v_init), keys)
 
     disc = jnp.exp(-r_d * t)
-    intrinsic = (s_fin - strike if option_type == "call"
-                 else strike - s_fin)
+    intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
     payoff = disc * jnp.maximum(intrinsic, 0.0)
     mean = jnp.mean(payoff)
     # standard error of the mean (the reference divides by M twice,

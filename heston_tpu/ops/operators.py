@@ -105,8 +105,9 @@ def build_a1_bands(grid: Grid, r_d, r_f, option_type: str = "call"):
     calls (U(0) = 0 payoff boundary, implicit row becomes identity); for
     PUTS the s = 0 far field is U(0, tau) = K*e^{-r_d*tau}, and at s = 0
     every s-derivative term of A1 vanishes, so the row carries exactly
-    the remaining -r_d/2 reaction (A2 supplies the other half on every
-    column) — giving the correct full -r_d decay of the s = 0 column.
+    the remaining -r_d/2 reaction — the put A2 diagonal supplies the
+    other half on EVERY row (build_a2_bands extends the reaction to the
+    top two rows), giving the full -r_d decay of the whole s = 0 column.
     Puts are a TPU-framework extension; the reference prices calls only."""
     m1 = grid.m1
     s = grid.vec_s
@@ -124,7 +125,7 @@ def build_a1_bands(grid: Grid, r_d, r_f, option_type: str = "call"):
     mu_int = a * dp[None, :] + bb * bp[None, :]
 
     zcol = jnp.zeros((v.shape[0], 1), s.dtype)
-    d_left = 0.0 if option_type == "call" else -0.5 * r_d
+    d_left = -0.5 * r_d if is_put(option_type) else 0.0
     ml = jnp.concatenate([zcol, ml_int, zcol], axis=1)
     md = jnp.concatenate(
         [jnp.full((v.shape[0], 1), d_left, s.dtype), md_int,
@@ -134,7 +135,22 @@ def build_a1_bands(grid: Grid, r_d, r_f, option_type: str = "call"):
     return ml, md, mu
 
 
-def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str):
+def is_put(option_type: str) -> bool:
+    """Validated option-type dispatch — THE predicate every option_type
+    branch must use (scattered string comparisons with inconsistent
+    unknown-value fallbacks let typos silently price the wrong product)."""
+    if option_type not in ("call", "put"):
+        raise ValueError(f"unknown option_type: {option_type!r}")
+    return option_type == "put"
+
+
+def intrinsic_value(vec_s, strike, option_type: str):
+    """Signed intrinsic (s - K for calls, K - s for puts), not floored."""
+    return strike - vec_s if is_put(option_type) else vec_s - strike
+
+
+def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str,
+                   option_type: str = "call"):
     """V-direction pentadiagonal bands, 1-D in the v index.
 
     variant="central": the v-major operator (no upwinding) used by the
@@ -152,7 +168,14 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str):
       r >= 1:    central beta/delta stencil with coefficient index r-1.
       all active rows: reaction -r_d/2 on the diagonal.
       rows m2-1, m2: zero (implicit rows become identity) except for upwind
-                 spill-over into row m2-1.
+                 spill-over into row m2-1 — CALLS, the reference convention.
+                 PUTS (framework extension) extend the -r_d/2 reaction to
+                 these rows too: combined with A1's full interior rows the
+                 top variance rows then evolve as Black-Scholes at
+                 sigma^2 = v_max with the full -r_d reaction, which IS the
+                 correct v_max far field (and makes the s = 0 column decay
+                 at the full -r_d rate on every row, A1 + A2 supplying
+                 -r_d/2 each) — no boundary injection vectors needed.
     """
     m2 = grid.m2
     v = grid.vec_v
@@ -165,8 +188,10 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str):
     u1 = jnp.zeros(m2 + 1, dtype)
     u2 = jnp.zeros(m2 + 1, dtype)
 
-    # reaction term on all active rows 0..m2-2
-    d = d.at[: m2 - 1].add(-0.5 * r_d)
+    # reaction term: rows 0..m2-2 (calls, reference-faithful) or all rows
+    # (puts — see docstring)
+    n_react = m2 + 1 if is_put(option_type) else m2 - 1
+    d = d.at[:n_react].add(-0.5 * r_d)
 
     # row 0: gamma one-sided stencil (v ~ 0), spacings Delta_v[1], Delta_v[2]
     temp0 = kappa * (eta - v[0])
@@ -204,13 +229,19 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str):
 
 
 def boundary_rate(r_d, r_f, option_type: str = "call"):
-    """Growth rate of the boundary-vector time scaling e^{rate*dt*n}.
+    """Growth rate of the boundary-vector time scaling e^{rate*dt*n}
+    (the reference's stepper factor, ref: src/solver.hpp:65-68).
 
-    The call far-field values scale with e^{-r_f*tau} (the reference's
-    e^{r_f dt n} stepper factor, ref: src/solver.hpp:65-68); the put
-    far fields U(0, tau) = K e^{-r_d tau} and U(., v_max) = K e^{-r_d tau}
-    scale with r_d instead — same machinery, different rate."""
-    return r_f if option_type == "call" else r_d
+    Calls: r_f, reference-faithful — including the reference's
+    ORIENTATION quirk: combined with efac = e^{-r_f dt (N-1)} the
+    injected value runs e^{-r_f (T - tau)} rather than the analytic
+    far field's e^{-r_f tau}; unobservable in every reference test
+    (they all set r_f = 0) and kept for parity.
+
+    Puts have NO injection vectors at all (b1 = b2 = 0, see
+    build_boundary_vectors) so the rate never matters; r_d is returned
+    for definiteness."""
+    return r_d if is_put(option_type) else r_f
 
 
 def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
@@ -222,12 +253,15 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
     (ref: src/BoundaryConditions.hpp:70-80, src/hes_boundary_kernels.hpp:53-66).
     b0 (mixed) is identically zero; b = b0 + b1 + b2.
 
-    Puts (framework extension — the reference prices calls only): b1 = 0
-    (U -> 0 at s_max, and the s = 0 far field is carried by the A1 row-0
-    band, see build_a1_bands); b2 injects the missing A2 reaction on the
-    v_max row using the put far-field value U(s, v_max) = K*e^{-r_d*tau}
-    (BS sigma->inf limit), scaled through time by e^{r_d dt n}
-    (boundary_rate). `strike` is required for puts.
+    Puts (framework extension — the reference prices calls only):
+    b1 = b2 = 0. No injection is needed anywhere: U -> 0 at s_max; the
+    s = 0 far field U(0, tau) = K*e^{-r_d*tau} emerges from the full
+    -r_d reaction (A1 row 0 + the put A2 diagonal, see build_a1_bands /
+    build_a2_bands); and the v_max rows evolve as Black-Scholes at
+    sigma^2 = v_max, the correct finite-v_max far field. Being
+    injection-free also sidesteps the reference's boundary time-scaling
+    orientation quirk (see boundary_rate). `strike` is accepted for API
+    symmetry but unused.
     """
     m1, m2 = grid.m1, grid.m2
     s = grid.vec_s
@@ -237,7 +271,10 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
     rate = boundary_rate(r_d, r_f, option_type)
     efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
 
-    if option_type == "call":
+    if is_put(option_type):
+        b1 = jnp.zeros(shape, dtype)
+        b2 = jnp.zeros(shape, dtype)
+    else:
         # b1: flat indices m1*(j+1), j = 0..m2 (static index arithmetic)
         flat = np.array([m1 * (j + 1) for j in range(m2 + 1)])
         rows = flat // (m1 + 1)
@@ -248,14 +285,6 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
         # b2: top variance row (j = m2), s-nodes 1..m1
         b2 = jnp.zeros(shape, dtype).at[m2, 1:].set(
             -0.5 * r_d * s[1:] * efac)
-    elif option_type == "put":
-        if strike is None:
-            raise ValueError("put boundary vectors require the strike")
-        b1 = jnp.zeros(shape, dtype)
-        b2 = jnp.zeros(shape, dtype).at[m2, 1:].set(
-            -0.5 * r_d * jnp.asarray(strike, dtype) * efac)
-    else:
-        raise ValueError(f"unknown option_type: {option_type!r}")
 
     return b1, b2, b1 + b2
 
@@ -301,7 +330,7 @@ def build_operators(
 
     # --- A2 ---
     a2_l2, a2_l1, a2_d, a2_u1, a2_u2 = build_a2_bands(
-        grid, r_d, kappa, eta, sigma, a2_variant
+        grid, r_d, kappa, eta, sigma, a2_variant, option_type
     )
     a2_il2 = -td * a2_l2
     a2_il1 = -td * a2_l1

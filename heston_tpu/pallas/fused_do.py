@@ -733,7 +733,7 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                      r_d, r_f, option_type="call"):
     """vmap the existing operator assembly over the book, then transpose
     every field to batch-last tiles."""
-    put = option_type == "put"
+    put = operators.is_put(option_type)
 
     def one(k):
         g = gridmod.make_grid(spec, s0, k, v0)
@@ -742,9 +742,9 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
             solver.delta_t, solver.n_steps, solver.a2_variant,
             option_type, k)
         dtype = g.vec_s.dtype
-        intrinsic = k - g.vec_s[None, :] if put else g.vec_s[None, :] - k
-        u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones(
-            (spec.m2 + 1, 1), dtype)
+        u0 = jnp.maximum(
+            operators.intrinsic_value(g.vec_s[None, :], k, option_type),
+            0.0) * jnp.ones((spec.m2 + 1, 1), dtype)
         # separable A0 coefficient: rho*sigma*s (cols 1..m1-1) x v (rows
         # 1..m2-1); product equals ops.a0_c
         scol = rho * sigma * g.vec_s
@@ -785,9 +785,9 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         efac = jnp.exp(jnp.asarray(
             -rate * solver.delta_t * (solver.n_steps - 1), dtype))
         if put:
+            # no injection vectors for puts (operators.build_boundary_vectors)
             b1val = jnp.zeros((), dtype)
-            b2row = (-0.5 * r_d * efac * k * jnp.ones_like(g.vec_s)
-                     ).at[0].set(0.0)
+            b2row = jnp.zeros_like(g.vec_s)
         else:
             b1val = (r_d - r_f) * g.vec_s[-1] * efac
             b2row = (-0.5 * r_d * g.vec_s * efac).at[0].set(0.0)
@@ -831,8 +831,8 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call"):
         s_lo = jnp.sum(vec_s[:, :, None] * oh_lo, axis=1)
         s_hi = jnp.sum(vec_s[:, :, None] * oh_hi, axis=1)
         w = (new_s - s_lo) / jnp.where(s_hi == s_lo, 1.0, s_hi - s_lo)
-        valid = ((new_s > 0.0).astype(dtype)
-                 if option_type == "call" else jnp.ones_like(new_s))
+        valid = (jnp.ones_like(new_s) if operators.is_put(option_type)
+                 else (new_s > 0.0).astype(dtype))
         is_left = idx == 0        # left extrapolation: copy column 0
         i0 = jnp.where(is_left, 0, lo).astype(dtype)
         w0 = valid * jnp.where(is_left, 1.0, 1.0 - w).astype(dtype)
@@ -939,7 +939,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     `tangents`: optional list of K dicts of 2-D tangent fields (keys =
     _TANGENT_KEYS) plus state tangents are taken as zeros. Returns
     (u, lam, [du_k...])."""
-    put = option_type == "put"
+    put = operators.is_put(option_type)
     K = len(tangents)
     inv = [fields[k] for k in _INV_KEYS]
     rfa = jnp.asarray([fields["rf_val"]], dtype)

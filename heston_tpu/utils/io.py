@@ -80,10 +80,13 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
             dividends.percentages))
     mkt_c = jnp.asarray(market)
     fit_c = jnp.asarray(fitted)
-    if option_type == "put":
+    if bs.is_put(option_type):
         # put chains (framework extension): convert to parity-equivalent
         # call prices against the same (adjusted) spot so the call-based
-        # Newton inversion applies — IVs are identical by parity
+        # Newton inversion applies. Exact for European puts; for AMERICAN
+        # puts this is the standard European-BS quoting of American
+        # prices (the early-exercise premium inflates both columns
+        # identically, so the IV-difference fit metric stays meaningful)
         mkt_c = bs.put_to_call_parity(mkt_c, s_iv, jnp.asarray(strikes),
                                       r_d, t)
         fit_c = bs.put_to_call_parity(fit_c, s_iv, jnp.asarray(strikes),

@@ -184,3 +184,18 @@ def test_device_lm_ad_pallas_cs_scheme_falls_back(params):
         SPEC, solver_s, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
     np.testing.assert_array_equal(np.array(tv_p), np.array(tv_s))
     assert float(info_p["final_error"]) == float(info_s["final_error"])
+
+
+def test_ad_jacobian_matches_fd(params):
+    """jacobian_and_prices_ad (exact forward mode, the host-loop f32
+    path) agrees with the FD Jacobian to the FD truncation error."""
+    strikes = jnp.array([95.0, 105.0])
+    tv = jnp.array(params.bumpable())
+    jac_fd, base_fd = calib.jacobian_and_prices(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f, eps=1e-6)
+    jac_ad, base_ad = calib.jacobian_and_prices_ad(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f)
+    np.testing.assert_allclose(np.array(base_ad), np.array(base_fd),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(jac_ad), np.array(jac_fd),
+                               rtol=1e-4, atol=1e-5)

@@ -4,10 +4,12 @@ early-exercise problem, which a calls-only Heston solver cannot express
 without dividends).
 
 Put discretization design (see operators.build_a1_bands /
-build_boundary_vectors): put payoff; s = 0 far field U(0, tau) =
-K e^{-r_d tau} carried by the A1 row-0 reaction; b1 = 0 (U -> 0 at
-s_max); v_max row pinned to the sigma->inf limit K e^{-r_d tau} via b2;
-boundary scaling rate r_d instead of r_f.
+build_a2_bands / build_boundary_vectors): put payoff; NO boundary
+injection vectors (b1 = b2 = 0). The s = 0 far field U(0, tau) =
+K e^{-r_d tau} emerges from the full -r_d reaction (A1 row 0 gives
+-r_d/2, the put A2 diagonal gives -r_d/2 on every row); U -> 0 at
+s_max; the top variance rows evolve as Black-Scholes at
+sigma^2 = v_max — the correct finite-v_max far field.
 
 Validation strategy (no golden values exist upstream):
   * European put vs the semi-analytic CF put (parity-exact oracle),
@@ -258,3 +260,26 @@ def test_mc_put_matches_cf():
         P.kappa, P.eta, P.sigma, P.rho, 1.0, num_paths=60_000,
         n_steps=200, scheme="reflection", option_type="put")
     assert abs(float(price) - want) < 2.0 * float(half) + 0.05
+
+
+def test_put_boundary_columns():
+    """Injection-free put boundaries: the s = 0 column decays at the FULL
+    -r_d rate on every variance row (including the A2 identity-tail rows
+    m2-1 and m2, which a half-rate bug once left at K*e^{-r_d*T/2}), and
+    the v_max row tracks Black-Scholes at sigma^2 = v_max (the correct
+    finite-v_max far field), not the sigma->inf Dirichlet limit."""
+    from heston_tpu.models import bs
+
+    spec = GridSpec(m1=50, m2=25)
+    sol = dataclasses.replace(SOLVER, n_steps=40)
+    u, grid = douglas.price_surface(spec, sol, 100.0, 100.0, P,
+                                    option_type="put")
+    want = 100.0 * np.exp(-P.r_d * 1.0)
+    col0 = np.asarray(u[:, 0])
+    np.testing.assert_allclose(col0, want, rtol=5e-5)
+    vmax = float(grid.vec_v[-1])
+    i_atm = int(np.argmin(np.abs(np.asarray(grid.vec_s) - 100.0)))
+    bs_ref = float(bs.put_price(float(grid.vec_s[i_atm]), 100.0, P.r_d,
+                                np.sqrt(vmax), 1.0))
+    # one-sided FD row lacking v-derivatives: agree to a few percent
+    assert abs(float(u[-1, i_atm]) - bs_ref) < 0.05 * bs_ref
