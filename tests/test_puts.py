@@ -283,3 +283,33 @@ def test_put_boundary_columns():
                                 np.sqrt(vmax), 1.0))
     # one-sided FD row lacking v-derivatives: agree to a few percent
     assert abs(float(u[-1, i_atm]) - bs_ref) < 0.05 * bs_ref
+
+
+def test_device_lm_matches_host_lm_puts():
+    """The fully on-chip LM loop prices/fits put chains identically to
+    the host loop (option_type plumbing through calibrate_device)."""
+    from heston_tpu.config import CalibrationConfig
+    from heston_tpu.models import bs
+    from heston_tpu.models import calibration as calib
+
+    strikes = jnp.linspace(85.0, 115.0, 7)
+    market = bs.generate_market_data(100.0, 1.0, P.r_d, strikes,
+                                     option_type="put")
+    init_vec = jnp.array([1.0, 0.05, 0.4, -0.5, 0.05])
+    cfg = CalibrationConfig(max_iter=3, tol=1e-10, jacobian_mode="ad")
+
+    tv_dev, info = calib.calibrate_device(
+        SPEC, SOLVER, strikes, market, 100.0, init_vec, P.r_d, P.r_f,
+        cfg=cfg, option_type="put")
+
+    targets = calib.CalibrationTargets(
+        strikes=np.asarray(strikes), maturities=np.full(7, 1.0),
+        prices=np.asarray(market), s0=100.0, r_d=P.r_d, r_f=P.r_f,
+        option_type="put")
+    res = calib.calibrate(targets, SPEC, SOLVER,
+                          HestonParams(kappa=1.0, eta=0.05, sigma=0.4,
+                                       rho=-0.5, v0=0.05), cfg)
+    np.testing.assert_allclose(np.asarray(tv_dev),
+                               np.asarray(res.params.bumpable()),
+                               rtol=0, atol=1e-9)
+    assert int(info["iterations"]) == res.iterations
