@@ -95,6 +95,7 @@ def main():
         extras.update(_selftest(spec, solver, p, dtype))
         extras.update(_single_option_golden_grid(p, dtype))
         extras.update(_lm_timing(spec, p, dtype))
+        extras.update(_cpu_arm(spec, p, batch, value))
 
     print(json.dumps({
         "metric": f"american_dividend_batch{batch}_m1_50_m2_25_N20_"
@@ -225,6 +226,40 @@ def _lm_timing(spec, p, dtype):
     # of host dispatch/fetch per rep on top of the device time
     dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=100)
     return {"lm60_ad_pallas_s": dt, "lm60_iterations": iters}
+
+
+def _cpu_arm(spec, p, batch, tpu_value):
+    """Same batch through the native OpenMP C++ engine
+    (csrc/heston_cpu.cpp::ht_do_solve_batch) — the framework's analog of
+    the reference's OpenMP performance-test build whose CPU numbers back
+    the README GPU-vs-CPU 30x claim (ref: src/perfomance_test.cpp:507).
+    Host wall-time; thread count is in the key."""
+    import os
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS, SolverConfig
+    from heston_tpu.utils import native
+
+    solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                          a2_variant="upwind")
+    strikes = jnp.linspace(70.0, 130.0, batch, dtype=jnp.float64)
+    args = (spec, solver, strikes, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f)
+    kw = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+    native.price_batch_cpu(*args, **kw)   # warm (jit the field prep)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native.price_batch_cpu(*args, **kw)
+        times.append(time.perf_counter() - t0)
+    cpu = float(np.median(times))
+    return {
+        f"cpu_batch{batch}_omp{os.cpu_count()}t_s": cpu,
+        "tpu_vs_cpu": cpu / tpu_value,
+    }
 
 
 def _single_option_golden_grid(p, dtype):

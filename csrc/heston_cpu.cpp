@@ -132,6 +132,139 @@ void a0_multiply(const double* a0c, const double* bsm, const double* bs0,
   }
 }
 
+// Discrete-dividend surface re-map, replicating
+// heston_tpu.models.douglas.apply_dividend exactly (which itself
+// replicates ref: src/solver.hpp:382-425): new_s = s*(1-pct) - amount,
+// linear interpolation, idx == 0 -> left extrapolation, and for
+// new_s <= 0: zero (calls) or copy column 0 (puts).
+void apply_dividend_cpu(double* u, const double* vec_s, double amount,
+                        double pct, int64_t put, int64_t nv, int64_t ns,
+                        double* scratch_row) {
+  const int64_t m1 = ns - 1;
+  for (int64_t j = 0; j < nv; ++j) {
+    double* row = u + j * ns;
+    const double left = row[0];
+    for (int64_t i = 0; i < ns; ++i) {
+      const double new_s = vec_s[i] * (1.0 - pct) - amount;
+      // first index with vec_s[k] > new_s (strict); 0 if none
+      int64_t idx = 0;
+      for (int64_t k = 0; k < ns; ++k) idx += (vec_s[k] <= new_s) ? 1 : 0;
+      if (idx > m1) idx = 0;
+      const int64_t lo = idx > 0 ? idx - 1 : 0;
+      const double s_lo = vec_s[lo];
+      const double s_hi = vec_s[idx];
+      const double den = (s_hi == s_lo) ? 1.0 : (s_hi - s_lo);
+      const double w = (new_s - s_lo) / den;
+      double out = (idx == 0) ? left
+                              : (1.0 - w) * row[lo] + w * row[idx];
+      if (new_s <= 0.0) out = put ? left : 0.0;
+      scratch_row[i] = out;
+    }
+    std::memcpy(row, scratch_row, ns * sizeof(double));
+  }
+}
+
+struct DoWorkspace {
+  std::vector<double> a0r, a1r, a2r, y0, y1, tmp;
+  std::vector<double> iml, imd, imu;                  // A1 implicit bands
+  std::vector<double> il2, il1, idg, iu1, iu2;        // A2 implicit bands
+  std::vector<double> ex_l2, ex_l1, ex_d, ex_u1, ex_u2;  // A2 explicit
+  std::vector<double> col_rhs, col_x, row;
+  void resize(int64_t nv, int64_t ns) {
+    const int64_t m = nv * ns;
+    for (auto* v : {&a0r, &a1r, &a2r, &y0, &y1, &tmp, &iml, &imd, &imu})
+      v->resize(m);
+    for (auto* v : {&il2, &il1, &idg, &iu1, &iu2, &ex_l2, &ex_l1, &ex_d,
+                    &ex_u1, &ex_u2, &col_rhs, &col_x})
+      v->resize(nv);
+    row.resize(ns);
+  }
+  // derive implicit bands (I - theta*dt*A) and stash the explicit A2
+  void prepare(int64_t nv, int64_t ns, double td, const double* a1_ml,
+               const double* a1_md, const double* a1_mu,
+               const double* a2_l2, const double* a2_l1, const double* a2_d,
+               const double* a2_u1, const double* a2_u2) {
+    const int64_t m = nv * ns;
+    for (int64_t k = 0; k < m; ++k) {
+      iml[k] = -td * a1_ml[k];
+      imd[k] = 1.0 - td * a1_md[k];
+      imu[k] = -td * a1_mu[k];
+    }
+    for (int64_t j = 0; j < nv; ++j) {
+      il2[j] = -td * a2_l2[j];
+      il1[j] = -td * a2_l1[j];
+      idg[j] = 1.0 - td * a2_d[j];
+      iu1[j] = -td * a2_u1[j];
+      iu2[j] = -td * a2_u2[j];
+      ex_l2[j] = a2_l2[j];
+      ex_l1[j] = a2_l1[j];
+      ex_d[j] = a2_d[j];
+      ex_u1[j] = a2_u1[j];
+      ex_u2[j] = a2_u2[j];
+    }
+  }
+};
+
+// Steps n = n_begin..n_end-1 (1-based, exclusive end) of the Douglas loop
+// for one option; factorable implicit bands are pre-derived in ws.
+void do_run_steps(int64_t n_begin, int64_t n_end, int64_t nv, int64_t ns,
+                  double delta_t, double theta, double b_rate,
+                  const double* a0c, const double* bsm, const double* bs0,
+                  const double* bsp, const double* bvm, const double* bv0,
+                  const double* bvp, const double* a1_ml,
+                  const double* a1_md, const double* a1_mu,
+                  const double* b1, const double* b2, int64_t american,
+                  const double* u0, double* u, double* lam,
+                  DoWorkspace& ws) {
+  const int64_t m = nv * ns;
+  const double td = theta * delta_t;
+  for (int64_t n = n_begin; n < n_end; ++n) {
+    const double e0 = std::exp(b_rate * delta_t * (double)(n - 1));
+    const double e1 = std::exp(b_rate * delta_t * (double)n);
+
+    a0_multiply(a0c, bsm, bs0, bsp, bvm, bv0, bvp, u, ws.tmp.data(),
+                ws.a0r.data(), nv, ns);
+    a1_multiply(a1_ml, a1_md, a1_mu, u, ws.a1r.data(), nv, ns);
+    // explicit A2 bands recovered from the implicit ones:
+    // a2 = (1 - i_d)/td on the diagonal, -i_band/td off-diagonal — but the
+    // caller hands EXPLICIT bands via the factor prep below, so apply them
+    // directly from ws (set in the batch driver before the loop).
+    a2_multiply(ws.ex_l2.data(), ws.ex_l1.data(), ws.ex_d.data(),
+                ws.ex_u1.data(), ws.ex_u2.data(), u, ws.a2r.data(), nv, ns);
+
+    for (int64_t k = 0; k < m; ++k) {
+      double y = u[k] + delta_t * (ws.a0r[k] + ws.a1r[k] + ws.a2r[k]
+                                   + (b1[k] + b2[k]) * e0);
+      if (american) y += delta_t * lam[k];
+      y += td * (b1[k] * e1 - (ws.a1r[k] + b1[k] * e0));
+      ws.y0[k] = y;
+    }
+    for (int64_t j = 0; j < nv; ++j) {
+      ht_tridiag_solve(ws.iml.data() + j * ns, ws.imd.data() + j * ns,
+                       ws.imu.data() + j * ns, ws.y0.data() + j * ns,
+                       ws.y1.data() + j * ns, ns);
+    }
+    for (int64_t k = 0; k < m; ++k) {
+      ws.y1[k] += td * (b2[k] * e1 - (ws.a2r[k] + b2[k] * e0));
+    }
+    for (int64_t i = 0; i < ns; ++i) {
+      for (int64_t j = 0; j < nv; ++j) ws.col_rhs[j] = ws.y1[j * ns + i];
+      ht_penta_solve(ws.il2.data(), ws.il1.data(), ws.idg.data(),
+                     ws.iu1.data(), ws.iu2.data(), ws.col_rhs.data(),
+                     ws.col_x.data(), nv);
+      for (int64_t j = 0; j < nv; ++j) u[j * ns + i] = ws.col_x[j];
+    }
+    if (american) {
+      for (int64_t k = 0; k < m; ++k) {
+        const double u_bar = u[k];
+        u[k] = std::max(u_bar - delta_t * lam[k], u0[k]);
+        lam[k] = std::max(0.0, lam[k] + (u0[k] - u_bar) / delta_t);
+        if (k % ns == ns - 1) lam[k] = 0.0;  // s_max column
+      }
+    }
+  }
+}
+
 }  // namespace
 
 // Complete Douglas ADI time loop (one option instance) on CPU.
@@ -159,65 +292,91 @@ void ht_do_solve(
     int64_t american, const double* u0,
     // state (in/out)
     double* u, double* lam) {
+  DoWorkspace ws;
+  ws.resize(nv, ns);
+  ws.prepare(nv, ns, theta * delta_t, a1_ml, a1_md, a1_mu, a2_l2, a2_l1,
+             a2_d, a2_u1, a2_u2);
+  do_run_steps(1, n_steps + 1, nv, ns, delta_t, theta, r_f, a0c, bsm, bs0,
+               bsp, bvm, bv0, bvp, a1_ml, a1_md, a1_mu, b1, b2, american,
+               u0, u, lam, ws);
+}
+
+// Standalone dividend re-map (oracle for apply_dividend parity tests).
+void ht_apply_dividend(double* u, const double* vec_s, double amount,
+                       double pct, int64_t put, int64_t nv, int64_t ns) {
+  std::vector<double> row(ns);
+  apply_dividend_cpu(u, vec_s, amount, pct, put, nv, ns, row.data());
+}
+
+// Batched Douglas loop with OpenMP over options — the CPU arm of the
+// benchmark sweep, mirroring the reference's OpenMP build of its
+// performance test (ref: src/perfomance_test.cpp:50-54, 507-534; the
+// reference's README GPU-vs-CPU 30x claim is measured against exactly
+// this kind of CPU run). Per-option arrays are stacked batch-major:
+//   [b, nv, ns]: a0c, a1 bands, b1, b2, u0, u, lam
+//   [b, ns]:     bsm, bs0, bsp, vec_s
+//   [b, nv]:     bvm, bv0, bvp, a2 bands
+// Dividends: n_events entries (applied before step ev_step[e], ascending;
+// shared across the batch like the reference's schedule).
+void ht_do_solve_batch(
+    int64_t b, int64_t nv, int64_t ns, int64_t n_steps, double delta_t,
+    double theta, double b_rate,
+    const double* a0c, const double* bsm, const double* bs0,
+    const double* bsp, const double* bvm, const double* bv0,
+    const double* bvp, const double* a1_ml, const double* a1_md,
+    const double* a1_mu, const double* a2_l2, const double* a2_l1,
+    const double* a2_d, const double* a2_u1, const double* a2_u2,
+    const double* b1, const double* b2, int64_t american, const double* u0,
+    int64_t n_events, const int64_t* ev_step, const double* ev_amount,
+    const double* ev_pct, const double* vec_s, int64_t put,
+    double* u, double* lam) {
   const int64_t m = nv * ns;
-  const double td = theta * delta_t;
-
-  std::vector<double> a0r(m), a1r(m), a2r(m), y0(m), y1(m), tmp(m);
-  std::vector<double> iml(m), imd(m), imu(m);
-  for (int64_t k = 0; k < m; ++k) {
-    iml[k] = -td * a1_ml[k];
-    imd[k] = 1.0 - td * a1_md[k];
-    imu[k] = -td * a1_mu[k];
-  }
-  std::vector<double> il2(nv), il1(nv), idg(nv), iu1(nv), iu2(nv);
-  for (int64_t j = 0; j < nv; ++j) {
-    il2[j] = -td * a2_l2[j];
-    il1[j] = -td * a2_l1[j];
-    idg[j] = 1.0 - td * a2_d[j];
-    iu1[j] = -td * a2_u1[j];
-    iu2[j] = -td * a2_u2[j];
-  }
-  std::vector<double> col_rhs(nv), col_x(nv);
-
-  for (int64_t n = 1; n <= n_steps; ++n) {
-    const double e0 = std::exp(r_f * delta_t * (double)(n - 1));
-    const double e1 = std::exp(r_f * delta_t * (double)n);
-
-    a0_multiply(a0c, bsm, bs0, bsp, bvm, bv0, bvp, u, tmp.data(),
-                a0r.data(), nv, ns);
-    a1_multiply(a1_ml, a1_md, a1_mu, u, a1r.data(), nv, ns);
-    a2_multiply(a2_l2, a2_l1, a2_d, a2_u1, a2_u2, u, a2r.data(), nv, ns);
-
-    for (int64_t k = 0; k < m; ++k) {
-      y0[k] = u[k] + delta_t * (a0r[k] + a1r[k] + a2r[k]
-                                + (b1[k] + b2[k]) * e0);
-      if (american) y0[k] += delta_t * lam[k];
-      y0[k] += td * (b1[k] * e1 - (a1r[k] + b1[k] * e0));
-    }
-    // A1 implicit solve per v-row
-    for (int64_t j = 0; j < nv; ++j) {
-      ht_tridiag_solve(iml.data() + j * ns, imd.data() + j * ns,
-                       imu.data() + j * ns, y0.data() + j * ns,
-                       y1.data() + j * ns, ns);
-    }
-    for (int64_t k = 0; k < m; ++k) {
-      y1[k] += td * (b2[k] * e1 - (a2r[k] + b2[k] * e0));
-    }
-    // A2 implicit solve per s-column
-    for (int64_t i = 0; i < ns; ++i) {
-      for (int64_t j = 0; j < nv; ++j) col_rhs[j] = y1[j * ns + i];
-      ht_penta_solve(il2.data(), il1.data(), idg.data(), iu1.data(),
-                     iu2.data(), col_rhs.data(), col_x.data(), nv);
-      for (int64_t j = 0; j < nv; ++j) u[j * ns + i] = col_x[j];
-    }
-
-    if (american) {
-      for (int64_t k = 0; k < m; ++k) {
-        const double u_bar = u[k];
-        u[k] = std::max(u_bar - delta_t * lam[k], u0[k]);
-        lam[k] = std::max(0.0, lam[k] + (u0[k] - u_bar) / delta_t);
-        if (k % ns == ns - 1) lam[k] = 0.0;  // s_max column
+#pragma omp parallel
+  {
+    DoWorkspace ws;
+    ws.resize(nv, ns);
+#pragma omp for schedule(static)
+    for (int64_t o = 0; o < b; ++o) {
+      const double* a0c_o = a0c + o * m;
+      const double* ml_o = a1_ml + o * m;
+      const double* md_o = a1_md + o * m;
+      const double* mu_o = a1_mu + o * m;
+      const double* b1_o = b1 + o * m;
+      const double* b2_o = b2 + o * m;
+      const double* u0_o = u0 + o * m;
+      double* u_o = u + o * m;
+      double* lam_o = lam + o * m;
+      ws.prepare(nv, ns, theta * delta_t, ml_o, md_o, mu_o,
+                 a2_l2 + o * nv, a2_l1 + o * nv, a2_d + o * nv,
+                 a2_u1 + o * nv, a2_u2 + o * nv);
+      int64_t n_next = 1;
+      int64_t e = 0;
+      while (e < n_events) {
+        const int64_t n_ev = ev_step[e];
+        // steps n_next .. n_ev-1, then ALL re-maps due before step n_ev
+        // (date order, like events_for_step), then step n_ev itself
+        do_run_steps(n_next, n_ev, nv, ns, delta_t, theta, b_rate, a0c_o,
+                     bsm + o * ns, bs0 + o * ns, bsp + o * ns,
+                     bvm + o * nv, bv0 + o * nv, bvp + o * nv,
+                     ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
+                     lam_o, ws);
+        while (e < n_events && ev_step[e] == n_ev) {
+          apply_dividend_cpu(u_o, vec_s + o * ns, ev_amount[e], ev_pct[e],
+                             put, nv, ns, ws.row.data());
+          ++e;
+        }
+        do_run_steps(n_ev, n_ev + 1, nv, ns, delta_t, theta, b_rate, a0c_o,
+                     bsm + o * ns, bs0 + o * ns, bsp + o * ns,
+                     bvm + o * nv, bv0 + o * nv, bvp + o * nv,
+                     ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
+                     lam_o, ws);
+        n_next = n_ev + 1;
       }
+      do_run_steps(n_next, n_steps + 1, nv, ns, delta_t, theta, b_rate,
+                   a0c_o, bsm + o * ns, bs0 + o * ns, bsp + o * ns,
+                   bvm + o * nv, bv0 + o * nv, bvp + o * nv,
+                   ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
+                   lam_o, ws);
     }
   }
 }

@@ -82,6 +82,36 @@ def run_sweep(
     """Returns a list of row dicts; optionally writes the reference-format
     CSV (ref: src/perfomance_test.cpp:214-221)."""
     p = params
+    if engine == "cpu":
+        # native OpenMP C++ engine — the framework's analog of the
+        # reference's OpenMP performance-test build
+        # (ref: src/perfomance_test.cpp:507-534), which backs its README
+        # GPU-vs-CPU 30x claim. Host wall-time (no device dispatch).
+        import os
+
+        from heston_tpu.utils import native
+
+        rows = []
+        device_kind = f"cpu-omp-{os.cpu_count()}t"
+        for n in instances:
+            strikes = jnp.linspace(70.0, 130.0, n, dtype=jnp.float64)
+            args = (spec, solver, strikes, 100.0, p.kappa, p.eta, p.sigma,
+                    p.rho, p.v0, p.r_d, p.r_f)
+            native.price_batch_cpu(*args, american=american,
+                                   dividends=dividends)  # warm (JAX prep)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                native.price_batch_cpu(*args, american=american,
+                                       dividends=dividends)
+                times.append(time.perf_counter() - t0)
+            rows.append(dict(m1=spec.m1, m2=spec.m2,
+                             n_steps=solver.n_steps, instances=n,
+                             total_runtime_s=float(np.median(times)),
+                             device=device_kind))
+        if csv_path:
+            hio.export_benchmark(csv_path, rows)
+        return rows
     if engine == "pallas":
         from heston_tpu.pallas import fused_do
 

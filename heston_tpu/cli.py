@@ -97,7 +97,8 @@ def main(argv=None):
     p = sub.add_parser("bench", help="batch-size benchmark sweep")
     _add_common(p)
     p.add_argument("--csv", default="benchmark_sweep.csv")
-    p.add_argument("--engine", default="pallas", choices=["xla", "pallas"])
+    p.add_argument("--engine", default="pallas",
+                   choices=["xla", "pallas", "cpu"])
 
     p = sub.add_parser("converge", help="convergence study")
     _add_common(p)

@@ -30,11 +30,14 @@ def _build() -> None:
 
 
 def load() -> ctypes.CDLL:
-    """Load (building if necessary) the native library."""
+    """Load (building or rebuilding if stale) the native library."""
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _CSRC / "heston_cpu.cpp"
+    if (not _LIB_PATH.exists()
+            or (src.exists()
+                and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)):
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
     lib.ht_tridiag_solve.argtypes = [_D, _D, _D, _D, _D, _I]
@@ -42,6 +45,14 @@ def load() -> ctypes.CDLL:
     lib.ht_do_solve.argtypes = (
         [_I, _I, _I, ctypes.c_double, ctypes.c_double, ctypes.c_double]
         + [_D] * 17 + [_I, _D, _D, _D]
+    )
+    lib.ht_apply_dividend.argtypes = [
+        _D, _D, ctypes.c_double, ctypes.c_double, _I, _I, _I]
+    lib.ht_do_solve_batch.argtypes = (
+        [_I, _I, _I, _I, ctypes.c_double, ctypes.c_double, ctypes.c_double]
+        + [_D] * 17 + [_I, _D]
+        + [_I, ctypes.POINTER(ctypes.c_int64), _D, _D, _D, _I]
+        + [_D, _D]
     )
     _lib = lib
     return lib
@@ -71,6 +82,108 @@ def penta_solve(l2, l1, d, u1, u2, rhs) -> np.ndarray:
     lib.ht_penta_solve(_ptr(l2), _ptr(l1), _ptr(d), _ptr(u1), _ptr(u2),
                        _ptr(rhs), _ptr(x), rhs.shape[0])
     return x
+
+
+def apply_dividend(u, vec_s, amount: float, pct: float,
+                   put: bool = False) -> np.ndarray:
+    """Native dividend re-map (oracle for douglas.apply_dividend)."""
+    lib = load()
+    u = _f64(u).copy()
+    vec_s = _f64(vec_s)
+    nv, ns = u.shape
+    lib.ht_apply_dividend(_ptr(u), _ptr(vec_s), amount, pct,
+                          1 if put else 0, nv, ns)
+    return u
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_exec(spec, solver, option_type: str):
+    """Cached jitted field-assembly executable (re-jitting per call costs
+    ~1.5 s of tracing; the assembly itself is tiny)."""
+    import jax
+
+    from heston_tpu.models import douglas
+
+    def one(k, s0, kappa, eta, sigma, rho, v0, r_d, r_f):
+        inst = douglas.prepare_instance(
+            spec, solver, k, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            option_type)
+        return inst.ops, inst.u0, inst.grid.vec_s, inst.idx_s, inst.idx_v
+
+    return jax.jit(jax.vmap(one, in_axes=(0,) + (None,) * 8))
+
+
+def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
+                    r_d, r_f, american: bool = False, dividends=None,
+                    option_type: str = "call") -> np.ndarray:
+    """Batched pricing on the CPU via the native OpenMP Douglas engine —
+    the framework's analog of the reference's OpenMP performance-test
+    build (ref: src/perfomance_test.cpp:507-534), whose CPU numbers back
+    the README's GPU-vs-CPU 30x claim. Field assembly reuses the traced
+    JAX operator build (tiny); the time loop runs one option per OpenMP
+    thread in C++ (csrc/heston_cpu.cpp::ht_do_solve_batch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heston_tpu.ops import operators
+
+    lib = load()
+    # pin the (tiny) traced field assembly to the host CPU backend: on the
+    # TPU-tunnel machine every device->host fetch costs a fixed ~29 ms
+    # RPC, which would dwarf the native solve being timed
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - no cpu backend registered
+        cpu_dev = None
+    import contextlib
+
+    ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
+           else contextlib.nullcontext())
+    with ctx:
+        strikes = jnp.asarray(np.asarray(strikes))
+        out = _prep_exec(spec, solver, option_type)(
+            strikes, s0, kappa, eta, sigma, rho, v0, r_d, r_f)
+    ops, u0, vec_s, idx_s, idx_v = jax.device_get(out)
+    b = int(strikes.shape[0])
+    nv, ns = spec.m2 + 1, spec.m1 + 1
+
+    f = {name: _f64(getattr(ops, name)) for name in (
+        "a0_c", "bs_wm", "bs_w0", "bs_wp", "bv_wm", "bv_w0", "bv_wp",
+        "a1_ml", "a1_md", "a1_mu", "a2_l2", "a2_l1", "a2_d", "a2_u1",
+        "a2_u2", "b1", "b2")}
+    u0 = _f64(u0)
+    vec_s = _f64(vec_s)
+    u = u0.copy()
+    lam = np.zeros_like(u)
+
+    ev = []
+    if dividends is not None and len(dividends) > 0:
+        for n in range(1, solver.n_steps + 1):
+            for amt, pct in dividends.events_for_step(n, solver.delta_t):
+                ev.append((n, amt, pct))
+    ev_step = np.ascontiguousarray([e[0] for e in ev], dtype=np.int64)
+    ev_amt = _f64([e[1] for e in ev])
+    ev_pct = _f64([e[2] for e in ev])
+
+    b_rate = float(operators.boundary_rate(r_d, r_f, option_type))
+    lib.ht_do_solve_batch(
+        b, nv, ns, solver.n_steps, solver.delta_t, solver.theta, b_rate,
+        _ptr(f["a0_c"]), _ptr(f["bs_wm"]), _ptr(f["bs_w0"]),
+        _ptr(f["bs_wp"]), _ptr(f["bv_wm"]), _ptr(f["bv_w0"]),
+        _ptr(f["bv_wp"]), _ptr(f["a1_ml"]), _ptr(f["a1_md"]),
+        _ptr(f["a1_mu"]), _ptr(f["a2_l2"]), _ptr(f["a2_l1"]),
+        _ptr(f["a2_d"]), _ptr(f["a2_u1"]), _ptr(f["a2_u2"]),
+        _ptr(f["b1"]), _ptr(f["b2"]), 1 if american else 0, _ptr(u0),
+        len(ev), ev_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _ptr(ev_amt), _ptr(ev_pct), _ptr(vec_s),
+        1 if operators.is_put(option_type) else 0, _ptr(u), _ptr(lam),
+    )
+    iv = np.asarray(idx_v, dtype=np.int64)
+    is_ = np.asarray(idx_s, dtype=np.int64)
+    return u[np.arange(b), iv, is_]
 
 
 def do_solve(ops, u0, n_steps: int, delta_t: float, theta: float,

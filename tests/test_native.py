@@ -69,3 +69,46 @@ def test_native_do_loop_matches_jax(lib, params, american):
     want = np.asarray(douglas.run_time_loop(inst, solver, p.r_f,
                                             american=american))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+
+
+def test_native_batch_matches_xla_all_variants(params):
+    """ht_do_solve_batch (the OpenMP CPU benchmark engine) == the XLA
+    path for euro/american/dividends/both, calls and puts."""
+    import jax.numpy as jnp
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS, GridSpec, SolverConfig
+    from heston_tpu.models import douglas
+
+    spec = GridSpec(m1=30, m2=15)
+    sol = SolverConfig(n_steps=8)
+    ks = jnp.array([85.0, 100.0, 115.0])
+    args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
+            params.v0, params.r_d, params.r_f)
+    for ot in ("call", "put"):
+        for kw in (dict(american=True, dividends=GOLDEN_DIVIDENDS),
+                   dict()):
+            want = np.array(douglas.price_batch(
+                spec, sol, ks, *args, option_type=ot, **kw))
+            got = native.price_batch_cpu(spec, sol, ks, *args,
+                                         option_type=ot, **kw)
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-10,
+                                       err_msg=f"{ot} {kw}")
+
+
+def test_native_apply_dividend_matches(params):
+    """ht_apply_dividend == douglas.apply_dividend (call zero-fill and
+    put column-0 copy conventions)."""
+    import jax.numpy as jnp
+
+    from heston_tpu.models import douglas
+
+    rng = np.random.default_rng(3)
+    vec_s = np.sort(rng.uniform(0.0, 300.0, 21))
+    vec_s[0] = 0.0
+    u = rng.normal(size=(9, 21))
+    for put in (False, True):
+        want = np.array(douglas.apply_dividend(
+            jnp.asarray(u), jnp.asarray(vec_s), 5.0, 0.02,
+            "put" if put else "call"))
+        got = native.apply_dividend(u, vec_s, 5.0, 0.02, put=put)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
