@@ -233,31 +233,21 @@ def _cpu_arm(spec, p, batch, tpu_value):
     (csrc/heston_cpu.cpp::ht_do_solve_batch) — the framework's analog of
     the reference's OpenMP performance-test build whose CPU numbers back
     the README GPU-vs-CPU 30x claim (ref: src/perfomance_test.cpp:507).
-    Host wall-time; thread count is in the key."""
-    import os
-    import time
-
-    import jax.numpy as jnp
-    import numpy as np
-
+    Host wall-time via the shared sweep; the key carries the ACTUAL
+    OpenMP thread count (honors OMP_NUM_THREADS), so tpu_vs_cpu is
+    explicitly a vs-that-many-threads figure."""
+    from heston_tpu import benchmarks
     from heston_tpu.config import GOLDEN_DIVIDENDS, SolverConfig
     from heston_tpu.utils import native
 
     solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
                           a2_variant="upwind")
-    strikes = jnp.linspace(70.0, 130.0, batch, dtype=jnp.float64)
-    args = (spec, solver, strikes, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f)
-    kw = dict(american=True, dividends=GOLDEN_DIVIDENDS)
-    native.price_batch_cpu(*args, **kw)   # warm (jit the field prep)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        native.price_batch_cpu(*args, **kw)
-        times.append(time.perf_counter() - t0)
-    cpu = float(np.median(times))
+    row = benchmarks.run_sweep(
+        spec=spec, solver=solver, params=p, instances=(batch,),
+        american=True, dividends=GOLDEN_DIVIDENDS, engine="cpu")[0]
+    cpu = row["total_runtime_s"]
     return {
-        f"cpu_batch{batch}_omp{os.cpu_count()}t_s": cpu,
+        f"cpu_batch{batch}_omp{native.omp_threads()}t_s": cpu,
         "tpu_vs_cpu": cpu / tpu_value,
     }
 

@@ -22,7 +22,22 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
+
+// Actual OpenMP thread count the batch engine will use (honors
+// OMP_NUM_THREADS); 1 when built without OpenMP. Used by the benchmark
+// labels so a 1-thread run is never tagged with the host core count.
+int64_t ht_omp_threads(void) {
+#ifdef _OPENMP
+  return (int64_t)omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
 
 // Solve (I*0 + tridiag(ml, md, mu)) x = rhs of size n. Row-aligned bands:
 // ml[0] and mu[n-1] are ignored. Plain Thomas elimination.

@@ -86,15 +86,15 @@ def run_sweep(
         # native OpenMP C++ engine — the framework's analog of the
         # reference's OpenMP performance-test build
         # (ref: src/perfomance_test.cpp:507-534), which backs its README
-        # GPU-vs-CPU 30x claim. Host wall-time (no device dispatch).
-        import os
-
+        # GPU-vs-CPU 30x claim. Host wall-time over 3 runs (the `reps`
+        # and `dtype` parameters do not apply: there is no device scan to
+        # chain, and the engine always assembles/solves in f64).
         from heston_tpu.utils import native
 
         rows = []
-        device_kind = f"cpu-omp-{os.cpu_count()}t"
+        device_kind = f"cpu-omp-{native.omp_threads()}t"
         for n in instances:
-            strikes = jnp.linspace(70.0, 130.0, n, dtype=jnp.float64)
+            strikes = np.linspace(70.0, 130.0, n)
             args = (spec, solver, strikes, 100.0, p.kappa, p.eta, p.sigma,
                     p.rho, p.v0, p.r_d, p.r_f)
             native.price_batch_cpu(*args, american=american,

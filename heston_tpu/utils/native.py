@@ -9,7 +9,9 @@ fallback pricer — mirroring the reference's CPU sanity kernels
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
+import functools
 import subprocess
 from pathlib import Path
 from typing import Optional
@@ -46,6 +48,7 @@ def load() -> ctypes.CDLL:
         [_I, _I, _I, ctypes.c_double, ctypes.c_double, ctypes.c_double]
         + [_D] * 17 + [_I, _D, _D, _D]
     )
+    lib.ht_omp_threads.restype = ctypes.c_int64
     lib.ht_apply_dividend.argtypes = [
         _D, _D, ctypes.c_double, ctypes.c_double, _I, _I, _I]
     lib.ht_do_solve_batch.argtypes = (
@@ -84,6 +87,13 @@ def penta_solve(l2, l1, d, u1, u2, rhs) -> np.ndarray:
     return x
 
 
+def omp_threads() -> int:
+    """Actual OpenMP thread count of the batch engine (honors
+    OMP_NUM_THREADS; 1 if built without OpenMP) — use for benchmark
+    labels instead of os.cpu_count(), which mislabels pinned runs."""
+    return int(load().ht_omp_threads())
+
+
 def apply_dividend(u, vec_s, amount: float, pct: float,
                    put: bool = False) -> np.ndarray:
     """Native dividend re-map (oracle for douglas.apply_dividend)."""
@@ -94,9 +104,6 @@ def apply_dividend(u, vec_s, amount: float, pct: float,
     lib.ht_apply_dividend(_ptr(u), _ptr(vec_s), amount, pct,
                           1 if put else 0, nv, ns)
     return u
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)
@@ -130,22 +137,31 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
 
     from heston_tpu.ops import operators
 
+    if solver.scheme != "do":
+        # do_run_steps implements the Douglas step only (no CS/MCS
+        # correctors) — pricing a different scheme than requested must be
+        # an error, not a silent substitution
+        raise ValueError(
+            f"the native CPU engine implements the Douglas scheme only "
+            f"(got scheme={solver.scheme!r})")
     lib = load()
-    # pin the (tiny) traced field assembly to the host CPU backend: on the
+    # pin the (tiny) traced field assembly to the host CPU backend (on the
     # TPU-tunnel machine every device->host fetch costs a fixed ~29 ms
-    # RPC, which would dwarf the native solve being timed
+    # RPC, which would dwarf the native solve being timed) and force f64
+    # tracing: the solve is double, so f32-rounded bands would break the
+    # advertised 1e-13 parity with the f64 XLA path
     try:
         cpu_dev = jax.devices("cpu")[0]
     except RuntimeError:  # pragma: no cover - no cpu backend registered
         cpu_dev = None
-    import contextlib
-
     ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
            else contextlib.nullcontext())
-    with ctx:
-        strikes = jnp.asarray(np.asarray(strikes))
+    with ctx, jax.enable_x64():
+        strikes = jnp.asarray(np.asarray(strikes), jnp.float64)
         out = _prep_exec(spec, solver, option_type)(
-            strikes, s0, kappa, eta, sigma, rho, v0, r_d, r_f)
+            strikes, jnp.float64(s0), jnp.float64(kappa), jnp.float64(eta),
+            jnp.float64(sigma), jnp.float64(rho), jnp.float64(v0),
+            jnp.float64(r_d), jnp.float64(r_f))
     ops, u0, vec_s, idx_s, idx_v = jax.device_get(out)
     b = int(strikes.shape[0])
     nv, ns = spec.m2 + 1, spec.m1 + 1

@@ -85,8 +85,9 @@ def test_native_batch_matches_xla_all_variants(params):
     args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
             params.v0, params.r_d, params.r_f)
     for ot in ("call", "put"):
-        for kw in (dict(american=True, dividends=GOLDEN_DIVIDENDS),
-                   dict()):
+        for kw in (dict(), dict(american=True),
+                   dict(dividends=GOLDEN_DIVIDENDS),
+                   dict(american=True, dividends=GOLDEN_DIVIDENDS)):
             want = np.array(douglas.price_batch(
                 spec, sol, ks, *args, option_type=ot, **kw))
             got = native.price_batch_cpu(spec, sol, ks, *args,
