@@ -60,3 +60,66 @@ def test_greeks_pallas_engine_matches_scan(params):
     for k in want:
         np.testing.assert_allclose(float(got[k]), float(want[k]),
                                    rtol=1e-9, atol=1e-10, err_msg=k)
+
+
+def test_gamma_matches_cf(params):
+    """Surface-stencil gamma converges to the semi-analytic CF gamma."""
+    from heston_tpu.models import heston_cf
+
+    def cf(s):
+        return float(heston_cf.call_price(
+            s, 100.0, params.v0, params.kappa, params.eta, params.sigma,
+            params.rho, params.r_d, 1.0))
+
+    e = 0.5
+    want = (cf(100 + e) - 2 * cf(100.0) + cf(100 - e)) / e**2
+    import dataclasses
+
+    errs = []
+    for (m1, m2, n) in [(50, 25, 40), (100, 50, 80)]:
+        g = float(greeks.gamma(
+            GridSpec(m1=m1, m2=m2), SolverConfig(n_steps=n), 100.0, 100.0,
+            params.kappa, params.eta, params.sigma, params.rho, params.v0,
+            params.r_d, params.r_f))
+        errs.append(abs(g - want))
+    assert errs[1] < errs[0]
+    assert errs[1] < 1e-4, (errs, want)
+
+
+def test_theta_matches_cf(params):
+    """PDE theta (-L(U) at the extraction node) matches the CF maturity
+    derivative to discretization accuracy."""
+    from heston_tpu.models import heston_cf
+
+    h = 1e-4
+
+    def cf(t):
+        return float(heston_cf.call_price(
+            100.0, 100.0, params.v0, params.kappa, params.eta,
+            params.sigma, params.rho, params.r_d, t))
+
+    want = -(cf(1.0 + h) - cf(1.0 - h)) / (2 * h)
+    th = float(greeks.pde_theta(
+        GridSpec(m1=50, m2=25), SolverConfig(n_steps=40), 100.0, 100.0,
+        params.kappa, params.eta, params.sigma, params.rho, params.v0,
+        params.r_d, params.r_f))
+    assert th < 0.0                      # long option loses value
+    assert abs(th - want) < 0.03 * abs(want), (th, want)
+
+
+def test_rho_rd_matches_fd(params):
+    """dPrice/dr_d by AD == central FD of the pricer."""
+    from heston_tpu.models import douglas
+
+    out = greeks.price_and_greeks(
+        SPEC, SOLVER, 100.0, 100.0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f)
+    eps = 1e-6
+
+    def price_rd(rd):
+        return float(douglas.price_option(
+            SPEC, SOLVER, 100.0, 100.0, params.kappa, params.eta,
+            params.sigma, params.rho, params.v0, rd, params.r_f))
+
+    fd = (price_rd(params.r_d + eps) - price_rd(params.r_d - eps)) / (2 * eps)
+    assert abs(float(out["rho_rd"]) - fd) < 1e-3 * max(1.0, abs(fd))
