@@ -149,6 +149,108 @@ def price_and_greeks(
 
 @functools.partial(
     jax.jit, static_argnames=("spec", "solver", "american", "dividends",
+                              "option_type", "param_jacobian"))
+def batch_greeks(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes,
+    s0,
+    kappa, eta, sigma, rho, v0, r_d, r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+    param_jacobian: bool = False,
+) -> Dict[str, jax.Array]:
+    """Book-level risk in ONE batched solve: price, delta, gamma and
+    calendar theta for every option, read off each option's solution
+    surface with the discretization's own stencils (delta = w_beta,
+    gamma = w_delta, theta = -L(U)) — no extra solves, no bump noise.
+    The production risk pass the reference has no analog of.
+
+    param_jacobian=True adds the five exact model-parameter
+    sensitivities d(kappa, eta, sigma, rho, v0) [B, 5] via forward-mode
+    AD — through the fused Pallas kernel in one launch when the engine
+    and grid allow (fused_do.use_fused), else the XLA linearize path."""
+    from heston_tpu.ops import coeff
+
+    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+
+    def risk_from_surface(u, ops, vs, idx_s, idx_v):
+        i = jnp.clip(idx_s, 1, spec.m1 - 1)
+        h0 = (vs[i] - vs[i - 1])[None]
+        h1 = (vs[i + 1] - vs[i])[None]
+        bm, b0, bp = coeff.w_beta(h0, h1)
+        dm, d0, dp = coeff.w_delta(h0, h1)
+        row = u[idx_v]
+        du = (operators.a0_multiply(ops, u)
+              + operators.a1_multiply(ops, u)
+              + operators.a2_multiply(ops, u)
+              + ops.b * jnp.exp(b_rate * solver.delta_t * solver.n_steps))
+        return dict(
+            price=u[idx_v, idx_s],
+            delta=bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1],
+            gamma=dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1],
+            theta=-du[idx_v, idx_s],
+        )
+
+    def prepare(k):
+        return douglas.prepare_instance(
+            spec, solver, k, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            option_type)
+
+    from heston_tpu.pallas import fused_do
+
+    ks = jnp.asarray(strikes)
+    if fused_do.use_fused(spec, solver):
+        # surfaces from ONE fused-kernel launch; stencil extraction and
+        # the theta operator application are tiny XLA epilogues
+        surf, _, idx_s, idx_v = fused_do.fused_surface_batch(
+            spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            american=american, dividends=dividends,
+            option_type=option_type)
+        insts = jax.vmap(prepare)(ks)
+        out = jax.vmap(risk_from_surface)(
+            surf, insts.ops, insts.grid.vec_s, idx_s, idx_v)
+    else:
+        def one(k):
+            inst = prepare(k)
+            u = douglas.run_time_loop(inst, solver, b_rate, american,
+                                      dividends, option_type)
+            return risk_from_surface(u, inst.ops, inst.grid.vec_s,
+                                     inst.idx_s, inst.idx_v)
+
+        out = jax.vmap(one)(ks)
+    if param_jacobian:
+        from heston_tpu.pallas import fused_do
+
+        if fused_do.use_fused(spec, solver, n_tangents=5):
+            dtype = jnp.result_type(float)
+            tv = jnp.stack([jnp.asarray(v, dtype)
+                            for v in (kappa, eta, sigma, rho, v0)])
+            _, jac = fused_do.fused_theta_jacobian(
+                spec, solver, jnp.asarray(strikes), s0, tv, r_d, r_f,
+                american=american, dividends=dividends,
+                option_type=option_type)
+        else:
+            def prices(tv):
+                def p_one(k):
+                    return douglas.price_option(
+                        spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3],
+                        tv[4], r_d, r_f, american=american,
+                        dividends=dividends, option_type=option_type)
+                return jax.vmap(p_one)(jnp.asarray(strikes))
+
+            dtype = jnp.result_type(float)
+            tv = jnp.stack([jnp.asarray(v, dtype)
+                            for v in (kappa, eta, sigma, rho, v0)])
+            _, jvp_fn = jax.linearize(prices, tv)
+            jac = jax.vmap(jvp_fn)(jnp.eye(5, dtype=dtype)).T
+        out["param_jacobian"] = jac
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "solver", "american", "dividends",
                               "option_type"))
 def gamma(
     spec: GridSpec,

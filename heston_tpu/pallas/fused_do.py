@@ -1040,6 +1040,41 @@ def fused_price_batch(
     return _extract(u, idx_s, idx_v, b)
 
 
+def fused_surface_batch(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: jnp.ndarray,
+    s0,
+    kappa, eta, sigma, rho, v0, r_d, r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    interpret: Optional[bool] = None,
+    unroll: bool = False,
+    option_type: str = "call",
+):
+    """Like fused_price_batch but returns the full terminal surfaces
+    (u [B, nv, ns]) plus per-option (vec_s [B, ns], idx_s, idx_v) — the
+    input to book-level risk extraction (models.greeks.batch_greeks),
+    which reads delta/gamma/theta off each surface with the
+    discretization's own stencils at fused-kernel speed."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b = strikes.shape[0]
+    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
+                                            strict=not interpret)
+    fields, vec_s, idx_s, idx_v = _assemble(
+        spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        option_type)
+    dtype = fields["u"].dtype
+    fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
+    u, _, _ = _run_chunks(spec, solver, american, dividends, dtype,
+                          interpret, unroll, n_tiles, tile, fields, vec_s,
+                          option_type=option_type)
+    # [ns, nv, Bpad] -> [B, nv, ns]
+    surfaces = jnp.moveaxis(u, -1, 0)[:b].swapaxes(1, 2)
+    return surfaces, vec_s[:b], idx_s[:b], idx_v[:b]
+
+
 def fused_theta_jacobian(
     spec: GridSpec,
     solver: SolverConfig,

@@ -123,3 +123,57 @@ def test_rho_rd_matches_fd(params):
 
     fd = (price_rd(params.r_d + eps) - price_rd(params.r_d - eps)) / (2 * eps)
     assert abs(float(out["rho_rd"]) - fd) < 1e-3 * max(1.0, abs(fd))
+
+
+def test_batch_greeks_consistent(params):
+    """batch_greeks == the single-option fns at every strike, and the
+    param Jacobian equals jacfwd of the batched pricer."""
+    import jax
+    import jax.numpy as jnp
+
+    from heston_tpu.models import douglas
+
+    ks = jnp.array([90.0, 100.0, 110.0])
+    args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
+            params.v0, params.r_d, params.r_f)
+    out = greeks.batch_greeks(SPEC, SOLVER, ks, *args, param_jacobian=True)
+    for j, k in enumerate(np.asarray(ks)):
+        g1 = float(greeks.gamma(SPEC, SOLVER, float(k), *args))
+        t1 = float(greeks.pde_theta(SPEC, SOLVER, float(k), *args))
+        p1 = float(douglas.price_option(SPEC, SOLVER, float(k), *args))
+        assert abs(float(out["gamma"][j]) - g1) < 1e-10
+        assert abs(float(out["theta"][j]) - t1) < 1e-10
+        assert abs(float(out["price"][j]) - p1) < 1e-10
+    tv = jnp.array(params.bumpable())
+
+    def prices(t):
+        return douglas.price_batch(
+            SPEC, SOLVER, ks, 100.0, t[0], t[1], t[2], t[3], t[4],
+            params.r_d, params.r_f)
+
+    want = np.array(jax.jacfwd(prices)(tv))
+    np.testing.assert_allclose(np.array(out["param_jacobian"]), want,
+                               rtol=1e-7, atol=1e-9)
+    # financial sanity across the book
+    assert np.all(np.asarray(out["gamma"]) > 0)
+    assert np.all(np.asarray(out["theta"]) < 0)
+    d = np.asarray(out["delta"])
+    assert np.all(np.diff(d) < 0)   # call delta falls with strike
+
+
+def test_batch_greeks_fused_matches_xla(params):
+    """batch_greeks via the fused-kernel surface path == the XLA path
+    (f64 interpret)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    ks = jnp.array([90.0, 105.0])
+    args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
+            params.v0, params.r_d, params.r_f)
+    pal = dataclasses.replace(SOLVER, solver_engine="pallas")
+    a = greeks.batch_greeks(SPEC, pal, ks, *args, american=True)
+    b = greeks.batch_greeks(SPEC, SOLVER, ks, *args, american=True)
+    for key in ("price", "delta", "gamma", "theta"):
+        np.testing.assert_allclose(np.asarray(a[key]), np.asarray(b[key]),
+                                   rtol=0, atol=1e-10, err_msg=key)
