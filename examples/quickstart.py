@@ -35,11 +35,25 @@ def main():
     print("European:         ", np.round(np.asarray(euro), 4))
     print("American+dividends:", np.round(np.asarray(amer_div), 4))
 
+    # --- 1b. puts (framework extension; the reference is calls-only) -----
+    amer_puts = douglas.price_batch_params(
+        spec, solver, strikes, s0, params, american=True,
+        option_type="put")
+    print("American puts:     ", np.round(np.asarray(amer_puts), 4))
+
     # --- 2. Greeks via AD through the PDE solve --------------------------
     g = greeks.price_and_greeks(
         spec, solver, 100.0, s0, params.kappa, params.eta, params.sigma,
         params.rho, params.v0, params.r_d, params.r_f)
     print("ATM delta %.4f  vega(v0) %.2f" % (g["delta"], g["vega_v0"]))
+
+    # --- 2b. whole-book risk in one batched solve -------------------------
+    risk = greeks.batch_greeks(
+        spec, solver, strikes, s0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f,
+        american=True, dividends=GOLDEN_DIVIDENDS)
+    print("book delta:", np.round(np.asarray(risk["delta"]), 4))
+    print("book gamma:", np.round(np.asarray(risk["gamma"]), 5))
 
     # --- 3. calibrate to a synthetic flat-vol market ----------------------
     chain = jnp.linspace(70.0, 129.0, 30)
@@ -73,6 +87,16 @@ def main():
     path = hio.export_calibration_fit("/tmp/quickstart_fit.csv", result,
                                       s0, 1.0, params.r_d)
     print("fit exported to", path)
+
+    # --- 5. native C++ CPU engine (no accelerator needed) -----------------
+    from heston_tpu.utils import native
+
+    cpu = native.price_batch_cpu(
+        spec, solver, strikes, s0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f,
+        american=True, dividends=GOLDEN_DIVIDENDS)
+    print("CPU engine max |diff| vs device:",
+          float(np.max(np.abs(cpu - np.asarray(amer_div, np.float64)))))
 
 
 if __name__ == "__main__":
