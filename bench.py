@@ -233,10 +233,7 @@ def _book_risk(spec, p, batch, dtype):
     """Whole-book production risk pass: price + delta + gamma + calendar
     theta for every option (American + dividends) in one fused-kernel
     launch plus stencil epilogues (models.greeks.batch_greeks). The
-    reference has no batched-greeks analog; measured ~0.93 ms at
-    batch 500 on v5e."""
-    import dataclasses
-
+    reference has no batched-greeks analog."""
     import jax.numpy as jnp
 
     from heston_tpu.config import GOLDEN_DIVIDENDS, SolverConfig
@@ -245,10 +242,16 @@ def _book_risk(spec, p, batch, dtype):
     solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
                           a2_variant="upwind", solver_engine="pallas")
     ks = jnp.linspace(70.0, 130.0, batch, dtype=dtype)
-    fn = lambda k: greeks.batch_greeks(
-        spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
-        p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS)["delta"]
-    dt = _device_time_per_call(fn, ks, reps=200)
+
+    def fn(k):
+        # consume ALL four outputs — returning only one would let XLA
+        # dead-code-eliminate the others and the timing would be a lie
+        r = greeks.batch_greeks(
+            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS)
+        return r["price"] + r["delta"] + r["gamma"] + r["theta"]
+
+    dt = _device_time_per_call(fn, ks, reps=500)
     return {f"book_risk{batch}_s": dt}
 
 

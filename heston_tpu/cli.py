@@ -200,14 +200,19 @@ def main(argv=None):
         from heston_tpu.models import greeks as greeks_mod
 
         divs = _parse_dividends(args.dividends)
-        gargs = (spec, solver, args.strike, args.spot, params.kappa,
-                 params.eta, params.sigma, params.rho, params.v0,
-                 params.r_d, params.r_f)
         gkw = dict(american=args.american, dividends=divs,
                    option_type=args.option_type)
-        out = dict(greeks_mod.price_and_greeks(*gargs, **gkw))
-        out["gamma"] = greeks_mod.gamma(*gargs, **gkw)
-        out["theta"] = greeks_mod.pde_theta(*gargs, **gkw)
+        out = dict(greeks_mod.price_and_greeks(
+            spec, solver, args.strike, args.spot, params.kappa,
+            params.eta, params.sigma, params.rho, params.v0,
+            params.r_d, params.r_f, **gkw))
+        # gamma + theta from ONE shared surface solve (batch of 1)
+        risk = greeks_mod.batch_greeks(
+            spec, solver, jnp.asarray([args.strike]), args.spot,
+            params.kappa, params.eta, params.sigma, params.rho,
+            params.v0, params.r_d, params.r_f, **gkw)
+        out["gamma"] = risk["gamma"][0]
+        out["theta"] = risk["theta"][0]
         print(json.dumps({k: float(v) for k, v in out.items()}))
 
     elif args.cmd == "surface":

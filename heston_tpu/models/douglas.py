@@ -220,11 +220,15 @@ def run_time_loop(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    with_lambda: bool = False,
 ) -> Array:
     """Run all N DO steps (with dividend re-maps between segments).
 
     `b_rate` scales the boundary vectors through time (r_f for calls —
-    what every reference path passes — r_d for puts)."""
+    what every reference path passes — r_d for puts).
+    `with_lambda=True` returns (u, lambda_surface) — the Ikonen-Toivanen
+    multiplier is needed by e.g. the American theta epilogue
+    (dU/dtau = L U + b + lambda)."""
     u = inst.u0
     lam = jnp.zeros_like(u)
 
@@ -254,6 +258,8 @@ def run_time_loop(
             carry = run_range(n, n + 1, (uu, ll))
             n_next = n + 1
     carry = run_range(n_next, solver.n_steps + 1, carry)
+    if with_lambda:
+        return carry
     return carry[0]
 
 

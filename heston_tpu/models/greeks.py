@@ -26,9 +26,38 @@ from heston_tpu.models import douglas
 from heston_tpu.ops import operators
 
 
-@functools.partial(
-    jax.jit, static_argnames=("spec", "solver", "american", "dividends",
-                              "option_type"))
+def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v):
+    """price / delta / gamma / theta for ONE instance read off its
+    solution surface with the discretization's own stencils
+    (delta = w_beta, gamma = w_delta); THE single implementation behind
+    pde_theta, gamma and batch_greeks (vmapped there).
+
+    theta: dU/dtau = L U + b + lambda (the Ikonen-Toivanen multiplier —
+    WITHOUT it the theta of an American option in the early-exercise
+    region would read a spurious ~r_d*K instead of ~0), so
+    theta = -(L U + b*e^{rate*dt*N} + lambda). lam is zeros for
+    European."""
+    from heston_tpu.ops import coeff
+
+    i = jnp.clip(idx_s, 1, spec.m1 - 1)
+    h0 = (vs[i] - vs[i - 1])[None]
+    h1 = (vs[i + 1] - vs[i])[None]
+    bm, b0, bp = coeff.w_beta(h0, h1)
+    dm, d0, dp = coeff.w_delta(h0, h1)
+    row = u[idx_v]
+    du = (operators.a0_multiply(ops, u)
+          + operators.a1_multiply(ops, u)
+          + operators.a2_multiply(ops, u)
+          + ops.b * jnp.exp(b_rate * solver.delta_t * solver.n_steps)
+          + lam)
+    return dict(
+        price=u[idx_v, idx_s],
+        delta=bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1],
+        gamma=dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1],
+        theta=-du[idx_v, idx_s],
+    )
+
+
 def pde_theta(
     spec: GridSpec,
     solver: SolverConfig,
@@ -40,22 +69,15 @@ def pde_theta(
     option_type: str = "call",
 ) -> jax.Array:
     """Calendar theta dPrice/dt (per year, negative for long options) from
-    the PDE itself: at the terminal surface, dU/dtau = (A0+A1+A2)U + b, so
-    theta = -L(U) at the extraction node — exact to the discretization,
-    no maturity bump or recompile. For American options this is the
-    standard unconstrained PDE theta (the extraction node is in the
-    continuation region for the usual configurations)."""
-    inst = douglas.prepare_instance(
-        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type)
-    b_rate = operators.boundary_rate(r_d, r_f, option_type)
-    u = douglas.run_time_loop(inst, solver, b_rate, american, dividends,
-                              option_type)
-    du = (operators.a0_multiply(inst.ops, u)
-          + operators.a1_multiply(inst.ops, u)
-          + operators.a2_multiply(inst.ops, u)
-          + inst.ops.b * jnp.exp(b_rate * solver.delta_t * solver.n_steps))
-    return -du[inst.idx_v, inst.idx_s]
+    the PDE itself: at the terminal surface, dU/dtau = (A0+A1+A2)U + b +
+    lambda, so theta = -(L(U) + lambda) at the extraction node — exact to
+    the discretization, no maturity bump or recompile; the lambda term
+    makes the American theta correct in the early-exercise region
+    (~0 there) as well. Thin wrapper over batch_greeks."""
+    return batch_greeks(
+        spec, solver, jnp.asarray(strike)[None], s0, kappa, eta, sigma,
+        rho, v0, r_d, r_f, american=american, dividends=dividends,
+        option_type=option_type)["theta"][0]
 
 
 @functools.partial(
@@ -96,23 +118,19 @@ def price_and_greeks(
 
             xla_solver = dataclasses.replace(solver, solver_engine="scan")
 
-            def price_s0(s):
+            # delta and rho_rd share ONE linearized primal solve (the
+            # kernel carries no s-grid-motion or rate tangents)
+            def price_s0_rd(x):
                 return douglas.price_option(
-                    spec, xla_solver, strike, s, kappa, eta, sigma, rho,
-                    v0, r_d, r_f, american=american, dividends=dividends,
-                    option_type=option_type)
+                    spec, xla_solver, strike, x[0], kappa, eta, sigma,
+                    rho, v0, x[1], r_f, american=american,
+                    dividends=dividends, option_type=option_type)
 
-            _, delta = jax.jvp(price_s0, (jnp.asarray(s0, dtype),),
-                               (jnp.ones((), dtype),))
-
-            def price_rd(rd_):
-                return douglas.price_option(
-                    spec, xla_solver, strike, s0, kappa, eta, sigma, rho,
-                    v0, rd_, r_f, american=american, dividends=dividends,
-                    option_type=option_type)
-
-            _, rho_rd = jax.jvp(price_rd, (jnp.asarray(r_d, dtype),),
-                                (jnp.ones((), dtype),))
+            _, jvp_fn = jax.linearize(
+                price_s0_rd,
+                jnp.stack([jnp.asarray(s0, dtype),
+                           jnp.asarray(r_d, dtype)]))
+            delta, rho_rd = jax.vmap(jvp_fn)(jnp.eye(2, dtype=dtype))
             return {
                 "price": base[0],
                 "delta": delta,
@@ -171,27 +189,7 @@ def batch_greeks(
     sensitivities d(kappa, eta, sigma, rho, v0) [B, 5] via forward-mode
     AD — through the fused Pallas kernel in one launch when the engine
     and grid allow (fused_do.use_fused), else the XLA linearize path."""
-    from heston_tpu.ops import coeff
-
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
-
-    def risk_from_surface(u, ops, vs, idx_s, idx_v):
-        i = jnp.clip(idx_s, 1, spec.m1 - 1)
-        h0 = (vs[i] - vs[i - 1])[None]
-        h1 = (vs[i + 1] - vs[i])[None]
-        bm, b0, bp = coeff.w_beta(h0, h1)
-        dm, d0, dp = coeff.w_delta(h0, h1)
-        row = u[idx_v]
-        du = (operators.a0_multiply(ops, u)
-              + operators.a1_multiply(ops, u)
-              + operators.a2_multiply(ops, u)
-              + ops.b * jnp.exp(b_rate * solver.delta_t * solver.n_steps))
-        return dict(
-            price=u[idx_v, idx_s],
-            delta=bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1],
-            gamma=dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1],
-            theta=-du[idx_v, idx_s],
-        )
 
     def prepare(k):
         return douglas.prepare_instance(
@@ -201,34 +199,34 @@ def batch_greeks(
     from heston_tpu.pallas import fused_do
 
     ks = jnp.asarray(strikes)
+    risk = functools.partial(_surface_risk, spec, solver, b_rate)
     if fused_do.use_fused(spec, solver):
         # surfaces from ONE fused-kernel launch; stencil extraction and
         # the theta operator application are tiny XLA epilogues
-        surf, _, idx_s, idx_v = fused_do.fused_surface_batch(
+        surf, lam, _, idx_s, idx_v = fused_do.fused_surface_batch(
             spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
             american=american, dividends=dividends,
             option_type=option_type)
         insts = jax.vmap(prepare)(ks)
-        out = jax.vmap(risk_from_surface)(
-            surf, insts.ops, insts.grid.vec_s, idx_s, idx_v)
+        out = jax.vmap(risk)(surf, lam, insts.ops, insts.grid.vec_s,
+                             idx_s, idx_v)
     else:
         def one(k):
             inst = prepare(k)
-            u = douglas.run_time_loop(inst, solver, b_rate, american,
-                                      dividends, option_type)
-            return risk_from_surface(u, inst.ops, inst.grid.vec_s,
-                                     inst.idx_s, inst.idx_v)
+            u, lam = douglas.run_time_loop(
+                inst, solver, b_rate, american, dividends, option_type,
+                with_lambda=True)
+            return risk(u, lam, inst.ops, inst.grid.vec_s, inst.idx_s,
+                        inst.idx_v)
 
         out = jax.vmap(one)(ks)
     if param_jacobian:
-        from heston_tpu.pallas import fused_do
-
         if fused_do.use_fused(spec, solver, n_tangents=5):
             dtype = jnp.result_type(float)
             tv = jnp.stack([jnp.asarray(v, dtype)
                             for v in (kappa, eta, sigma, rho, v0)])
             _, jac = fused_do.fused_theta_jacobian(
-                spec, solver, jnp.asarray(strikes), s0, tv, r_d, r_f,
+                spec, solver, ks, s0, tv, r_d, r_f,
                 american=american, dividends=dividends,
                 option_type=option_type)
         else:
@@ -238,7 +236,7 @@ def batch_greeks(
                         spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3],
                         tv[4], r_d, r_f, american=american,
                         dividends=dividends, option_type=option_type)
-                return jax.vmap(p_one)(jnp.asarray(strikes))
+                return jax.vmap(p_one)(ks)
 
             dtype = jnp.result_type(float)
             tv = jnp.stack([jnp.asarray(v, dtype)
@@ -249,9 +247,6 @@ def batch_greeks(
     return out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("spec", "solver", "american", "dividends",
-                              "option_type"))
 def gamma(
     spec: GridSpec,
     solver: SolverConfig,
@@ -270,19 +265,9 @@ def gamma(
     4.7e-3 vs 1.4e-4 abs error against the CF gamma at 50x25x40),
     because grid insertion makes the price merely piecewise-smooth in
     s0. (For the same reason, bump-and-revalue gamma on this solver is
-    pure noise — the kink curvature dominates at any usable bump.)"""
-    from heston_tpu.ops import coeff
-
-    inst = douglas.prepare_instance(
-        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type)
-    b_rate = operators.boundary_rate(r_d, r_f, option_type)
-    u = douglas.run_time_loop(inst, solver, b_rate, american, dividends,
-                              option_type)
-    vs = inst.grid.vec_s
-    i = jnp.clip(inst.idx_s, 1, spec.m1 - 1)
-    h0 = (vs[i] - vs[i - 1])[None]
-    h1 = (vs[i + 1] - vs[i])[None]
-    dm, d0, dp = coeff.w_delta(h0, h1)
-    row = u[inst.idx_v]
-    return dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1]
+    pure noise — the kink curvature dominates at any usable bump.)
+    Thin wrapper over batch_greeks."""
+    return batch_greeks(
+        spec, solver, jnp.asarray(strike)[None], s0, kappa, eta, sigma,
+        rho, v0, r_d, r_f, american=american, dividends=dividends,
+        option_type=option_type)["gamma"][0]

@@ -1053,10 +1053,12 @@ def fused_surface_batch(
     option_type: str = "call",
 ):
     """Like fused_price_batch but returns the full terminal surfaces
-    (u [B, nv, ns]) plus per-option (vec_s [B, ns], idx_s, idx_v) — the
-    input to book-level risk extraction (models.greeks.batch_greeks),
-    which reads delta/gamma/theta off each surface with the
-    discretization's own stencils at fused-kernel speed."""
+    (u [B, nv, ns]) and American lambda-multiplier surfaces (lam, same
+    shape; zeros for European) plus per-option (vec_s [B, ns], idx_s,
+    idx_v) — the input to book-level risk extraction
+    (models.greeks.batch_greeks), which reads delta/gamma/theta off each
+    surface with the discretization's own stencils at fused-kernel
+    speed."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
@@ -1067,12 +1069,11 @@ def fused_surface_batch(
         option_type)
     dtype = fields["u"].dtype
     fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
-    u, _, _ = _run_chunks(spec, solver, american, dividends, dtype,
-                          interpret, unroll, n_tiles, tile, fields, vec_s,
-                          option_type=option_type)
-    # [ns, nv, Bpad] -> [B, nv, ns]
-    surfaces = jnp.moveaxis(u, -1, 0)[:b].swapaxes(1, 2)
-    return surfaces, vec_s[:b], idx_s[:b], idx_v[:b]
+    u, lam, _ = _run_chunks(spec, solver, american, dividends, dtype,
+                            interpret, unroll, n_tiles, tile, fields,
+                            vec_s, option_type=option_type)
+    to_bvs = lambda x: jnp.moveaxis(x, -1, 0)[:b].swapaxes(1, 2)
+    return to_bvs(u), to_bvs(lam), vec_s[:b], idx_s[:b], idx_v[:b]
 
 
 def fused_theta_jacobian(

@@ -73,8 +73,6 @@ def test_gamma_matches_cf(params):
 
     e = 0.5
     want = (cf(100 + e) - 2 * cf(100.0) + cf(100 - e)) / e**2
-    import dataclasses
-
     errs = []
     for (m1, m2, n) in [(50, 25, 40), (100, 50, 80)]:
         g = float(greeks.gamma(
@@ -177,3 +175,21 @@ def test_batch_greeks_fused_matches_xla(params):
     for key in ("price", "delta", "gamma", "theta"):
         np.testing.assert_allclose(np.asarray(a[key]), np.asarray(b[key]),
                                    rtol=0, atol=1e-10, err_msg=key)
+
+
+def test_american_put_theta_in_exercise_region(params):
+    """Deep-ITM American put: the extraction node sits in the
+    early-exercise region where the true calendar theta is ~0; without
+    the Ikonen-Toivanen lambda term the PDE theta would read a spurious
+    ~r_d*K (~2.5 here)."""
+    th = float(greeks.pde_theta(
+        GridSpec(m1=50, m2=25), SolverConfig(n_steps=40), 140.0, 100.0,
+        params.kappa, params.eta, params.sigma, params.rho, params.v0,
+        params.r_d, params.r_f, american=True, option_type="put"))
+    assert abs(th) < 0.3, th
+    # the European theta at the same node is NOT ~0 (control)
+    th_e = float(greeks.pde_theta(
+        GridSpec(m1=50, m2=25), SolverConfig(n_steps=40), 140.0, 100.0,
+        params.kappa, params.eta, params.sigma, params.rho, params.v0,
+        params.r_d, params.r_f, american=False, option_type="put"))
+    assert th_e > 1.0, th_e
