@@ -10,6 +10,7 @@ from heston_tpu.parallel.sharded import (
     make_mesh,
     shard_batch,
     price_batch_sharded,
+    batch_greeks_sharded,
     jacobian_normal_eq_sharded,
     sharded_pricing_fns,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "price_batch_sharded",
+    "batch_greeks_sharded",
     "jacobian_normal_eq_sharded",
     "sharded_pricing_fns",
 ]

@@ -227,6 +227,56 @@ def jacobian_normal_eq_sharded(
     return delta, base[:n], sse
 
 
+@functools.lru_cache(maxsize=None)
+def _risk_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+               american: bool, dividends, option_type: str):
+    def local(ks, tv, s0, r_d, r_f):
+        from heston_tpu.models import greeks
+
+        out = greeks.batch_greeks(
+            spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+            r_d, r_f, american=american, dividends=dividends,
+            option_type=option_type)
+        return (out["price"], out["delta"], out["gamma"], out["theta"])
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P()),
+        out_specs=(P(AXIS),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def batch_greeks_sharded(
+    mesh: Mesh,
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: jax.Array,
+    s0,
+    theta_vec: jax.Array,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+):
+    """Whole-book risk (price / delta / gamma / theta per option,
+    models.greeks.batch_greeks) with the book sharded across the mesh —
+    each chip runs the fused surface pass + stencil epilogues on its
+    shard; no collectives. Returns a dict of [n] arrays."""
+    n_dev = mesh.devices.size
+    padded, n = _pad_to(jnp.asarray(strikes), n_dev)
+    dtype = padded.dtype
+    fn = _risk_exec(mesh, spec, solver, american, dividends, option_type)
+    price, delta, gamma, theta = fn(
+        shard_batch(padded, mesh), jnp.asarray(theta_vec, dtype),
+        jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
+        jnp.asarray(r_f, dtype))
+    return dict(price=price[:n], delta=delta[:n], gamma=gamma[:n],
+                theta=theta[:n])
+
+
 def sharded_pricing_fns(mesh: Mesh):
     """(jac_fn, price_fn) drop-ins for calibration.calibrate(pricing_fns=...)
     that run the PDE fleet sharded over the mesh."""

@@ -112,3 +112,24 @@ def test_sharded_fused_ad_jacobian_matches_single_device(params, mesh):
                                atol=1e-12)
     np.testing.assert_allclose(np.array(j_sh), np.array(j), rtol=0,
                                atol=1e-10)
+
+
+def test_sharded_book_greeks_match_single_device(params, mesh):
+    """batch_greeks_sharded == batch_greeks on every output (non-divisible
+    batch, American put book)."""
+    from heston_tpu.models import greeks
+    from heston_tpu.parallel import batch_greeks_sharded
+
+    strikes = jnp.linspace(85.0, 125.0, 11)  # 11 % 8 != 0
+    tv = _theta(params)
+    want = greeks.batch_greeks(
+        SPEC, SOLVER, strikes, 100.0, params.kappa, params.eta,
+        params.sigma, params.rho, params.v0, params.r_d, params.r_f,
+        american=True, option_type="put")
+    got = batch_greeks_sharded(
+        mesh, SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f,
+        american=True, option_type="put")
+    for key in ("price", "delta", "gamma", "theta"):
+        np.testing.assert_allclose(np.array(got[key]),
+                                   np.array(want[key]), rtol=0,
+                                   atol=1e-12, err_msg=key)
