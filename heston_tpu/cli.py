@@ -114,6 +114,19 @@ def main(argv=None):
                    choices=["none", "golden", "calib"])
     p.add_argument("--option-type", default="call", choices=["call", "put"])
 
+    p = sub.add_parser("risk", help="book-level risk (price/delta/gamma/"
+                                    "theta per option) in one batched solve")
+    _add_common(p)
+    p.add_argument("--strikes", type=float, nargs="+", required=True)
+    p.add_argument("--american", action="store_true")
+    p.add_argument("--dividends", default="none",
+                   choices=["none", "golden", "calib"])
+    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
+    p.add_argument("--param-jacobian", action="store_true",
+                   help="also output the five model-parameter "
+                        "sensitivities per option")
+
     p = sub.add_parser("surface", help="export a price surface CSV")
     _add_common(p)
     p.add_argument("--strike", type=float, default=100.0)
@@ -214,6 +227,32 @@ def main(argv=None):
         out["gamma"] = risk["gamma"][0]
         out["theta"] = risk["theta"][0]
         print(json.dumps({k: float(v) for k, v in out.items()}))
+
+    elif args.cmd == "risk":
+        import dataclasses
+
+        from heston_tpu.models import greeks as greeks_mod
+
+        divs = _parse_dividends(args.dividends)
+        engine = "pallas" if args.engine == "pallas" else "scan"
+        out = greeks_mod.batch_greeks(
+            spec, dataclasses.replace(solver, solver_engine=engine),
+            jnp.asarray(args.strikes), args.spot, params.kappa, params.eta,
+            params.sigma, params.rho, params.v0, params.r_d, params.r_f,
+            american=args.american, dividends=divs,
+            option_type=args.option_type,
+            param_jacobian=args.param_jacobian)
+        for j, k in enumerate(args.strikes):
+            row = {"strike": k,
+                   "price": float(out["price"][j]),
+                   "delta": float(out["delta"][j]),
+                   "gamma": float(out["gamma"][j]),
+                   "theta": float(out["theta"][j])}
+            if args.param_jacobian:
+                row.update(zip(("d_kappa", "d_eta", "d_sigma", "d_rho",
+                                "vega_v0"),
+                               [float(v) for v in out["param_jacobian"][j]]))
+            print(json.dumps(row))
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)

@@ -53,3 +53,16 @@ def test_cli_calibrate_small(capsys, monkeypatch):
     res = json.loads(out[-1])
     assert res["iterations"] >= 1
     assert np.isfinite(res["sse"])
+
+
+def test_cli_risk(capsys):
+    rc = cli.main(["risk", "--strikes", "90", "100", "110",
+                   "--m1", "20", "--m2", "10", "--n-steps", "4",
+                   "--american", "--param-jacobian"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 3
+    deltas = [r["delta"] for r in rows]
+    assert deltas[0] > deltas[1] > deltas[2] > 0   # call deltas fall
+    assert all(r["gamma"] > 0 and r["theta"] < 0 for r in rows)
+    assert all("vega_v0" in r for r in rows)
