@@ -221,8 +221,9 @@ def run_time_loop(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     with_lambda: bool = False,
-) -> Array:
-    """Run all N DO steps (with dividend re-maps between segments).
+):
+    """Run all N DO steps (with dividend re-maps between segments);
+    returns the terminal surface, or (u, lambda) when with_lambda=True.
 
     `b_rate` scales the boundary vectors through time (r_f for calls —
     what every reference path passes — r_d for puts).

@@ -975,8 +975,6 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                               *( [sa[1]] if american else [] ), *inv,
                               *r_args, *sa[(2 if american else 1):], *tg)
             u, lam, dus, dlams = unpack_outs(outs)
-            if not american:
-                lam = fields["lam"]
     else:
         call = _segment_call(spec.m1, spec.m2, solver.theta,
                              solver.delta_t, american, dtype.name,
@@ -989,6 +987,11 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                     *( [sa[1]] if american else [] ), *inv,
                     *sa[(2 if american else 1):], *tg)
         u, lam, dus, dlams = unpack_outs(outs)
+    if not american:
+        # the kernel carries no multiplier state for European books; hand
+        # back the zero field so consumers (fused_surface_batch) always
+        # get an array
+        lam = fields["lam"]
     return u, lam, dus
 
 

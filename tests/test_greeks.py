@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from heston_tpu.config import GridSpec, SolverConfig
 from heston_tpu.models import douglas, greeks
@@ -159,9 +160,11 @@ def test_batch_greeks_consistent(params):
     assert np.all(np.diff(d) < 0)   # call delta falls with strike
 
 
-def test_batch_greeks_fused_matches_xla(params):
+@pytest.mark.parametrize("american", [False, True])
+def test_batch_greeks_fused_matches_xla(params, american):
     """batch_greeks via the fused-kernel surface path == the XLA path
-    (f64 interpret)."""
+    (f64 interpret); the European case guards the lam=None regression in
+    _run_chunks' no-dividend branch."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -170,8 +173,8 @@ def test_batch_greeks_fused_matches_xla(params):
     args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
             params.v0, params.r_d, params.r_f)
     pal = dataclasses.replace(SOLVER, solver_engine="pallas")
-    a = greeks.batch_greeks(SPEC, pal, ks, *args, american=True)
-    b = greeks.batch_greeks(SPEC, SOLVER, ks, *args, american=True)
+    a = greeks.batch_greeks(SPEC, pal, ks, *args, american=american)
+    b = greeks.batch_greeks(SPEC, SOLVER, ks, *args, american=american)
     for key in ("price", "delta", "gamma", "theta"):
         np.testing.assert_allclose(np.asarray(a[key]), np.asarray(b[key]),
                                    rtol=0, atol=1e-10, err_msg=key)
