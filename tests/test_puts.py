@@ -313,3 +313,29 @@ def test_device_lm_matches_host_lm_puts():
                                np.asarray(res.params.bumpable()),
                                rtol=0, atol=1e-9)
     assert int(info["iterations"]) == res.iterations
+
+
+@pytest.mark.parametrize("scheme", ["cs", "mcs"])
+def test_put_schemes_converge_to_cf(scheme):
+    """Puts under the Craig-Sneyd / modified-CS steppers converge to the
+    CF put like the Douglas path does (the scheme machinery is
+    payoff-agnostic, but the put boundary treatment rides through each
+    scheme's corrector stages — worth pinning)."""
+    want = float(heston_cf.put_price(
+        100.0, 100.0, P.v0, P.kappa, P.eta, P.sigma, P.rho, P.r_d, 1.0))
+    errs = []
+    for (m1, m2, n) in [(50, 25, 20), (100, 50, 80)]:
+        sol = dataclasses.replace(SOLVER, n_steps=n, scheme=scheme)
+        got = _price(GridSpec(m1=m1, m2=m2), sol, 100.0,
+                     option_type="put")
+        errs.append(abs(got - want))
+    assert errs[1] < errs[0]
+    assert errs[1] < 0.03, (scheme, errs, want)
+
+
+def test_unknown_option_type_raises():
+    """Typos like 'Put' must raise, not silently price a call."""
+    with pytest.raises(ValueError, match="unknown option_type"):
+        douglas.price_option(
+            SPEC, SOLVER, 100.0, 100.0, P.kappa, P.eta, P.sigma, P.rho,
+            P.v0, P.r_d, P.r_f, option_type="Put")
