@@ -96,3 +96,103 @@ def price_european_call_mc(
     # ref: src/MC_hes.cpp:91-94 — statistically corrected here)
     var_mean = (jnp.mean(payoff**2) - mean**2) / num_paths
     return mean, NORMAL_SCORE * jnp.sqrt(var_mean)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_paths", "n_steps", "scheme",
+                                    "option_type"))
+def price_american_lsmc(
+    key: jax.Array,
+    s0,
+    v0,
+    strike,
+    r_d,
+    r_f,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    t,
+    num_paths: int = 100_000,
+    n_steps: int = 50,
+    scheme: str = "reflection",
+    option_type: str = "put",
+) -> Tuple[jax.Array, jax.Array]:
+    """American option by Longstaff-Schwartz least-squares Monte Carlo —
+    an INDEPENDENT oracle for the PDE's lambda-multiplier LCP (framework
+    extension; the reference has no American MC at all). Returns
+    (price, 95% confidence half-width of the pathwise estimator).
+
+    Forward Euler simulation identical to price_european_call_mc (same
+    correlated increments, V reflection/truncation), storing the (S, V)
+    path panel; then standard backward induction: at each exercise date
+    the continuation value is regressed on the basis
+    [1, S, S^2, V, S*V] over in-the-money paths (weighted 5x5 normal
+    equations — no data-dependent shapes, jit-safe), and exercise is
+    taken where intrinsic > continuation. LSMC's policy is suboptimal,
+    so the estimate is slightly LOW-biased (~1e-2 ATM at these settings).
+    """
+    dtype = jnp.result_type(float)
+    dt = jnp.asarray(t / n_steps, dtype)
+    sqrt_dt = jnp.sqrt(dt)
+    rho_c = jnp.sqrt(1.0 - rho * rho)
+    if scheme not in ("truncation", "reflection"):
+        raise ValueError(f"unknown MC scheme: {scheme!r}")
+
+    def step(carry, key_n):
+        s, v = carry
+        z = jax.random.normal(key_n, (2, num_paths), dtype)
+        dw_v = sqrt_dt * z[0]
+        dw_s = sqrt_dt * (rho * z[0] + rho_c * z[1])
+        sqv = jnp.sqrt(jnp.maximum(v, 0.0))
+        v_new = v + kappa * (eta - v) * dt + sigma * sqv * dw_v
+        if scheme == "reflection":
+            v_new = jnp.abs(v_new)
+        s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
+        return (s_new, v_new), (s_new, v_new)
+
+    keys = jax.random.split(key, n_steps)
+    s_init = jnp.full((num_paths,), s0, dtype)
+    v_init = jnp.full((num_paths,), v0, dtype)
+    _, (s_path, v_path) = lax.scan(step, (s_init, v_init), keys)
+    # panels [n_steps, paths]: states AFTER steps 1..n_steps
+
+    disc = jnp.exp(-r_d * dt)
+
+    def exercise_value(s):
+        return jnp.maximum(
+            operators.intrinsic_value(s, strike, option_type), 0.0)
+
+    # terminal cashflow (per path, valued AT maturity)
+    cf = exercise_value(s_path[-1])
+
+    def backward(cf_next, panel):
+        s, v = panel
+        y = disc * cf_next                 # continuation, valued at this step
+        ex = exercise_value(s)
+        itm = (ex > 0.0).astype(dtype)
+        # normalized features (s/K ~ O(1)) keep the Gram matrix
+        # well-scaled — raw S/S^2 terms put ~1e13 on the diagonal and any
+        # usable ridge then swamps the low-order coefficients
+        sn = s / strike
+        x = jnp.stack([jnp.ones_like(sn), sn, sn * sn, v, sn * v])
+        xw = x * itm[None, :]
+        gram = xw @ x.T                    # [5, 5]
+        rhs = xw @ y                       # [5]
+        # tiny ridge only guards degenerate panels (few ITM paths)
+        beta = jnp.linalg.solve(
+            gram + 1e-9 * num_paths * jnp.eye(5, dtype=dtype), rhs)
+        cont = beta @ x
+        take = (itm > 0.0) & (ex > cont)
+        cf_here = jnp.where(take, ex, y)
+        return cf_here, None
+
+    # steps n_steps-1 .. 1 (no exercise at t=0 beyond the European floor)
+    panels = (s_path[:-1][::-1], v_path[:-1][::-1])
+    cf, _ = lax.scan(backward, cf, panels)
+    pay0 = disc * cf                       # discount the final step to t=0
+    mean = jnp.mean(pay0)
+    var_mean = (jnp.mean(pay0**2) - mean**2) / num_paths
+    # immediate exercise at t=0 floors the price at intrinsic
+    mean = jnp.maximum(mean, exercise_value(jnp.asarray(s0, dtype)))
+    return mean, NORMAL_SCORE * jnp.sqrt(var_mean)

@@ -52,3 +52,58 @@ def test_mc_matches_pde_reference(params):
         p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=60_000)
     assert abs(float(price) - 8.8943383103218502) < max(4 * float(ci), 0.15)
     assert 0.0 < float(ci) < 0.2
+
+
+def test_lsmc_american_put_matches_pde(params):
+    """Longstaff-Schwartz MC — a fully independent American pricer —
+    agrees with the PDE's lambda-multiplier LCP American put (the
+    extension has no upstream golden; this is its external oracle).
+    Tolerance = MC half-width + Euler bias + LSMC policy bias."""
+    import jax
+
+    from heston_tpu.config import GridSpec, SolverConfig
+    from heston_tpu.models import douglas, mc
+
+    price, half = mc.price_american_lsmc(
+        jax.random.PRNGKey(0), 100.0, params.v0, 100.0, params.r_d,
+        params.r_f, params.kappa, params.eta, params.sigma, params.rho,
+        1.0, num_paths=60_000, n_steps=50)
+    pde = float(douglas.price_option(
+        GridSpec(m1=100, m2=50), SolverConfig(n_steps=80), 100.0, 100.0,
+        params.kappa, params.eta, params.sigma, params.rho, params.v0,
+        params.r_d, params.r_f, american=True, option_type="put"))
+    assert abs(float(price) - pde) < 2.0 * float(half) + 0.08, (
+        float(price), float(half), pde)
+
+
+def test_lsmc_american_call_equals_european(params):
+    """No dividends, r_f = 0: early exercise of a call is never optimal,
+    so the LSMC American call must track the European CF price (low bias
+    from the suboptimal policy + Euler only)."""
+    import jax
+
+    from heston_tpu.models import heston_cf, mc
+
+    price, half = mc.price_american_lsmc(
+        jax.random.PRNGKey(3), 100.0, params.v0, 100.0, params.r_d,
+        params.r_f, params.kappa, params.eta, params.sigma, params.rho,
+        1.0, num_paths=60_000, n_steps=50, option_type="call")
+    euro = float(heston_cf.call_price(
+        100.0, 100.0, params.v0, params.kappa, params.eta, params.sigma,
+        params.rho, params.r_d, 1.0))
+    assert euro - 2.0 * float(half) - 0.15 < float(price) < euro \
+        + 2.0 * float(half) + 0.05, (float(price), euro)
+
+
+def test_lsmc_deep_itm_put_is_intrinsic(params):
+    """Deep-ITM American put: immediate exercise dominates -> intrinsic."""
+    import jax
+
+    from heston_tpu.models import mc
+
+    price, _ = mc.price_american_lsmc(
+        jax.random.PRNGKey(2), 100.0, params.v0, 130.0, params.r_d,
+        params.r_f, params.kappa, params.eta, params.sigma, params.rho,
+        1.0, num_paths=20_000, n_steps=50)
+    assert float(price) >= 30.0 - 1e-9
+    assert float(price) < 31.5
