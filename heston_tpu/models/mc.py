@@ -34,9 +34,32 @@ def feller_condition(kappa, eta, sigma) -> bool:
     return 2.0 * kappa * eta > sigma * sigma
 
 
+def _dividend_jumps(dividends, t, n_steps: int):
+    """Per-calendar-step (mult, sub) arrays folding the schedule's
+    discrete jumps s -> s*(1-pct) - amount.
+
+    The schedule's dates are TIME-TO-MATURITY (the PDE applies the event
+    before backward step n = floor(date/dt), config.events_for_step), so
+    in calendar time the jump lands after forward step m = n_steps - n.
+    Same-step events compose in date order."""
+    import numpy as np
+
+    mult = np.ones(n_steps)
+    sub = np.zeros(n_steps)
+    if dividends is not None and len(dividends) > 0:
+        dt = t / n_steps
+        for n in range(1, n_steps + 1):
+            for amt, pct in dividends.events_for_step(n, dt):
+                m = n_steps - n
+                if 0 <= m < n_steps:
+                    mult[m] *= (1.0 - pct)
+                    sub[m] = sub[m] * (1.0 - pct) + amt
+    return jnp.asarray(mult), jnp.asarray(sub)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type"))
+                                    "option_type", "dividends", "t"))
 def price_european_call_mc(
     key: jax.Array,
     s0,
@@ -53,6 +76,7 @@ def price_european_call_mc(
     n_steps: int = N_STEPS_PER_YEAR,
     scheme: str = "truncation",
     option_type: str = "call",
+    dividends=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (price, 95% confidence half-width).
 
@@ -63,15 +87,20 @@ def price_european_call_mc(
     disabled/broken (returns zeros, ref: src/MC_hes.cpp:102-156); this one
     works.
     option_type="put" is a framework extension (the reference simulates
-    calls only) — same paths, put payoff."""
+    calls only) — same paths, put payoff. `dividends`: discrete-dividend
+    jumps s -> s*(1-pct) - cash applied on-path at the schedule's
+    calendar times (framework extension; validates the PDE dividend
+    goldens independently)."""
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     sqrt_dt = jnp.sqrt(dt)
     rho_c = jnp.sqrt(1.0 - rho * rho)
     if scheme not in ("truncation", "reflection"):
         raise ValueError(f"unknown MC scheme: {scheme!r}")
+    mult, sub = _dividend_jumps(dividends, t, n_steps)
 
-    def step(carry, key_n):
+    def step(carry, xs):
+        key_n, m_i, a_i = xs
         s, v = carry
         z = jax.random.normal(key_n, (2, num_paths), dtype)
         dw_v = sqrt_dt * z[0]
@@ -81,12 +110,13 @@ def price_european_call_mc(
         if scheme == "reflection":
             v_new = jnp.abs(v_new)
         s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
+        s_new = jnp.maximum(s_new * m_i - a_i, 0.0)
         return (s_new, v_new), None
 
     keys = jax.random.split(key, n_steps)
     s_init = jnp.full((num_paths,), s0, dtype)
     v_init = jnp.full((num_paths,), v0, dtype)
-    (s_fin, _), _ = lax.scan(step, (s_init, v_init), keys)
+    (s_fin, _), _ = lax.scan(step, (s_init, v_init), (keys, mult, sub))
 
     disc = jnp.exp(-r_d * t)
     intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
@@ -100,7 +130,7 @@ def price_european_call_mc(
 
 @functools.partial(jax.jit,
                    static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type"))
+                                    "option_type", "dividends", "t"))
 def price_american_lsmc(
     key: jax.Array,
     s0,
@@ -117,6 +147,7 @@ def price_american_lsmc(
     n_steps: int = 50,
     scheme: str = "reflection",
     option_type: str = "put",
+    dividends=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """American option by Longstaff-Schwartz least-squares Monte Carlo —
     an INDEPENDENT oracle for the PDE's lambda-multiplier LCP (framework
@@ -138,8 +169,10 @@ def price_american_lsmc(
     rho_c = jnp.sqrt(1.0 - rho * rho)
     if scheme not in ("truncation", "reflection"):
         raise ValueError(f"unknown MC scheme: {scheme!r}")
+    mult, sub = _dividend_jumps(dividends, t, n_steps)
 
-    def step(carry, key_n):
+    def step(carry, xs):
+        key_n, m_i, a_i = xs
         s, v = carry
         z = jax.random.normal(key_n, (2, num_paths), dtype)
         dw_v = sqrt_dt * z[0]
@@ -149,12 +182,14 @@ def price_american_lsmc(
         if scheme == "reflection":
             v_new = jnp.abs(v_new)
         s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
+        s_new = jnp.maximum(s_new * m_i - a_i, 0.0)
         return (s_new, v_new), (s_new, v_new)
 
     keys = jax.random.split(key, n_steps)
     s_init = jnp.full((num_paths,), s0, dtype)
     v_init = jnp.full((num_paths,), v0, dtype)
-    _, (s_path, v_path) = lax.scan(step, (s_init, v_init), keys)
+    _, (s_path, v_path) = lax.scan(step, (s_init, v_init),
+                                   (keys, mult, sub))
     # panels [n_steps, paths]: states AFTER steps 1..n_steps
 
     disc = jnp.exp(-r_d * dt)

@@ -4,6 +4,7 @@ comparisons, ref: src/bs.cpp:45-55, src/MC_hes.cpp:165-198)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from heston_tpu.config import GridSpec, SolverConfig
 from heston_tpu.models import bs, mc
@@ -107,3 +108,43 @@ def test_lsmc_deep_itm_put_is_intrinsic(params):
         1.0, num_paths=20_000, n_steps=50)
     assert float(price) >= 30.0 - 1e-9
     assert float(price) < 31.5
+
+
+@pytest.mark.slow
+def test_mc_euro_dividend_golden(params):
+    """On-path dividend jumps: MC reproduces the reference's
+    European-dividend golden 3.839290124997349 (src/solver.cpp:834)
+    within its confidence band + Euler bias."""
+    import jax
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.models import mc
+
+    p, h = mc.price_european_call_mc(
+        jax.random.PRNGKey(0), 100.0, params.v0, 100.0, params.r_d,
+        params.r_f, params.kappa, params.eta, params.sigma, params.rho,
+        1.0, num_paths=200_000, n_steps=400, scheme="reflection",
+        dividends=GOLDEN_DIVIDENDS)
+    assert abs(float(p) - 3.839290124997349) < 2.0 * float(h) + 0.03, (
+        float(p), float(h))
+
+
+@pytest.mark.slow
+def test_lsmc_american_dividend_golden(params):
+    """FULLY INDEPENDENT confirmation of the reference's
+    American-dividend golden 5.285130942409008 (src/solver.cpp:1091) —
+    the constant an earlier revision wrongly rejected: Longstaff-Schwartz
+    MC (different algorithm, different discretization, no shared code
+    with the PDE) lands within one standard error of it."""
+    import jax
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.models import mc
+
+    p, h = mc.price_american_lsmc(
+        jax.random.PRNGKey(0), 100.0, params.v0, 100.0, params.r_d,
+        params.r_f, params.kappa, params.eta, params.sigma, params.rho,
+        1.0, num_paths=150_000, n_steps=100, option_type="call",
+        dividends=GOLDEN_DIVIDENDS)
+    assert abs(float(p) - 5.285130942409008) < 2.0 * float(h) + 0.03, (
+        float(p), float(h))
