@@ -114,6 +114,21 @@ def main(argv=None):
                    choices=["none", "golden", "calib"])
     p.add_argument("--option-type", default="call", choices=["call", "put"])
 
+    p = sub.add_parser("mc", help="Monte-Carlo price (European, or "
+                                  "American via Longstaff-Schwartz)")
+    _add_common(p)
+    p.add_argument("--strike", type=float, default=100.0)
+    p.add_argument("--american", action="store_true")
+    p.add_argument("--dividends", default="none",
+                   choices=["none", "golden", "calib"])
+    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--paths", type=int, default=100_000)
+    p.add_argument("--mc-steps", type=int, default=None,
+                   help="Euler steps (default: 350/yr European, 50 LSMC)")
+    p.add_argument("--scheme-mc", default="reflection",
+                   choices=["truncation", "reflection"])
+    p.add_argument("--seed", type=int, default=0)
+
     p = sub.add_parser("risk", help="book-level risk (price/delta/gamma/"
                                     "theta per option) in one batched solve")
     _add_common(p)
@@ -227,6 +242,36 @@ def main(argv=None):
         out["gamma"] = risk["gamma"][0]
         out["theta"] = risk["theta"][0]
         print(json.dumps({k: float(v) for k, v in out.items()}))
+
+    elif args.cmd == "mc":
+        import jax as _jax
+
+        from heston_tpu.models import mc as mc_mod
+
+        divs = _parse_dividends(args.dividends)
+        key = _jax.random.PRNGKey(args.seed)
+        margs = (key, args.spot, params.v0, args.strike, params.r_d,
+                 params.r_f, params.kappa, params.eta, params.sigma,
+                 params.rho, args.maturity)
+        if args.american:
+            n = args.mc_steps or 50
+            price, half = mc_mod.price_american_lsmc(
+                *margs, num_paths=args.paths, n_steps=n,
+                scheme=args.scheme_mc, option_type=args.option_type,
+                dividends=divs)
+        else:
+            n = args.mc_steps or max(1, int(
+                mc_mod.N_STEPS_PER_YEAR * args.maturity))
+            price, half = mc_mod.price_european_call_mc(
+                *margs, num_paths=args.paths, n_steps=n,
+                scheme=args.scheme_mc, option_type=args.option_type,
+                dividends=divs)
+        print(json.dumps({
+            "strike": args.strike, "price": float(price),
+            "ci95_half_width": float(half), "paths": args.paths,
+            "n_steps": n, "american": args.american,
+            "option_type": args.option_type,
+        }))
 
     elif args.cmd == "risk":
         import dataclasses

@@ -66,3 +66,13 @@ def test_cli_risk(capsys):
     assert deltas[0] > deltas[1] > deltas[2] > 0   # call deltas fall
     assert all(r["gamma"] > 0 and r["theta"] < 0 for r in rows)
     assert all("vega_v0" in r for r in rows)
+
+
+def test_cli_mc(capsys):
+    rc = cli.main(["mc", "--strike", "100", "--paths", "20000",
+                   "--mc-steps", "50", "--american",
+                   "--option-type", "put"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert out["price"] > 5.5 and out["price"] < 8.0
+    assert out["ci95_half_width"] > 0
