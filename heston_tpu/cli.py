@@ -253,15 +253,18 @@ def main(argv=None):
         margs = (key, args.spot, params.v0, args.strike, params.r_d,
                  params.r_f, params.kappa, params.eta, params.sigma,
                  params.rho, args.maturity)
+        if args.mc_steps is not None and args.mc_steps < 1:
+            raise SystemExit("--mc-steps must be >= 1")
         if args.american:
-            n = args.mc_steps or 50
+            n = args.mc_steps if args.mc_steps is not None else 50
             price, half = mc_mod.price_american_lsmc(
                 *margs, num_paths=args.paths, n_steps=n,
                 scheme=args.scheme_mc, option_type=args.option_type,
                 dividends=divs)
         else:
-            n = args.mc_steps or max(1, int(
-                mc_mod.N_STEPS_PER_YEAR * args.maturity))
+            n = (args.mc_steps if args.mc_steps is not None
+                 else max(1, int(mc_mod.N_STEPS_PER_YEAR
+                                 * args.maturity)))
             price, half = mc_mod.price_european_call_mc(
                 *margs, num_paths=args.paths, n_steps=n,
                 scheme=args.scheme_mc, option_type=args.option_type,

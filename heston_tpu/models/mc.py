@@ -12,6 +12,11 @@ Scheme (matching the reference exactly up to the RNG):
     S += (r_d - r_f) S dt + S sqrt(max(V,0)) dW_s
 350 steps per year (ref: src/MC_hes.hpp N_DAYS_PER_YEAR), discounted payoff
 mean + 95% confidence half-width (NORMAL_SCORE = 1.96).
+
+Framework extensions beyond the reference: put payoffs, on-path discrete
+dividend jumps (independently validates the PDE dividend goldens), and a
+Longstaff-Schwartz American pricer (`price_american_lsmc`) — the external
+oracle for the PDE's lambda-multiplier LCP.
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from __future__ import annotations
 import functools
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -35,31 +41,79 @@ def feller_condition(kappa, eta, sigma) -> bool:
 
 
 def _dividend_jumps(dividends, t, n_steps: int):
-    """Per-calendar-step (mult, sub) arrays folding the schedule's
-    discrete jumps s -> s*(1-pct) - amount.
+    """Per-calendar-step (mult, sub, has_event) arrays folding the
+    schedule's discrete jumps s -> s*(1-pct) - amount. Computed HOST-SIDE
+    (requires a concrete maturity when a schedule is given — the step
+    placement is Python arithmetic; without dividends `t` may stay
+    traced).
 
     The schedule's dates are TIME-TO-MATURITY (the PDE applies the event
     before backward step n = floor(date/dt), config.events_for_step), so
-    in calendar time the jump lands after forward step m = n_steps - n.
-    Same-step events compose in date order."""
-    import numpy as np
-
+    in calendar time the jump lands after forward step m = n_steps - n
+    (0-based scan index). Same-step events compose in CALENDAR order =
+    reverse date order — matching the PDE's sequential surface re-maps,
+    whose U0(f_d1(f_d2(s))) composition corresponds to the larger-TTM
+    (earlier-calendar) event hitting the forward spot path first."""
     mult = np.ones(n_steps)
     sub = np.zeros(n_steps)
+    has = np.zeros(n_steps, dtype=bool)
     if dividends is not None and len(dividends) > 0:
+        try:
+            t = float(t)
+        except TypeError as exc:
+            raise TypeError(
+                "Monte-Carlo dividend schedules need a concrete maturity "
+                "t (the calendar step placement is host arithmetic); got "
+                f"a traced value: {exc}") from exc
         dt = t / n_steps
         for n in range(1, n_steps + 1):
-            for amt, pct in dividends.events_for_step(n, dt):
-                m = n_steps - n
-                if 0 <= m < n_steps:
-                    mult[m] *= (1.0 - pct)
-                    sub[m] = sub[m] * (1.0 - pct) + amt
-    return jnp.asarray(mult), jnp.asarray(sub)
+            m = n_steps - n
+            for amt, pct in reversed(dividends.events_for_step(n, dt)):
+                # compose "apply this event AFTER the current composite"
+                mult[m] *= (1.0 - pct)
+                sub[m] = sub[m] * (1.0 - pct) + amt
+                has[m] = True
+    return jnp.asarray(mult), jnp.asarray(sub), jnp.asarray(has)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type", "dividends", "t"))
+def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
+              mult, sub, has_ev, num_paths: int, n_steps: int,
+              scheme: str, keep_panel: bool):
+    """Shared forward Euler simulator (reference dynamics + optional
+    dividend jumps). Returns the terminal (s, v) — or the full
+    [n_steps, paths] panels when keep_panel (for LSMC). The jump+clamp is
+    applied ONLY on event steps, so without dividends the dynamics are
+    bit-identical to the reference's (no absorbing barrier at 0; Euler
+    paths that cross zero keep evolving exactly as upstream)."""
+    dtype = jnp.result_type(float)
+    dt = jnp.asarray(t / n_steps, dtype)
+    sqrt_dt = jnp.sqrt(dt)
+    rho_c = jnp.sqrt(1.0 - rho * rho)
+    if scheme not in ("truncation", "reflection"):
+        raise ValueError(f"unknown MC scheme: {scheme!r}")
+
+    def step(carry, xs):
+        key_n, m_i, a_i, h_i = xs
+        s, v = carry
+        z = jax.random.normal(key_n, (2, num_paths), dtype)
+        dw_v = sqrt_dt * z[0]
+        dw_s = sqrt_dt * (rho * z[0] + rho_c * z[1])
+        sqv = jnp.sqrt(jnp.maximum(v, 0.0))
+        v_new = v + kappa * (eta - v) * dt + sigma * sqv * dw_v
+        if scheme == "reflection":
+            v_new = jnp.abs(v_new)
+        s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
+        s_new = jnp.where(h_i, jnp.maximum(s_new * m_i - a_i, 0.0), s_new)
+        return (s_new, v_new), ((s_new, v_new) if keep_panel else None)
+
+    keys = jax.random.split(key, n_steps)
+    s_init = jnp.full((num_paths,), s0, dtype)
+    v_init = jnp.full((num_paths,), v0, dtype)
+    carry, panel = lax.scan(step, (s_init, v_init),
+                            (keys, mult, sub, has_ev))
+    return (panel if keep_panel else carry)
+
+
 def price_european_call_mc(
     key: jax.Array,
     s0,
@@ -89,35 +143,24 @@ def price_european_call_mc(
     option_type="put" is a framework extension (the reference simulates
     calls only) — same paths, put payoff. `dividends`: discrete-dividend
     jumps s -> s*(1-pct) - cash applied on-path at the schedule's
-    calendar times (framework extension; validates the PDE dividend
-    goldens independently)."""
-    dtype = jnp.result_type(float)
-    dt = jnp.asarray(t / n_steps, dtype)
-    sqrt_dt = jnp.sqrt(dt)
-    rho_c = jnp.sqrt(1.0 - rho * rho)
-    if scheme not in ("truncation", "reflection"):
-        raise ValueError(f"unknown MC scheme: {scheme!r}")
-    mult, sub = _dividend_jumps(dividends, t, n_steps)
+    calendar times (requires a concrete `t`); validates the PDE dividend
+    goldens independently."""
+    mult, sub, has_ev = _dividend_jumps(dividends, t, n_steps)
+    return _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma,
+                         rho, t, mult, sub, has_ev,
+                         num_paths=num_paths, n_steps=n_steps,
+                         scheme=scheme, option_type=option_type)
 
-    def step(carry, xs):
-        key_n, m_i, a_i = xs
-        s, v = carry
-        z = jax.random.normal(key_n, (2, num_paths), dtype)
-        dw_v = sqrt_dt * z[0]
-        dw_s = sqrt_dt * (rho * z[0] + rho_c * z[1])
-        sqv = jnp.sqrt(jnp.maximum(v, 0.0))
-        v_new = v + kappa * (eta - v) * dt + sigma * sqv * dw_v
-        if scheme == "reflection":
-            v_new = jnp.abs(v_new)
-        s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
-        s_new = jnp.maximum(s_new * m_i - a_i, 0.0)
-        return (s_new, v_new), None
 
-    keys = jax.random.split(key, n_steps)
-    s_init = jnp.full((num_paths,), s0, dtype)
-    v_init = jnp.full((num_paths,), v0, dtype)
-    (s_fin, _), _ = lax.scan(step, (s_init, v_init), (keys, mult, sub))
-
+@functools.partial(jax.jit,
+                   static_argnames=("num_paths", "n_steps", "scheme",
+                                    "option_type"))
+def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
+                  mult, sub, has_ev, num_paths: int, n_steps: int,
+                  scheme: str, option_type: str):
+    s_fin, _ = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
+                         mult, sub, has_ev, num_paths, n_steps, scheme,
+                         keep_panel=False)
     disc = jnp.exp(-r_d * t)
     intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
     payoff = disc * jnp.maximum(intrinsic, 0.0)
@@ -128,9 +171,6 @@ def price_european_call_mc(
     return mean, NORMAL_SCORE * jnp.sqrt(var_mean)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type", "dividends", "t"))
 def price_american_lsmc(
     key: jax.Array,
     s0,
@@ -152,44 +192,37 @@ def price_american_lsmc(
     """American option by Longstaff-Schwartz least-squares Monte Carlo —
     an INDEPENDENT oracle for the PDE's lambda-multiplier LCP (framework
     extension; the reference has no American MC at all). Returns
-    (price, 95% confidence half-width of the pathwise estimator).
+    (price, 95% confidence half-width of the pathwise estimator; 0 when
+    the immediate-exercise floor binds, since the returned price is then
+    the deterministic intrinsic value).
 
-    Forward Euler simulation identical to price_european_call_mc (same
-    correlated increments, V reflection/truncation), storing the (S, V)
-    path panel; then standard backward induction: at each exercise date
-    the continuation value is regressed on the basis
-    [1, S, S^2, V, S*V] over in-the-money paths (weighted 5x5 normal
-    equations — no data-dependent shapes, jit-safe), and exercise is
-    taken where intrinsic > continuation. LSMC's policy is suboptimal,
+    Forward Euler simulation shared with price_european_call_mc (same
+    correlated increments, V reflection/truncation, dividend jumps),
+    storing the (S, V) path panel; then standard backward induction: at
+    each exercise date the continuation value is regressed on the basis
+    [1, S/K, (S/K)^2, V, (S/K)*V] over in-the-money paths (weighted 5x5
+    normal equations — no data-dependent shapes, jit-safe), and exercise
+    is taken where intrinsic > continuation. LSMC's policy is suboptimal,
     so the estimate is slightly LOW-biased (~1e-2 ATM at these settings).
     """
+    mult, sub, has_ev = _dividend_jumps(dividends, t, n_steps)
+    return _lsmc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma,
+                      rho, t, mult, sub, has_ev,
+                      num_paths=num_paths, n_steps=n_steps, scheme=scheme,
+                      option_type=option_type)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_paths", "n_steps", "scheme",
+                                    "option_type"))
+def _lsmc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
+               mult, sub, has_ev, num_paths: int, n_steps: int,
+               scheme: str, option_type: str):
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
-    sqrt_dt = jnp.sqrt(dt)
-    rho_c = jnp.sqrt(1.0 - rho * rho)
-    if scheme not in ("truncation", "reflection"):
-        raise ValueError(f"unknown MC scheme: {scheme!r}")
-    mult, sub = _dividend_jumps(dividends, t, n_steps)
-
-    def step(carry, xs):
-        key_n, m_i, a_i = xs
-        s, v = carry
-        z = jax.random.normal(key_n, (2, num_paths), dtype)
-        dw_v = sqrt_dt * z[0]
-        dw_s = sqrt_dt * (rho * z[0] + rho_c * z[1])
-        sqv = jnp.sqrt(jnp.maximum(v, 0.0))
-        v_new = v + kappa * (eta - v) * dt + sigma * sqv * dw_v
-        if scheme == "reflection":
-            v_new = jnp.abs(v_new)
-        s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
-        s_new = jnp.maximum(s_new * m_i - a_i, 0.0)
-        return (s_new, v_new), (s_new, v_new)
-
-    keys = jax.random.split(key, n_steps)
-    s_init = jnp.full((num_paths,), s0, dtype)
-    v_init = jnp.full((num_paths,), v0, dtype)
-    _, (s_path, v_path) = lax.scan(step, (s_init, v_init),
-                                   (keys, mult, sub))
+    s_path, v_path = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma,
+                               rho, t, mult, sub, has_ev, num_paths,
+                               n_steps, scheme, keep_panel=True)
     # panels [n_steps, paths]: states AFTER steps 1..n_steps
 
     disc = jnp.exp(-r_d * dt)
@@ -228,6 +261,9 @@ def price_american_lsmc(
     pay0 = disc * cf                       # discount the final step to t=0
     mean = jnp.mean(pay0)
     var_mean = (jnp.mean(pay0**2) - mean**2) / num_paths
-    # immediate exercise at t=0 floors the price at intrinsic
-    mean = jnp.maximum(mean, exercise_value(jnp.asarray(s0, dtype)))
-    return mean, NORMAL_SCORE * jnp.sqrt(var_mean)
+    half = NORMAL_SCORE * jnp.sqrt(var_mean)
+    # immediate exercise at t=0 floors the price at intrinsic; the floored
+    # value is deterministic, so the CI collapses with it
+    floor = exercise_value(jnp.asarray(s0, dtype))
+    return (jnp.maximum(mean, floor),
+            jnp.where(mean >= floor, half, 0.0))
