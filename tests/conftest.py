@@ -31,6 +31,21 @@ def params():
     return HestonParams()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache_growth():
+    """Clear JAX's compiled-executable caches after every test module.
+
+    With the full suite's accumulation (~170 tests, hundreds of compiled
+    executables in one process) XLA:CPU's backend_compile segfaults
+    DETERMINISTICALLY around test 160 — reproduced solo with plentiful
+    host RAM, while any module subset passes, i.e. a compiler-state
+    volume bug, not OOM and not our code. Dropping the caches at module
+    teardown bounds the accumulation; the cost is re-jitting shared
+    helpers per module."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def small_spec():
     return GridSpec(m1=8, m2=6)
