@@ -201,15 +201,16 @@ def batch_greeks(
     ks = jnp.asarray(strikes)
     risk = functools.partial(_surface_risk, spec, solver, b_rate)
     if fused_do.use_fused(spec, solver):
-        # surfaces from ONE fused-kernel launch; stencil extraction and
-        # the theta operator application are tiny XLA epilogues
-        surf, lam, _, idx_s, idx_v = fused_do.fused_surface_batch(
-            spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-            american=american, dividends=dividends,
-            option_type=option_type)
-        insts = jax.vmap(prepare)(ks)
-        out = jax.vmap(risk)(surf, lam, insts.ops, insts.grid.vec_s,
-                             idx_s, idx_v)
+        # surfaces + the ALREADY-assembled operators from ONE fused
+        # launch (re-running the vmapped assembly here would double the
+        # prep cost); stencil extraction and the theta operator
+        # application are tiny XLA epilogues
+        surf, lam, ops_b, vec_s_b, idx_s, idx_v = (
+            fused_do.fused_surface_batch(
+                spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d,
+                r_f, american=american, dividends=dividends,
+                option_type=option_type))
+        out = jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v)
     else:
         def one(k):
             inst = prepare(k)

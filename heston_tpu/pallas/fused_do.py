@@ -875,7 +875,9 @@ def _chunk_dividend_plan(solver, dividends):
 def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
               r_d, r_f, option_type="call"):
     """Build every kernel input field (batch-last, s-major) plus the
-    extraction indices for a padded strike vector."""
+    extraction indices for a padded strike vector. Also returns the
+    vmapped HestonOperators so surface consumers (fused_surface_batch ->
+    batch_greeks' theta epilogue) don't re-run the whole assembly."""
     (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
                           rho, v0, r_d, r_f, option_type)
@@ -906,7 +908,7 @@ def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
         b1v=tiles1(b1val), b2r=tiles2(b2row),
         vecs=tiles2(vec_s), kk=tiles1(strikes_p),
     )
-    return fields, vec_s, idx_s, idx_v
+    return fields, vec_s, idx_s, idx_v, ops
 
 
 _INV_KEYS = ("a1pl", "a1ql", "a1pd", "a1qd", "a1pu", "a1qu", "vfl",
@@ -1032,7 +1034,7 @@ def fused_price_batch(
     b = strikes.shape[0]
     strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
                                             strict=not interpret)
-    fields, vec_s, idx_s, idx_v = _assemble(
+    fields, vec_s, idx_s, idx_v, _ = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type)
     dtype = fields["u"].dtype
@@ -1057,8 +1059,8 @@ def fused_surface_batch(
 ):
     """Like fused_price_batch but returns the full terminal surfaces
     (u [B, nv, ns]) and American lambda-multiplier surfaces (lam, same
-    shape; zeros for European) plus per-option (vec_s [B, ns], idx_s,
-    idx_v) — the input to book-level risk extraction
+    shape; zeros for European) plus the batched HestonOperators it
+    assembled and per-option (vec_s [B, ns], idx_s, idx_v) — the input to book-level risk extraction
     (models.greeks.batch_greeks), which reads delta/gamma/theta off each
     surface with the discretization's own stencils at fused-kernel
     speed."""
@@ -1067,7 +1069,7 @@ def fused_surface_batch(
     b = strikes.shape[0]
     strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
                                             strict=not interpret)
-    fields, vec_s, idx_s, idx_v = _assemble(
+    fields, vec_s, idx_s, idx_v, ops = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type)
     dtype = fields["u"].dtype
@@ -1076,7 +1078,8 @@ def fused_surface_batch(
                             interpret, unroll, n_tiles, tile, fields,
                             vec_s, option_type=option_type)
     to_bvs = lambda x: jnp.moveaxis(x, -1, 0)[:b].swapaxes(1, 2)
-    return to_bvs(u), to_bvs(lam), vec_s[:b], idx_s[:b], idx_v[:b]
+    ops_b = jax.tree_util.tree_map(lambda x: x[:b], ops)
+    return to_bvs(u), to_bvs(lam), ops_b, vec_s[:b], idx_s[:b], idx_v[:b]
 
 
 def fused_theta_jacobian(
@@ -1109,7 +1112,7 @@ def fused_theta_jacobian(
                                             strict=not interpret)
 
     def prep_tangent_fields(tv):
-        f, vec_s_, idx_s_, idx_v_ = _assemble(
+        f, vec_s_, idx_s_, idx_v_, _ = _assemble(
             spec, solver, strikes_p, s0, tv[0], tv[1], tv[2], tv[3],
             tv[4], r_d, r_f, option_type)
         return (tuple(f[k] for k in _TANGENT_KEYS),

@@ -39,6 +39,14 @@ except AttributeError:  # pragma: no cover
 AXIS = "options"
 
 
+def _auto_jacobian_mode(mode):
+    """None -> "ad" under float32 (an FD bump of 1e-6 is below one price
+    ulp there), "fd" under x64 (reference parity)."""
+    if mode is not None:
+        return mode
+    return "fd" if jax.config.read("jax_enable_x64") else "ad"
+
+
 def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices; the single axis shards the
     option book."""
@@ -71,7 +79,7 @@ def _local_prices(spec, solver, american, dividends, option_type,
 
 
 def _local_jac(spec, solver, american, dividends, eps, option_type,
-               ks, tv, s0, r_d, r_f):
+               jacobian_mode, ks, tv, s0, r_d, r_f):
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
@@ -85,6 +93,18 @@ def _local_jac(spec, solver, american, dividends, eps, option_type,
                 american=american, dividends=dividends,
                 option_type=option_type)
             return jac, base
+    if jacobian_mode == "ad":
+        # exact forward-mode Jacobian without the fused kernel —
+        # MANDATORY in float32, where a 1e-6 FD bump is below one price
+        # ulp and the LM stalls on a quantization-noise Jacobian (the
+        # same defect fixed for the host/device loops this round)
+        def fleet(tv_):
+            return _local_prices(spec, solver, american, dividends,
+                                 option_type, ks, tv_, s0, r_d, r_f)
+
+        base, jvp_fn = jax.linearize(fleet, jnp.asarray(tv))
+        jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=base.dtype)).T
+        return jac, base
     pmat = _bumped_param_matrix(tv, eps)  # (6, 5)
     if _kernel_dispatched(spec, solver):
         # pallas_call has no batching rule for the bump vmap — run the
@@ -123,10 +143,10 @@ def _price_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
 @functools.lru_cache(maxsize=None)
 def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
               american: bool, dividends, eps: float,
-              option_type: str = "call"):
+              option_type: str = "call", jacobian_mode: str = "fd"):
     fn = shard_map(
         functools.partial(_local_jac, spec, solver, american, dividends, eps,
-                          option_type),
+                          option_type, jacobian_mode),
         mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=(P(AXIS), P(AXIS)),
@@ -138,10 +158,11 @@ def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
 @functools.lru_cache(maxsize=None)
 def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
                     american: bool, dividends, eps: float,
-                    option_type: str = "call"):
+                    option_type: str = "call", jacobian_mode: str = "fd"):
     def local(ks, mkt, w, tv, lam_, s0, r_d, r_f):
         jac, base = _local_jac(spec, solver, american, dividends, eps,
-                               option_type, ks, tv, s0, r_d, r_f)
+                               option_type, jacobian_mode,
+                               ks, tv, s0, r_d, r_f)
         resid = (mkt - base) * w
         jac = jac * w[:, None]
         jtj = jax.lax.psum(jac.T @ jac, AXIS)
@@ -203,6 +224,7 @@ def jacobian_normal_eq_sharded(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    jacobian_mode: Optional[str] = None,
 ):
     """One fully-distributed LM linear-algebra step.
 
@@ -217,7 +239,7 @@ def jacobian_normal_eq_sharded(
     dtype = padded_k.dtype
     valid = (jnp.arange(padded_k.shape[0]) < n).astype(dtype)
     fn = _normal_eq_exec(mesh, spec, solver, american, dividends, eps,
-                         option_type)
+                         option_type, _auto_jacobian_mode(jacobian_mode))
     delta, base, sse = fn(
         shard_batch(padded_k, mesh), shard_batch(padded_m, mesh),
         shard_batch(valid, mesh), jnp.asarray(theta_vec, dtype),
@@ -282,12 +304,13 @@ def sharded_pricing_fns(mesh: Mesh):
     that run the PDE fleet sharded over the mesh."""
 
     def jac_fn(spec, solver, strikes, s0, theta_vec, r_d, r_f, eps=1e-6,
-               american=False, dividends=None, option_type="call"):
+               american=False, dividends=None, option_type="call",
+               jacobian_mode=None):
         n_dev = mesh.devices.size
         padded, n = _pad_to(jnp.asarray(strikes), n_dev)
         dtype = padded.dtype
         fn = _jac_exec(mesh, spec, solver, american, dividends, eps,
-                       option_type)
+                       option_type, _auto_jacobian_mode(jacobian_mode))
         jac, base = fn(shard_batch(padded, mesh),
                        jnp.asarray(theta_vec, dtype), jnp.asarray(s0, dtype),
                        jnp.asarray(r_d, dtype), jnp.asarray(r_f, dtype))

@@ -176,8 +176,11 @@ def test_batch_greeks_fused_matches_xla(params, american):
     a = greeks.batch_greeks(SPEC, pal, ks, *args, american=american)
     b = greeks.batch_greeks(SPEC, SOLVER, ks, *args, american=american)
     for key in ("price", "delta", "gamma", "theta"):
+        # 1e-9: the fused path's theta epilogue reuses the PADDED-batch
+        # vmapped assembly (trimmed), which reorders float ops vs the
+        # XLA branch's unpadded build by ~1e-10
         np.testing.assert_allclose(np.asarray(a[key]), np.asarray(b[key]),
-                                   rtol=0, atol=1e-10, err_msg=key)
+                                   rtol=0, atol=1e-9, err_msg=key)
 
 
 def test_american_put_theta_in_exercise_region(params):

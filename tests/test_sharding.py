@@ -133,3 +133,23 @@ def test_sharded_book_greeks_match_single_device(params, mesh):
         np.testing.assert_allclose(np.array(got[key]),
                                    np.array(want[key]), rtol=0,
                                    atol=1e-12, err_msg=key)
+
+
+def test_sharded_ad_jacobian_without_fused_kernel(params, mesh):
+    """jacobian_mode='ad' on the sharded arm (auto-selected under
+    float32, where the FD bump is quantization noise) produces the exact
+    forward-mode Jacobian even when the fused kernel does not dispatch
+    (scan engine)."""
+    from heston_tpu.parallel import sharded_pricing_fns
+
+    jac_fn, _ = sharded_pricing_fns(mesh)
+    strikes = jnp.linspace(90.0, 110.0, 8)
+    tv = _theta(params)
+    jac, base = jac_fn(SPEC, SOLVER, strikes, 100.0, tv,
+                       params.r_d, params.r_f, jacobian_mode="ad")
+    want_jac, want_base = calib.jacobian_and_prices_ad(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f)
+    np.testing.assert_allclose(np.array(base), np.array(want_base),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(jac), np.array(want_jac),
+                               rtol=1e-9, atol=1e-10)
