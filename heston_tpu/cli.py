@@ -114,6 +114,16 @@ def main(argv=None):
                    choices=["none", "golden", "calib"])
     p.add_argument("--option-type", default="call", choices=["call", "put"])
 
+    p = sub.add_parser("iv", help="implied vol(s) from price(s) "
+                                  "(Newton + bisection; escrowed-dividend "
+                                  "spot adjustment)")
+    _add_common(p)
+    p.add_argument("--strikes", type=float, nargs="+", required=True)
+    p.add_argument("--prices", type=float, nargs="+", required=True)
+    p.add_argument("--dividends", default="none",
+                   choices=["none", "golden", "calib"])
+    p.add_argument("--option-type", default="call", choices=["call", "put"])
+
     p = sub.add_parser("mc", help="Monte-Carlo price (European, or "
                                   "American via Longstaff-Schwartz)")
     _add_common(p)
@@ -242,6 +252,29 @@ def main(argv=None):
         out["gamma"] = risk["gamma"][0]
         out["theta"] = risk["theta"][0]
         print(json.dumps({k: float(v) for k, v in out.items()}))
+
+    elif args.cmd == "iv":
+        from heston_tpu.models import bs
+
+        if len(args.strikes) != len(args.prices):
+            raise SystemExit("--strikes and --prices must match in length")
+        divs = _parse_dividends(args.dividends)
+        s_iv = args.spot
+        if divs is not None:
+            s_iv = float(bs.escrowed_spot(
+                args.spot, args.maturity, params.r_d, divs.dates,
+                divs.amounts, divs.percentages))
+        prices = jnp.asarray(args.prices)
+        if args.option_type == "put":
+            prices = bs.put_to_call_parity(
+                prices, s_iv, jnp.asarray(args.strikes), params.r_d,
+                args.maturity)
+        ivs = np.asarray(bs.implied_vol_chain(
+            prices, s_iv, jnp.asarray(args.strikes), params.r_d,
+            args.maturity))
+        for k, pr, v in zip(args.strikes, args.prices, ivs):
+            print(json.dumps({"strike": k, "price": pr,
+                              "implied_vol": float(v)}))
 
     elif args.cmd == "mc":
         import jax as _jax

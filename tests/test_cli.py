@@ -76,3 +76,20 @@ def test_cli_mc(capsys):
     out = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert out["price"] > 5.5 and out["price"] < 8.0
     assert out["ci95_half_width"] > 0
+
+
+def test_cli_iv(capsys):
+    """Round-trip: BS prices at flat vol 0.2 invert back (calls and puts)."""
+    from heston_tpu.models import bs
+    import jax.numpy as jnp
+
+    for ot in ("call", "put"):
+        prices = np.asarray(bs.generate_market_data(
+            100.0, 1.0, 0.025, jnp.array([90.0, 110.0]), option_type=ot))
+        rc = cli.main(["iv", "--strikes", "90", "110",
+                       "--prices", str(prices[0]), str(prices[1]),
+                       "--option-type", ot])
+        assert rc == 0
+        rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        for r in rows:
+            assert abs(r["implied_vol"] - 0.2) < 1e-6, (ot, r)
