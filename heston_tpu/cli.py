@@ -172,6 +172,13 @@ def main(argv=None):
     if getattr(args, "float64", False):
         jax.config.update("jax_enable_x64", True)
 
+    # NOTE: the persistent XLA compile cache is deliberately NOT enabled
+    # here (bench.py enables it for its own executables, which load
+    # fine). On this axon/TPU stack, cache-HIT deserialization of some
+    # executables (measured: the implied-vol nested-while_loop chain)
+    # WEDGES the backend — miss compiles in ~80 s, hit hangs forever
+    # (docs/DESIGN.md §5.7). Cold compiles are slow but always finish.
+
     import jax.numpy as jnp
     import numpy as np
 
