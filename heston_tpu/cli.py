@@ -344,6 +344,9 @@ def main(argv=None):
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)
+        # everything below MUST run under one jit: these library fns are
+        # plain traced code, and eager lax.scan/fori_loop through the TPU
+        # tunnel dispatches per-op (minutes instead of seconds)
         if args.track_lambda:
             from heston_tpu.ops import operators
 
@@ -353,19 +356,21 @@ def main(argv=None):
                 params.r_d, params.r_f, args.option_type)
             b_rate = operators.boundary_rate(params.r_d, params.r_f,
                                              args.option_type)
-            surfaces, lambdas = douglas.solve_with_tracking(
-                inst, solver, b_rate, american=args.american,
-                dividends=divs, option_type=args.option_type)
+            surfaces, lambdas = jax.jit(
+                lambda: douglas.solve_with_tracking(
+                    inst, solver, b_rate, american=args.american,
+                    dividends=divs, option_type=args.option_type))()
             u, grid = surfaces[-1], inst.grid
             lam_path = hio.export_surface(
                 str(args.csv) + ".lambda.csv", grid,
                 np.asarray(lambdas[-1]),
                 metadata={"strike": args.strike, "field": "lambda"})
         else:
-            u, grid = douglas.price_surface(
-                spec, solver, args.strike, args.spot, params,
-                american=args.american, dividends=divs,
-                option_type=args.option_type)
+            u, grid = jax.jit(
+                lambda: douglas.price_surface(
+                    spec, solver, args.strike, args.spot, params,
+                    american=args.american, dividends=divs,
+                    option_type=args.option_type))()
             lam_path = None
         path = hio.export_surface(args.csv, grid, np.asarray(u),
                                   metadata={"strike": args.strike,
