@@ -135,8 +135,13 @@ def main(argv=None):
     p.add_argument("--paths", type=int, default=100_000)
     p.add_argument("--mc-steps", type=int, default=None,
                    help="Euler steps (default: 350/yr European, 50 LSMC)")
-    p.add_argument("--scheme-mc", default="reflection",
-                   choices=["truncation", "reflection"])
+    p.add_argument("--scheme-mc", default="auto",
+                   choices=["auto", "truncation", "reflection"],
+                   help="variance scheme; auto = Feller-driven dispatch "
+                        "(ref MC_hes.cpp:18-20)")
+    p.add_argument("--antithetic", action="store_true",
+                   help="antithetic variates (halves the CI width per "
+                        "path budget)")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("risk", help="book-level risk (price/delta/gamma/"
@@ -300,7 +305,7 @@ def main(argv=None):
             price, half = mc_mod.price_american_lsmc(
                 *margs, num_paths=args.paths, n_steps=n,
                 scheme=args.scheme_mc, option_type=args.option_type,
-                dividends=divs)
+                dividends=divs, antithetic=args.antithetic)
         else:
             n = (args.mc_steps if args.mc_steps is not None
                  else max(1, int(mc_mod.N_STEPS_PER_YEAR
@@ -308,7 +313,7 @@ def main(argv=None):
             price, half = mc_mod.price_european_call_mc(
                 *margs, num_paths=args.paths, n_steps=n,
                 scheme=args.scheme_mc, option_type=args.option_type,
-                dividends=divs)
+                dividends=divs, antithetic=args.antithetic)
         print(json.dumps({
             "strike": args.strike, "price": float(price),
             "ci95_half_width": float(half), "paths": args.paths,

@@ -40,6 +40,25 @@ def feller_condition(kappa, eta, sigma) -> bool:
     return 2.0 * kappa * eta > sigma * sigma
 
 
+def select_scheme(kappa, eta, sigma) -> str:
+    """Feller-driven variance-scheme dispatch, the reference's automatic
+    selection (ref: src/MC_hes.cpp:18-20, 102): the standard truncation
+    simulator where 2*kappa*eta > sigma^2 keeps V positive in
+    distribution, the reflection variant where the condition fails and
+    the variance process piles mass at 0. Requires CONCRETE parameters
+    (the choice is a host-side branch); pass scheme= explicitly from
+    inside traced code."""
+    try:
+        return ("truncation"
+                if feller_condition(float(kappa), float(eta), float(sigma))
+                else "reflection")
+    except TypeError as exc:
+        raise TypeError(
+            "scheme='auto' needs concrete kappa/eta/sigma (the Feller "
+            "dispatch is a host-side branch); pass scheme='truncation' or "
+            f"'reflection' explicitly from traced code: {exc}") from exc
+
+
 def _dividend_jumps(dividends, t, n_steps: int):
     """Per-calendar-step (mult, sub, has_event) arrays folding the
     schedule's discrete jumps s -> s*(1-pct) - amount. Computed HOST-SIDE
@@ -78,24 +97,34 @@ def _dividend_jumps(dividends, t, n_steps: int):
 
 def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
               mult, sub, has_ev, num_paths: int, n_steps: int,
-              scheme: str, keep_panel: bool):
+              scheme: str, keep_panel: bool, antithetic: bool = False):
     """Shared forward Euler simulator (reference dynamics + optional
     dividend jumps). Returns the terminal (s, v) — or the full
     [n_steps, paths] panels when keep_panel (for LSMC). The jump+clamp is
     applied ONLY on event steps, so without dividends the dynamics are
     bit-identical to the reference's (no absorbing barrier at 0; Euler
-    paths that cross zero keep evolving exactly as upstream)."""
+    paths that cross zero keep evolving exactly as upstream).
+
+    antithetic=True drives paths [0, P/2) with Z and their mirrors
+    [P/2, P) with -Z (num_paths must be even): payoff PAIR means are the
+    iid samples — `_mc_mean_ci` handles the estimator."""
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     sqrt_dt = jnp.sqrt(dt)
     rho_c = jnp.sqrt(1.0 - rho * rho)
     if scheme not in ("truncation", "reflection"):
         raise ValueError(f"unknown MC scheme: {scheme!r}")
+    if antithetic and num_paths % 2:
+        raise ValueError("antithetic variates need an even num_paths")
 
     def step(carry, xs):
         key_n, m_i, a_i, h_i = xs
         s, v = carry
-        z = jax.random.normal(key_n, (2, num_paths), dtype)
+        if antithetic:
+            zh = jax.random.normal(key_n, (2, num_paths // 2), dtype)
+            z = jnp.concatenate([zh, -zh], axis=1)
+        else:
+            z = jax.random.normal(key_n, (2, num_paths), dtype)
         dw_v = sqrt_dt * z[0]
         dw_s = sqrt_dt * (rho * z[0] + rho_c * z[1])
         sqv = jnp.sqrt(jnp.maximum(v, 0.0))
@@ -114,6 +143,24 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
     return (panel if keep_panel else carry)
 
 
+def _mc_mean_ci(payoff, num_paths: int, antithetic: bool):
+    """(mean, 95% half-width). Under antithetic pairing the iid samples
+    are the PAIR means (path i with its mirror i + P/2) — estimating the
+    variance from raw paths would ignore the negative within-pair
+    covariance that is the whole point of the method."""
+    if antithetic:
+        half = num_paths // 2
+        samples = 0.5 * (payoff[:half] + payoff[half:])
+    else:
+        samples = payoff
+    n = samples.shape[0]
+    mean = jnp.mean(samples)
+    # standard error of the mean (the reference divides by M twice,
+    # ref: src/MC_hes.cpp:91-94 — statistically corrected here)
+    var_mean = (jnp.mean(samples**2) - mean**2) / n
+    return mean, NORMAL_SCORE * jnp.sqrt(var_mean)
+
+
 def price_european_call_mc(
     key: jax.Array,
     s0,
@@ -128,12 +175,15 @@ def price_european_call_mc(
     t,
     num_paths: int = 100_000,
     n_steps: int = N_STEPS_PER_YEAR,
-    scheme: str = "truncation",
+    scheme: str = "auto",
     option_type: str = "call",
     dividends=None,
+    antithetic: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (price, 95% confidence half-width).
 
+    scheme="auto" (default): Feller-driven dispatch between the variants
+    below, the reference's automatic selection (ref: src/MC_hes.cpp:18-20).
     scheme="truncation": sqrt(max(V,0)) in the diffusion terms (the
     reference's standard variant, ref: src/MC_hes.cpp:48-99).
     scheme="reflection": V -> |V| after each update, for parameter sets that
@@ -144,31 +194,31 @@ def price_european_call_mc(
     calls only) — same paths, put payoff. `dividends`: discrete-dividend
     jumps s -> s*(1-pct) - cash applied on-path at the schedule's
     calendar times (requires a concrete `t`); validates the PDE dividend
-    goldens independently."""
+    goldens independently. antithetic=True mirrors half the paths
+    (variance reduction; even num_paths)."""
+    if scheme == "auto":
+        scheme = select_scheme(kappa, eta, sigma)
     mult, sub, has_ev = _dividend_jumps(dividends, t, n_steps)
     return _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma,
                          rho, t, mult, sub, has_ev,
                          num_paths=num_paths, n_steps=n_steps,
-                         scheme=scheme, option_type=option_type)
+                         scheme=scheme, option_type=option_type,
+                         antithetic=antithetic)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type"))
+                                    "option_type", "antithetic"))
 def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                   mult, sub, has_ev, num_paths: int, n_steps: int,
-                  scheme: str, option_type: str):
+                  scheme: str, option_type: str, antithetic: bool = False):
     s_fin, _ = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
                          mult, sub, has_ev, num_paths, n_steps, scheme,
-                         keep_panel=False)
+                         keep_panel=False, antithetic=antithetic)
     disc = jnp.exp(-r_d * t)
     intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
     payoff = disc * jnp.maximum(intrinsic, 0.0)
-    mean = jnp.mean(payoff)
-    # standard error of the mean (the reference divides by M twice,
-    # ref: src/MC_hes.cpp:91-94 — statistically corrected here)
-    var_mean = (jnp.mean(payoff**2) - mean**2) / num_paths
-    return mean, NORMAL_SCORE * jnp.sqrt(var_mean)
+    return _mc_mean_ci(payoff, num_paths, antithetic)
 
 
 def price_american_lsmc(
@@ -185,9 +235,10 @@ def price_american_lsmc(
     t,
     num_paths: int = 100_000,
     n_steps: int = 50,
-    scheme: str = "reflection",
+    scheme: str = "auto",
     option_type: str = "put",
     dividends=None,
+    antithetic: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """American option by Longstaff-Schwartz least-squares Monte Carlo —
     an INDEPENDENT oracle for the PDE's lambda-multiplier LCP (framework
@@ -204,25 +255,32 @@ def price_american_lsmc(
     normal equations — no data-dependent shapes, jit-safe), and exercise
     is taken where intrinsic > continuation. LSMC's policy is suboptimal,
     so the estimate is slightly LOW-biased (~1e-2 ATM at these settings).
+
+    scheme="auto" applies the same Feller-driven dispatch as the
+    European pricer; antithetic=True mirrors half the paths (the
+    regression sees both, the CI uses pair means).
     """
+    if scheme == "auto":
+        scheme = select_scheme(kappa, eta, sigma)
     mult, sub, has_ev = _dividend_jumps(dividends, t, n_steps)
     return _lsmc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma,
                       rho, t, mult, sub, has_ev,
                       num_paths=num_paths, n_steps=n_steps, scheme=scheme,
-                      option_type=option_type)
+                      option_type=option_type, antithetic=antithetic)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type"))
+                                    "option_type", "antithetic"))
 def _lsmc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                mult, sub, has_ev, num_paths: int, n_steps: int,
-               scheme: str, option_type: str):
+               scheme: str, option_type: str, antithetic: bool = False):
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     s_path, v_path = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma,
                                rho, t, mult, sub, has_ev, num_paths,
-                               n_steps, scheme, keep_panel=True)
+                               n_steps, scheme, keep_panel=True,
+                               antithetic=antithetic)
     # panels [n_steps, paths]: states AFTER steps 1..n_steps
 
     disc = jnp.exp(-r_d * dt)
@@ -259,9 +317,7 @@ def _lsmc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
     panels = (s_path[:-1][::-1], v_path[:-1][::-1])
     cf, _ = lax.scan(backward, cf, panels)
     pay0 = disc * cf                       # discount the final step to t=0
-    mean = jnp.mean(pay0)
-    var_mean = (jnp.mean(pay0**2) - mean**2) / num_paths
-    half = NORMAL_SCORE * jnp.sqrt(var_mean)
+    mean, half = _mc_mean_ci(pay0, num_paths, antithetic)
     # immediate exercise at t=0 floors the price at intrinsic; the floored
     # value is deterministic, so the CI collapses with it
     floor = exercise_value(jnp.asarray(s0, dtype))

@@ -44,6 +44,43 @@ def test_mc_feller_condition(params):
         or 2 * params.kappa * params.eta > params.sigma ** 2
 
 
+def test_mc_scheme_auto_dispatch(params):
+    """scheme='auto' applies the reference's Feller-driven selection
+    (ref: src/MC_hes.cpp:18-20, 102): truncation when 2*kappa*eta >
+    sigma^2, reflection when violated — and matches the explicit scheme
+    bitwise."""
+    p = params
+    # default params satisfy Feller -> truncation
+    assert mc.select_scheme(p.kappa, p.eta, p.sigma) == "truncation"
+    # sigma large enough to violate it -> reflection
+    assert mc.select_scheme(p.kappa, p.eta, 10.0 * p.sigma) == "reflection"
+    args = (jax.random.PRNGKey(1), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+            p.kappa, p.eta, p.sigma, p.rho, 1.0)
+    auto, _ = mc.price_european_call_mc(*args, num_paths=4_000, n_steps=20)
+    expl, _ = mc.price_european_call_mc(*args, num_paths=4_000, n_steps=20,
+                                        scheme="truncation")
+    assert float(auto) == float(expl)
+
+
+def test_mc_antithetic_tightens_ci(params):
+    """Antithetic variates: same path budget, ~half the CI, price inside
+    the plain estimator's band (pair-mean variance estimator)."""
+    p = params
+    args = (jax.random.PRNGKey(5), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+            p.kappa, p.eta, p.sigma, p.rho, 1.0)
+    plain, h_plain = mc.price_european_call_mc(
+        *args, num_paths=40_000, n_steps=50)
+    anti, h_anti = mc.price_european_call_mc(
+        *args, num_paths=40_000, n_steps=50, antithetic=True)
+    assert float(h_anti) < 0.75 * float(h_plain), (
+        float(h_anti), float(h_plain))
+    assert abs(float(anti) - float(plain)) < 2.0 * (
+        float(h_plain) + float(h_anti))
+    with pytest.raises(ValueError, match="even num_paths"):
+        mc.price_european_call_mc(*args, num_paths=4_001, n_steps=10,
+                                  antithetic=True)
+
+
 def test_mc_matches_pde_reference(params):
     """MC price consistent with the converged PDE/golden value 8.894
     (ref MC oracle value 8.8948693600540167, src/solver.cpp:1666)."""
@@ -123,9 +160,10 @@ def test_mc_euro_dividend_golden(params):
     p, h = mc.price_european_call_mc(
         jax.random.PRNGKey(0), 100.0, params.v0, 100.0, params.r_d,
         params.r_f, params.kappa, params.eta, params.sigma, params.rho,
-        1.0, num_paths=200_000, n_steps=400, scheme="reflection",
-        dividends=GOLDEN_DIVIDENDS)
-    assert abs(float(p) - 3.839290124997349) < 2.0 * float(h) + 0.03, (
+        1.0, num_paths=800_000, n_steps=400, dividends=GOLDEN_DIVIDENDS,
+        antithetic=True)
+    assert float(h) <= 0.012, float(h)    # r2 CI was +-0.028
+    assert abs(float(p) - 3.839290124997349) < 2.0 * float(h) + 0.02, (
         float(p), float(h))
 
 
@@ -144,7 +182,8 @@ def test_lsmc_american_dividend_golden(params):
     p, h = mc.price_american_lsmc(
         jax.random.PRNGKey(0), 100.0, params.v0, 100.0, params.r_d,
         params.r_f, params.kappa, params.eta, params.sigma, params.rho,
-        1.0, num_paths=150_000, n_steps=100, option_type="call",
-        dividends=GOLDEN_DIVIDENDS)
-    assert abs(float(p) - 5.285130942409008) < 2.0 * float(h) + 0.03, (
+        1.0, num_paths=600_000, n_steps=100, option_type="call",
+        dividends=GOLDEN_DIVIDENDS, antithetic=True)
+    assert float(h) <= 0.014, float(h)    # r2 CI was +-0.028
+    assert abs(float(p) - 5.285130942409008) < 2.0 * float(h) + 0.02, (
         float(p), float(h))
