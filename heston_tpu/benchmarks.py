@@ -29,11 +29,15 @@ from heston_tpu.utils import io as hio
 DEFAULT_INSTANCES = (1, 10, 20, 50, 100, 200, 300, 500)
 
 
-def timed_scan(fn, example, reps: int = 200, samples: int = 1):
+def timed_scan(fn, example, reps: int = 200, samples: int = 5):
     """Median per-call DEVICE time of `fn(example)`: the reps are chained
     inside ONE jitted lax.scan (each rep's input depends on the previous
     rep's output, so nothing can be elided or reordered) and the host
-    measures one dispatch + fetch around all of them.
+    measures one dispatch + fetch around all of them. `samples` repeats
+    the whole chained measurement and takes the median — default 5,
+    toward the reference's own 10-timed-runs convention
+    (ref: src/perfomance_test.cpp:50-54); single-sample medians were
+    measurably noisier across rounds.
 
     One dispatch+fetch through this machine's TPU tunnel costs a FIXED
     ~29 ms regardless of scan length, so a Python rep loop measures the
@@ -63,8 +67,8 @@ def timed_scan(fn, example, reps: int = 200, samples: int = 1):
     return float(np.median(times))
 
 
-def _timed(pricer, strikes, reps: int = 200):
-    return timed_scan(pricer, strikes, reps=reps)
+def _timed(pricer, strikes, reps: int = 200, samples: int = 5):
+    return timed_scan(pricer, strikes, reps=reps, samples=samples)
 
 
 def run_sweep(
@@ -78,9 +82,12 @@ def run_sweep(
     dtype=jnp.float32,
     csv_path: Optional[str] = None,
     reps: int = 200,
+    samples: int = 5,
 ):
     """Returns a list of row dicts; optionally writes the reference-format
-    CSV (ref: src/perfomance_test.cpp:214-221)."""
+    CSV (ref: src/perfomance_test.cpp:214-221). `samples` timed runs per
+    size (median), matching the reference's repeated-runs methodology
+    (ref: src/perfomance_test.cpp:50-54)."""
     p = params
     if engine == "cpu":
         # native OpenMP C++ engine — the framework's analog of the
@@ -100,7 +107,7 @@ def run_sweep(
             native.price_batch_cpu(*args, american=american,
                                    dividends=dividends)  # warm (JAX prep)
             times = []
-            for _ in range(3):
+            for _ in range(samples):
                 t0 = time.perf_counter()
                 native.price_batch_cpu(*args, american=american,
                                        dividends=dividends)
@@ -129,7 +136,7 @@ def run_sweep(
     rows = []
     for n in instances:
         strikes = jnp.linspace(70.0, 130.0, n, dtype=dtype)
-        t = _timed(pricer, strikes, reps)
+        t = _timed(pricer, strikes, reps, samples)
         rows.append(dict(m1=spec.m1, m2=spec.m2, n_steps=solver.n_steps,
                          instances=n, total_runtime_s=t,
                          device=device_kind))
