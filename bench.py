@@ -95,6 +95,7 @@ def main():
         extras.update(_selftest(spec, solver, p, dtype))
         extras.update(_single_option_golden_grid(p, dtype))
         extras.update(_lm_timing(spec, p, dtype))
+        extras.update(_lm_multi_timing(spec, p, dtype))
         extras.update(_book_risk(spec, p, batch, dtype))
         extras.update(_cpu_arm(spec, p, batch, value))
 
@@ -167,7 +168,6 @@ def _selftest(spec, solver, p, dtype):
     from heston_tpu.models import douglas
     from heston_tpu.pallas import fused_do
 
-    xla_solver = dataclasses.replace(solver, solver_engine="scan")
     ks = np.linspace(75.0, 125.0, 64)
     rmses = {}
     for tag, kw in [
@@ -175,21 +175,64 @@ def _selftest(spec, solver, p, dtype):
         ("amer", dict(american=True)),
         ("div", dict(dividends=GOLDEN_DIVIDENDS)),
         ("amer_div", dict(american=True, dividends=GOLDEN_DIVIDENDS)),
+        ("put_euro", dict(option_type="put")),
+        ("put_amer_div", dict(american=True, dividends=GOLDEN_DIVIDENDS,
+                              option_type="put")),
+        ("cs", dict(scheme="cs")),
     ]:
-        fused = np.array(jax.jit(lambda k, kw=kw: fused_do.fused_price_batch(
-            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+        kw = dict(kw)
+        sol = (dataclasses.replace(solver, scheme=kw.pop("scheme"))
+               if "scheme" in kw else solver)
+        xsol = dataclasses.replace(sol, solver_engine="scan")
+        fused = np.array(jax.jit(lambda k, kw=kw, sol=sol:
+                                 fused_do.fused_price_batch(
+            spec, sol, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f, **kw))(jnp.asarray(ks, dtype)))
         with jax.enable_x64():
             want = np.array(jax.jit(
-                lambda k, kw=kw: douglas.price_batch(
-                    spec, xla_solver, k, 100.0, p.kappa, p.eta, p.sigma,
+                lambda k, kw=kw, xsol=xsol: douglas.price_batch(
+                    spec, xsol, k, 100.0, p.kappa, p.eta, p.sigma,
                     p.rho, p.v0, p.r_d, p.r_f, **kw)
             )(jnp.asarray(ks, jnp.float64)))
         rmses[tag] = float(np.sqrt(np.mean((fused - want) ** 2)))
+    rmses["jac"] = _selftest_jac(spec, solver, p, dtype)
     return {
         "selftest_rmse": rmses,
         "selftest_rmse_max": max(rmses.values()),
     }
+
+
+def _selftest_jac(spec, solver, p, dtype):
+    """On-chip cross-check of the FORWARD-MODE Mosaic kernel — the path
+    the whole on-chip LM rests on, previously validated in interpret
+    mode only (which has already missed one real-Mosaic crash): price
+    RMSE of the fused f32 Jacobian launch's BASE against f64, plus the
+    Jacobian itself normalized per entry by max(1, |J64|) so the
+    K-dollar-scale vega column doesn't mask kappa-scale errors (raw
+    entry magnitudes span 4 orders)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.models import calibration as calib
+    from heston_tpu.pallas import fused_do
+
+    ks = np.linspace(75.0, 125.0, 64)
+    tv = np.array([p.kappa, p.eta, p.sigma, p.rho, p.v0])
+    _, jac32 = jax.jit(lambda k, t: fused_do.fused_theta_jacobian(
+        spec, solver, k, 100.0, t, p.r_d, p.r_f))(
+            jnp.asarray(ks, dtype), jnp.asarray(tv, dtype))
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    with jax.enable_x64():
+        jac64, _ = jax.jit(lambda k, t: calib.jacobian_and_prices_ad(
+            spec, xla_solver, k, 100.0, t, p.r_d, p.r_f))(
+                jnp.asarray(ks, jnp.float64), jnp.asarray(tv, jnp.float64))
+    j32 = np.array(jac32)
+    j64 = np.array(jac64)
+    rel = (j32 - j64) / np.maximum(1.0, np.abs(j64))
+    return float(np.sqrt(np.mean(rel ** 2)))
 
 
 def _lm_timing(spec, p, dtype):
@@ -227,6 +270,52 @@ def _lm_timing(spec, p, dtype):
     # of host dispatch/fetch per rep on top of the device time
     dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=100)
     return {"lm60_ad_pallas_s": dt, "lm60_iterations": iters}
+
+
+def _lm_multi_timing(spec, p, dtype):
+    """Wall time of the on-chip LM over the reference's 10-maturity x
+    20-strike European ladder (ref: src/heston_calibration.cpp:2460-2494)
+    — the flagship multi-maturity calibration. Since round 3 the mixed-
+    maturity Jacobian (primal + 5 tangents, ALL maturities) is ONE fused
+    launch per pass via per-lane step counts instead of 10 sequential
+    per-group launches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.config import CalibrationConfig, SolverConfig
+    from heston_tpu.models import bs, calibration as calib
+
+    spy = 20
+    mats = [0.1 * (i + 1) for i in range(10)]
+    per = 20
+    ks_one = np.array([100.0 * 0.8 + i * 0.4 * 100.0 / per
+                       for i in range(per)])
+    strikes = np.tile(ks_one, len(mats))
+    market = np.concatenate([
+        np.asarray(bs.generate_market_data(
+            100.0, float(t), p.r_d, jnp.asarray(ks_one))) for t in mats])
+    group_steps = tuple(
+        (i * per, (i + 1) * per, max(1, int(round(spy * t))))
+        for i, t in enumerate(mats))
+    solver = SolverConfig(n_steps=spy, theta=0.8, maturity=1.0,
+                          a2_variant="upwind", solver_engine="pallas")
+    init = jnp.asarray([1.2, 0.05, 0.4, -0.5, 0.05], dtype)
+    cfg = CalibrationConfig(max_iter=15, tol=0.1, jacobian_mode="ad")
+
+    def run(init_vec):
+        return calib.calibrate_device(
+            spec, solver, jnp.asarray(strikes, dtype),
+            jnp.asarray(market, dtype), 100.0, init_vec, p.r_d, p.r_f,
+            cfg=cfg, group_steps=group_steps)
+
+    tv, info = jax.jit(run)(init)   # compile + warm
+    tv = np.asarray(tv)
+    iters = int(np.asarray(info["iterations"]))
+    assert np.all(np.isfinite(tv))
+    dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=50)
+    return {"lm_multi200_s": dt, "lm_multi200_iterations": iters,
+            "lm_multi200_sse": float(np.asarray(info["final_error"]))}
 
 
 def _book_risk(spec, p, batch, dtype):

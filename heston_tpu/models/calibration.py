@@ -287,17 +287,64 @@ def calibrate_device(
     ref: src/heston_calibration.cpp:2165-2213). Empty means a single group
     with solver.n_steps.
 
-    Returns (theta_vec, info_dict_of_scalars).
+    Returns (theta_vec, info_dict). Besides the scalar fields, the dict
+    carries info["history"]: per-iteration error/lam/accepted/params rows
+    in preallocated [cfg.max_iter] arrays (rows past info["iterations"]
+    are NaN) — the on-chip counterpart of the host driver's iteration
+    history/CSV, for production forensics on rejected steps.
     """
     dtype = jnp.result_type(strikes.dtype, jnp.float32)
     market = market_prices.astype(dtype)
     groups = group_steps or ((0, int(strikes.shape[0]), solver.n_steps),)
+
+    if cfg.jacobian_mode == "ad" and pricer == "pde" \
+            and solver.solver_engine == "pallas":
+        from heston_tpu.pallas import fused_do
+
+        if not fused_do.use_fused(spec, solver, n_tangents=5):
+            # AD cannot trace through pallas_call (input_output_aliases
+            # has no JVP rule), and in the primal-fits-but-5-tangents-
+            # don't VMEM window price_batch WOULD still dispatch the
+            # fused kernel inside jax.linearize and crash at trace time.
+            # Downgrade the WHOLE fleet (Jacobian linearize, residual
+            # base AND trial pricing — one engine, so accept/reject
+            # compares like with like) to the XLA engine.
+            solver = dataclasses.replace(solver, solver_engine="scan")
+
+    # One-launch mixed-maturity fleet: with the fused kernel and no
+    # dividends, a multi-group chain prices ALL maturities in a single
+    # launch via per-lane step counts (the reference's CalibrationPoint
+    # packing, ref: src/heston_calibration.cpp:2165-2213) instead of one
+    # sequential launch per maturity group — bitwise-equal results.
+    multi_nsteps = None
+    sol_max = solver
+    if (pricer == "pde" and dividends is None and len(groups) > 1
+            and solver.solver_engine == "pallas"):
+        from heston_tpu.pallas import fused_do
+
+        n_max = max(n for _, _, n in groups)
+        sol_max = dataclasses.replace(
+            solver, n_steps=n_max,
+            maturity=solver.maturity * n_max / max(solver.n_steps, 1))
+        if fused_do.use_fused(spec, sol_max):
+            multi_nsteps = jnp.asarray(np.concatenate(
+                [np.full(b - a, n) for a, b, n in groups]))
 
     def fleet_jacobian(tv):
         if cfg.jacobian_mode == "ad":
             if pricer == "pde" and solver.solver_engine == "pallas":
                 from heston_tpu.pallas import fused_do
 
+                if (multi_nsteps is not None
+                        and fused_do.use_fused(spec, sol_max,
+                                               n_tangents=5)):
+                    # whole mixed-maturity Jacobian (primal + 5 tangent
+                    # surfaces, every maturity) in ONE kernel launch
+                    bb, jj = fused_do.fused_theta_jacobian(
+                        spec, sol_max, strikes, s0, tv, r_d, r_f,
+                        american=american, option_type=option_type,
+                        n_steps_per=multi_nsteps)
+                    return jj, bb
                 if fused_do.use_fused(spec, solver, n_tangents=5):
                     # exact forward-mode AD THROUGH the fused kernel: one
                     # launch per maturity group carries all 5 tangent
@@ -354,6 +401,17 @@ def calibrate_device(
                     s0, strikes[a:b], tv[4], tv[0], tv[1], tv[2], tv[3],
                     r_d, t_group, option_type=option_type))
             return jnp.concatenate(outs)
+    elif multi_nsteps is not None:
+        def fleet_prices(tv):
+            from heston_tpu.pallas import fused_do
+
+            # one launch for the whole mixed-maturity book (per-lane
+            # step counts) — also the trial-pricing path, so residuals
+            # and Jacobian come from the same executable family
+            return fused_do.fused_price_batch(
+                spec, sol_max, strikes, s0, tv[0], tv[1], tv[2], tv[3],
+                tv[4], r_d, r_f, american=american,
+                option_type=option_type, n_steps_per=multi_nsteps)
     else:
         def fleet_prices(tv):
             outs = []
@@ -373,7 +431,7 @@ def calibrate_device(
             option_type=option_type)
 
     def lm_body(state):
-        tv, lam, final_error, it, converged, fitted = state
+        tv, lam, final_error, it, converged, fitted, hist = state
         jac, base = fleet_jacobian(tv)
         resid = market - base
         current_error = resid @ resid
@@ -401,20 +459,36 @@ def calibrate_device(
                              jnp.minimum(new_error, current_error))
         fitted_next = jnp.where(conv_now, base,
                                 jnp.where(accept, trial, base))
+        # per-iteration forensics (preallocated [max_iter] rows; the
+        # host-loop driver keeps the analogous history/CSV — rows past
+        # `iterations` stay NaN)
+        hist = dict(
+            error=hist["error"].at[it].set(current_error),
+            lam=hist["lam"].at[it].set(lam),
+            accepted=hist["accepted"].at[it].set(
+                accept & ~conv_now),
+            params=hist["params"].at[it].set(tv_next),
+        )
         return (tv_next, lam_next, err_next, it + 1,
-                converged | conv_now, fitted_next)
+                converged | conv_now, fitted_next, hist)
 
     def lm_cond(state):
-        _, _, _, it, converged, _ = state
+        _, _, _, it, converged, _, _ = state
         return (~converged) & (it < cfg.max_iter)
 
+    hist0 = dict(
+        error=jnp.full((cfg.max_iter,), jnp.nan, dtype),
+        lam=jnp.full((cfg.max_iter,), jnp.nan, dtype),
+        accepted=jnp.zeros((cfg.max_iter,), jnp.bool_),
+        params=jnp.full((cfg.max_iter, N_PARAMS), jnp.nan, dtype),
+    )
     init = (init_vec.astype(dtype), jnp.asarray(cfg.lambda_init, dtype),
             jnp.asarray(jnp.inf, dtype), jnp.int32(0), jnp.bool_(False),
-            jnp.zeros_like(market))
-    tv, lam, err, it, converged, fitted = lax.while_loop(
+            jnp.zeros_like(market), hist0)
+    tv, lam, err, it, converged, fitted, hist = lax.while_loop(
         lm_cond, lm_body, init)
     return tv, dict(final_error=err, iterations=it, converged=converged,
-                    lam=lam, fitted_prices=fitted)
+                    lam=lam, fitted_prices=fitted, history=hist)
 
 
 @dataclasses.dataclass

@@ -39,6 +39,12 @@ def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v):
     European."""
     from heston_tpu.ops import coeff
 
+    # the stencil center is clamped to the interior; when the inserted
+    # spot node sits ON a grid boundary (idx_s = 0 or m1) the parabola
+    # through (i-1, i, i+1) is instead EVALUATED at the actual node:
+    # gamma of a parabola is constant and delta(s) = delta(s_i)
+    # + gamma*(s - s_i) — a no-op for interior nodes (s == s_i), the
+    # correct one-sided 3-point stencil at the boundaries
     i = jnp.clip(idx_s, 1, spec.m1 - 1)
     h0 = (vs[i] - vs[i - 1])[None]
     h1 = (vs[i + 1] - vs[i])[None]
@@ -50,10 +56,12 @@ def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v):
           + operators.a2_multiply(ops, u)
           + ops.b * jnp.exp(b_rate * solver.delta_t * solver.n_steps)
           + lam)
+    gamma_i = dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1]
+    delta_i = bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1]
     return dict(
         price=u[idx_v, idx_s],
-        delta=bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1],
-        gamma=dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1],
+        delta=delta_i + gamma_i * (vs[idx_s] - vs[i]),
+        gamma=gamma_i,
         theta=-du[idx_v, idx_s],
     )
 

@@ -74,14 +74,53 @@ TILE = 128
 # VMEM capacity model for the fused kernel: ~14 full 3-D fields (5 state/
 # band inputs + 2 outputs + 3 scratch + Mosaic step temporaries) must fit
 # the chip's VMEM. The 16 MiB figure of round 1 was only the compiler's
-# default scoped-vmem cap — the kernel now raises it via CompilerParams
+# default scoped-vmem cap — the kernel raises it via CompilerParams
 # (vmem_limit_bytes below) and the reference's golden grid m1=100, m2=75
 # (~54 MiB working set) compiles and runs on v5e at 0.67 ms/option.
-# 64 MiB is the measured-safe budget; truly oversized grids (e.g. the
-# m1=300 convergence studies) still fall back to the XLA path.
-_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
-_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+# The budget/limit scale with the chip's physical VMEM: on v5e
+# (128 MiB physical) the measured-safe budget is 64 MiB (1/2) with a
+# 100 MiB compiler cap (100/128); other kinds apply the SAME ratios to
+# their physical size — conservative where a kind is unknown. Truly
+# oversized grids (e.g. the m1=300 convergence studies) still fall back
+# to the XLA path.
+_MIB = 1024 * 1024
+_VMEM_PHYSICAL_BY_KIND = (
+    # (device_kind substring, physical VMEM bytes per core) — public
+    # figures; first match wins, scanned in order
+    ("v2", 16 * _MIB),
+    ("v3", 16 * _MIB),
+    ("v4", 128 * _MIB),
+    ("v5", 128 * _MIB),     # both v5 lite (measured here) and v5p
+    ("v6", 128 * _MIB),     # conservative for Trillium
+)
+_DEFAULT_PHYSICAL = 128 * _MIB
 _FIELDS_RESIDENT = 14
+# Craig-Sneyd corrector: the A0(z2) field plus re-staged rhs stay live
+# across the re-run of both solves
+_CS_EXTRA_FIELDS = 2
+
+
+@functools.lru_cache(maxsize=None)
+def _vmem_physical_bytes() -> int:
+    """Physical VMEM of the attached accelerator (the v5e default for
+    CPU/interpret backends, where VMEM is not real but the gate must
+    stay deterministic and match the chip the tests model)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover - backend init failure
+        return _DEFAULT_PHYSICAL
+    for sub, size in _VMEM_PHYSICAL_BY_KIND:
+        if sub in kind:
+            return size
+    return _DEFAULT_PHYSICAL
+
+
+def _vmem_budget_bytes(physical: Optional[int] = None) -> int:
+    return (physical or _vmem_physical_bytes()) // 2
+
+
+def _vmem_limit_bytes(physical: Optional[int] = None) -> int:
+    return (physical or _vmem_physical_bytes()) * 100 // 128
 
 
 def _field_bytes(spec, tile: int, dtype_bytes: int) -> int:
@@ -90,16 +129,24 @@ def _field_bytes(spec, tile: int, dtype_bytes: int) -> int:
     return (spec.m1 + 1) * nv_pad * tile * dtype_bytes
 
 
-def fits_vmem(spec, dtype_bytes: int = 4, n_tangents: int = 0) -> bool:
+def fits_vmem(spec, dtype_bytes: int = 4, n_tangents: int = 0,
+              vmem_physical: Optional[int] = None,
+              extra_fields: int = 0) -> bool:
     """Whether the fused kernel's working set fits VMEM for this grid at
     the minimum tile width. Both reference grids (m1=50, m2=25 production
     and m1=100, m2=75 golden) fit; price_batch falls back to the XLA path
     beyond. The forward-mode kernel holds ~3 extra full fields per
     tangent (carry in/out + live temporaries), so AD callers must gate
     with n_tangents=5 — the primal fitting does NOT imply the Jacobian
-    variant fits (at the golden grid it does not)."""
+    variant fits (at the golden grid it does not).
+    `vmem_physical` overrides the device-derived physical VMEM size
+    (capacity-model tests for other chip generations); `extra_fields`
+    adds scheme-dependent resident fields (the Craig-Sneyd corrector
+    keeps ~2 more full fields live across its re-run of the staged
+    solves)."""
     field = _field_bytes(spec, 128, dtype_bytes)
-    return (_FIELDS_RESIDENT + 3 * n_tangents) * field <= _VMEM_BUDGET_BYTES
+    return ((_FIELDS_RESIDENT + extra_fields + 3 * n_tangents) * field
+            <= _vmem_budget_bytes(vmem_physical))
 
 
 def _live_dtype_bytes() -> int:
@@ -109,18 +156,28 @@ def _live_dtype_bytes() -> int:
 def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     """THE dispatch predicate for every fused-kernel call site
     (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
-    LM): the kernel implements the Douglas scheme only, requires the
-    pallas engine, and its working set — including tangent surfaces and
-    the live dtype width — must fit VMEM. Call sites must not re-derive
-    any part of this condition (a missed scheme check here once produced
-    a DO-Jacobian / CS-residual mismatch in calibrate_device)."""
+    LM): the kernel implements the Douglas and Craig-Sneyd schemes
+    (forward-mode tangents: Douglas only), requires the pallas engine,
+    and its working set — including tangent surfaces, the CS corrector's
+    extra live fields, and the live dtype width — must fit VMEM. Call
+    sites must not re-derive any part of this condition (a missed scheme
+    check here once produced a DO-Jacobian / CS-residual mismatch in
+    calibrate_device)."""
+    if solver.scheme == "do":
+        extra = 0
+    elif solver.scheme == "cs" and n_tangents == 0:
+        extra = _CS_EXTRA_FIELDS
+    else:
+        return False
     return (solver.solver_engine == "pallas"
-            and solver.scheme == "do"
-            and fits_vmem(spec, _live_dtype_bytes(), n_tangents))
+            and fits_vmem(spec, _live_dtype_bytes(), n_tangents,
+                          extra_fields=extra))
 
 
 def pick_tile(spec, batch: int, dtype_bytes: int = 4,
-              n_tangents: int = 0, strict: bool = True) -> int:
+              n_tangents: int = 0, strict: bool = True,
+              vmem_physical: Optional[int] = None,
+              extra_fields: int = 0) -> int:
     """Widest lane-tile whose working set still fits VMEM.
 
     The sequential sweep loops cost ~O(10^2) cycles of loop/addressing
@@ -132,11 +189,12 @@ def pick_tile(spec, batch: int, dtype_bytes: int = 4,
 
     strict=False (interpret mode, where VMEM is not real) falls back to
     the minimum tile when nothing fits."""
-    n_fields = _FIELDS_RESIDENT + 3 * n_tangents
+    n_fields = _FIELDS_RESIDENT + extra_fields + 3 * n_tangents
+    budget = _vmem_budget_bytes(vmem_physical)
     b_pad = max(128, -128 * (-batch // 128))
     for tile in (1024, 512, 256, 128):
         if tile <= b_pad and (n_fields * _field_bytes(
-                spec, tile, dtype_bytes) <= _VMEM_BUDGET_BYTES):
+                spec, tile, dtype_bytes) <= budget):
             return tile
     if not strict:
         return 128
@@ -189,7 +247,8 @@ def _b1_colrows(m1: int, m2: int):
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, unroll: bool, div_plan=None,
                  n_events: int = 0, n_tangents: int = 0,
-                 put: bool = False):
+                 put: bool = False, per_lane_steps: bool = False,
+                 scheme: str = "do"):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
     segments with dividend re-maps between them. Each re-map is linear
@@ -210,12 +269,31 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     A2 bands (da*) — the A1 P/Q bands, s-grid quantities, boundary data
     and dividend re-maps are parameter-independent (tangent zero). Each
     implicit solve's tangent reuses the PRIMAL factorization:
-    x = T^-1 r  =>  dx = T^-1 (dr - dT x)."""
+    x = T^-1 r  =>  dx = T^-1 (dr - dT x).
+
+    per_lane_steps=True adds a [1, TILE] per-lane step-count field: the
+    launch runs max(n) steps and lane i freezes (keeps its state, all
+    tangents included) once n > n_i — so a WHOLE mixed-maturity
+    calibration chain prices in ONE launch under the shared-dt
+    steps-per-year convention T_i = n_i * dt (the reference packs per-
+    point time_steps/delta_t into one kernel the same way,
+    ref: src/heston_calibration.cpp:2165-2213). Incompatible with
+    div_plan (dividend step indices would differ per maturity)."""
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
     K = n_tangents
     b1_rows = _b1_colrows(m1, m2)
+    if per_lane_steps and div_plan is not None:
+        raise ValueError("per_lane_steps is incompatible with dividend "
+                         "plans (event step indices differ per maturity)")
+    if scheme not in ("do", "cs"):
+        raise ValueError(f"fused kernel implements 'do'/'cs' only, "
+                         f"got {scheme!r}")
+    if scheme == "cs" and K:
+        raise ValueError("the fused Craig-Sneyd scheme has no "
+                         "forward-mode variant (use_fused gates AD "
+                         "callers to 'do')")
 
     def kernel(*refs):
         (n0_ref, n1_ref, rf_ref,
@@ -228,6 +306,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
          al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
          b1v_ref, b2r_ref, vecs_ref, kk_ref) = rest[:24]
         rest = rest[24:]
+        nst_ref = rest.pop(0) if per_lane_steps else None
         r_refs = rest[:4 * n_events]
         rest = rest[4 * n_events:]
         du_refs = rest[:K]
@@ -475,42 +554,71 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             kb2a = dt * e0                   # b2 coefficient entering rhs1
             kb2b = td * (e1 - e0)            # b2 coefficient entering rhs2
 
-            # rhs1 = u + dt*a0r + (dt-td)*a1r + dt*a2r [+ dt*lam] + bnd
-            # (explicit A1 bands directly — the round-1 (u - M u)/td
-            # reconstruction cancels catastrophically in f32)
-            c1e = dt - td
-            # accumulate rhs1 in the solve workspace ref to cap live temps
+            # DELTA FORM of the Douglas step (f32 accuracy: the round-2
+            # full-value form lost ~half its error budget to adds and
+            # recurrence roundoff at the magnitude of u; here the solves
+            # run on O(dt*L u) increments and u enters via exactly ONE
+            # add per step). With z = increment, T = I - td*A:
+            #   T1 z1 = dt*((A0+A1+A2) u + lam) + bnd1
+            #   T2 z2 = z1 + kb2b*b2
+            #   u'    = u + z2
+            # Identical algebra to rhs1/rhs2 of models.douglas._do_step
+            # (substitute y1 = u + z1): bnd1 carries the SAME kb1/kb2a
+            # boundary coefficients.
             dsu = ds_of(u)
-            d_ref[:] = dt * (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
-                dsu, bvm, bv0, bvp)
-            d_ref[:] = d_ref[:] + (u + c1e * a1mul(u))
-            # A2 applied explicitly (a2r stays live for rhs2)
             a2r = a2mul(u, l2b, l1b, db, u1b, u2b)
             # boundary injections as rank-1 full-array adds
             # (b1 = scalar x static mask; b2 = one v-row)
             bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
                     + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
+            c_a0 = sfac[:, None, :] * vfac[None, :, :]
+            lu = c_a0 * dv_of(dsu, bvm, bv0, bvp) + a1mul(u) + a2r
             if american:
-                d_ref[:] = d_ref[:] + (dt * a2r + dt * lam_c + bnd1)
-            else:
-                d_ref[:] = d_ref[:] + (dt * a2r + bnd1)
+                lu = lu + lam_c
+            d_ref[:] = dt * lu + bnd1
 
             tri_solve()
-            y1 = d_ref[:]
+            z1 = d_ref[:]
 
             e_ref[:] = jnp.swapaxes(
-                y1 - td * a2r
-                + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
+                z1 + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
             penta_solve()
-            u_bar = jnp.swapaxes(e_ref[:], 0, 1)
+            z2 = jnp.swapaxes(e_ref[:], 0, 1)
+
+            if scheme == "cs":
+                # Craig-Sneyd corrector (ref: src/solver.hpp:678-778):
+                # one extra A0 apply and a re-run of BOTH staged solves
+                # with the predictor's increment feeding the mixed-
+                # derivative term. In delta form (y2 = u + z2, A0
+                # linear): the corrector's stage-1 rhs is exactly the
+                # predictor's rhs1 plus 0.5*dt*A0(z2). rhs1 is REBUILT
+                # here rather than kept live across the predictor's
+                # solves — cheap VPU work that caps resident VMEM
+                # (_CS_EXTRA_FIELDS) instead of +4 full fields.
+                a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
+                    ds_of(z2), bvm, bv0, bvp)
+                lu2 = ((sfac[:, None, :] * vfac[None, :, :])
+                       * dv_of(ds_of(u), bvm, bv0, bvp)
+                       + a1mul(u) + a2mul(u, l2b, l1b, db, u1b, u2b))
+                if american:
+                    lu2 = lu2 + lam_c
+                d_ref[:] = (dt * lu2 + (0.5 * dt) * a0z2
+                            + (kb1 * b1v) * b1_mask[:, :, None]
+                            + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
+                tri_solve()
+                e_ref[:] = jnp.swapaxes(
+                    d_ref[:] + kb2b * bottom2d[:, :, None]
+                    * b2r[:, None, :], 0, 1)
+                penta_solve()
+                z2 = jnp.swapaxes(e_ref[:], 0, 1)
+
+            u_bar = u + z2
 
             # ---- tangent phase: for each direction k, push the tangent
-            # surface through the SAME step using the primal trajectory
-            # (u, y1, u_bar) and factorizations; dx = T^-1 (dr - dT x).
+            # surface through the SAME step using the primal increments
+            # (z1, z2) and factorizations; dx = T^-1 (dr - dT x), i.e.
+            # dz = T^-1 (dR + td * dA * z).
             new_dus, new_dlams = [], []
-            if K:
-                y1v = y1   # value survives d_ref reuse below
-                c_a0 = sfac[:, None, :] * vfac[None, :, :]
             for k in range(K):
                 (dvfl, dsfk, dvfk, dbvm, dbv0, dbvp,
                  dal2, dal1, dad, dau1, dau2) = [r[:] for r in tg_refs[k]]
@@ -536,20 +644,20 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                        * dv_of(dsu, bvm, bv0, bvp)
                        + c_a0 * dv_of(dsu, dbvm, dbv0, dbvp)
                        + c_a0 * dv_of(ds_of(du), bvm, bv0, bvp))
-                trhs = (dt * a0t + du
-                        + c1e * (mt_exp(u) + a1mul(du)) + dt * a2t)
+                # tangent of T1 z1 = R1 (boundary tangents are zero for
+                # parameter directions): dz1 = T1^-1 (dR1 + td * dA1 z1)
+                trhs = dt * (a0t + mt_exp(u) + a1mul(du) + a2t)
                 if american:
                     trhs = trhs + dt * dlams[k]
-                # boundary tangents are zero for parameter directions;
-                # d(I - td*A1) = -td * dA1
-                d_ref[:] = trhs + td * mt_exp(y1v)
+                d_ref[:] = trhs + td * mt_exp(z1)
                 tri_solve()
-                # tangent penta: rhs = dy1 - td*a2t + td * dA2(u_bar)
+                # tangent penta: T2 z2 = z1 + kb2b*b2 gives
+                # dz2 = T2^-1 (dz1 + td * dA2 z2)
                 e_ref[:] = jnp.swapaxes(
-                    d_ref[:] - td * a2t
-                    + td * a2mul(u_bar, dal2, dal1, dad, dau1, dau2), 0, 1)
+                    d_ref[:]
+                    + td * a2mul(z2, dal2, dal1, dad, dau1, dau2), 0, 1)
                 penta_solve()
-                dubar = jnp.swapaxes(e_ref[:], 0, 1)
+                dubar = du + jnp.swapaxes(e_ref[:], 0, 1)
 
                 if american:
                     # match XLA's maximum-JVP exactly (0.5 weight on ties)
@@ -573,8 +681,25 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # multiplier update, zeroed on the s_max column via mask
                 lam_new = (jnp.maximum(0.0, lam_c + (u0 - u_bar) / dt)
                            * smax_mask[:, :, None])
+            else:
+                u_new, lam_new = u_bar, lam_c
+            if per_lane_steps:
+                # mixed-maturity launch: lane i freezes (state AND
+                # tangents) once the shared step counter passes its own
+                # n_i — identical arithmetic to a dedicated n_i-step
+                # launch for every active step, so the one-launch path is
+                # bitwise-equal to the per-maturity-group path
+                act = (nst_ref[0] >= nf)[None, None, :]
+                u_new = jnp.where(act, u_new, u)
+                if american:
+                    lam_new = jnp.where(act, lam_new, lam_c)
+                new_dus = [jnp.where(act, nd, d)
+                           for nd, d in zip(new_dus, dus)]
+                new_dlams = [jnp.where(act, nd, d)
+                             for nd, d in zip(new_dlams, dlams)]
+            if american:
                 return (u_new, lam_new, *new_dus, *new_dlams)
-            return (u_bar, *new_dus)
+            return (u_new, *new_dus)
 
         def remap(u, e_idx):
             """u <- contract(u, R_e) over the s axis. R_e is rank-
@@ -648,16 +773,20 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   american: bool, dtype_name: str, interpret: bool,
                   unroll: bool = False, div_plan=None, n_events: int = 0,
                   n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0,
-                  put: bool = False):
+                  put: bool = False, per_lane_steps: bool = False,
+                  scheme: str = "do"):
     """pallas_call for the WHOLE batch: tiles are iterated by the pallas
     grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
     traffic; scratch is re-initialized per tile by the kernel).
-    n_tangents > 0 builds the forward-mode variant (see _make_kernel)."""
+    n_tangents > 0 builds the forward-mode variant (see _make_kernel);
+    per_lane_steps adds the [1, tile] step-count input for one-launch
+    mixed-maturity books."""
     nv, ns = m2 + 1, m1 + 1
     K = n_tangents
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
-                          div_plan, n_events, n_tangents, put)
+                          div_plan, n_events, n_tangents, put,
+                          per_lane_steps, scheme)
 
     big_spec = lambda: pl.BlockSpec((ns, nv, tile), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
@@ -684,6 +813,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         + [vb_spec()] * 5                    # explicit a2 bands
         + [one_spec(), sb_spec()]            # b1v, b2r
         + [sb_spec(), one_spec()]            # vec_s, strike
+        + ([one_spec()] if per_lane_steps else [])   # per-lane n_steps
         + [sb_spec()] * (4 * n_events)       # remap i0/w0/i1/w1 per event
         + [big_spec()] * (n_state - n_big)   # du_k [, dlam_k]
         + tg_specs
@@ -707,7 +837,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     aliases = {3: 0}
     if american:
         aliases[4] = 1
-    tg_in_base = 3 + n_big + 24 + 4 * n_events
+    tg_in_base = (3 + n_big + 24 + (1 if per_lane_steps else 0)
+                  + 4 * n_events)
     for k in range(n_state - n_big):
         aliases[tg_in_base + k] = n_big + k
 
@@ -725,17 +856,22 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
         # step temporaries) measures ~18 MiB at the production grid and
         # ~54 MiB at the golden grid (both verified running on v5e)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+            vmem_limit_bytes=_vmem_limit_bytes()),
     )
 
 
 def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
-                     r_d, r_f, option_type="call"):
+                     r_d, r_f, option_type="call", nsteps=None):
     """vmap the existing operator assembly over the book, then transpose
-    every field to batch-last tiles."""
+    every field to batch-last tiles. `nsteps`: optional per-option step
+    counts (mixed-maturity books) — they scale each option's boundary
+    data through its OWN e^{-rate dt (n_i - 1)} factor."""
     put = operators.is_put(option_type)
+    if nsteps is None:
+        nsteps = jnp.full(strikes.shape, solver.n_steps,
+                          jnp.result_type(float))
 
-    def one(k):
+    def one(k, nsf):
         g = gridmod.make_grid(spec, s0, k, v0)
         ops = operators.build_operators(
             g, kappa, eta, sigma, rho, r_d, r_f, solver.theta,
@@ -783,7 +919,7 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         # time at operators.boundary_rate (r_f calls / r_d puts)
         rate = operators.boundary_rate(r_d, r_f, option_type)
         efac = jnp.exp(jnp.asarray(
-            -rate * solver.delta_t * (solver.n_steps - 1), dtype))
+            -rate * solver.delta_t * (nsf - 1.0), dtype))
         if put:
             # no injection vectors for puts (operators.build_boundary_vectors)
             b1val = jnp.zeros((), dtype)
@@ -796,7 +932,7 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         return (ops, u0, (a1pl, a1ql, a1pd, a1qd, a1pu, a1qu), g.vec_v,
                 scol, vrow, b1val, b2row, g.vec_s, idx_s, idx_v)
 
-    return jax.vmap(one)(strikes)
+    return jax.vmap(one)(strikes, nsteps)
 
 
 def _build_remap_fields(vec_s, events, dtype, option_type="call"):
@@ -873,14 +1009,16 @@ def _chunk_dividend_plan(solver, dividends):
 
 
 def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
-              r_d, r_f, option_type="call"):
+              r_d, r_f, option_type="call", nsteps_p=None):
     """Build every kernel input field (batch-last, s-major) plus the
     extraction indices for a padded strike vector. Also returns the
     vmapped HestonOperators so surface consumers (fused_surface_batch ->
-    batch_greeks' theta epilogue) don't re-run the whole assembly."""
+    batch_greeks' theta epilogue) don't re-run the whole assembly.
+    `nsteps_p`: padded per-option step counts — adds the "nst" field the
+    per-lane-steps kernel consumes."""
     (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
-                          rho, v0, r_d, r_f, option_type)
+                          rho, v0, r_d, r_f, option_type, nsteps_p)
 
     # batch goes LAST (the lane axis); the pallas grid walks tile-blocks.
     # Big fields are s-major in the kernel: [s, v, options].
@@ -908,6 +1046,8 @@ def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
         b1v=tiles1(b1val), b2r=tiles2(b2row),
         vecs=tiles2(vec_s), kk=tiles1(strikes_p),
     )
+    if nsteps_p is not None:
+        fields["nst"] = tiles1(jnp.asarray(nsteps_p, u0.dtype))
     return fields, vec_s, idx_s, idx_v, ops
 
 
@@ -923,15 +1063,21 @@ _TANGENT_KEYS = ("vfl", "sfac", "vfac", "bvm", "bv0", "bvp",
                  "al2", "al1", "ad", "au1", "au2")
 
 
-def _pad_strikes(spec, strikes, n_tangents=0, strict=True):
+def _pad_strikes(spec, strikes, n_tangents=0, strict=True, nsteps=None,
+                 extra_fields=0):
     b = strikes.shape[0]
     dtype_bytes = _live_dtype_bytes()
-    tile = pick_tile(spec, b, dtype_bytes, n_tangents, strict=strict)
+    tile = pick_tile(spec, b, dtype_bytes, n_tangents, strict=strict,
+                     extra_fields=extra_fields)
     n_tiles = -(-b // tile)
     pad = n_tiles * tile - b
-    strikes_p = jnp.concatenate(
-        [strikes, jnp.broadcast_to(strikes[-1:], (pad,))]) if pad else strikes
-    return strikes_p, tile, n_tiles
+
+    def pad_last(x):
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,))]) if pad else x
+
+    nsteps_p = None if nsteps is None else pad_last(jnp.asarray(nsteps))
+    return pad_last(strikes), tile, n_tiles, nsteps_p
 
 
 def _run_chunks(spec, solver, american, dividends, dtype, interpret,
@@ -943,7 +1089,10 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     (u, lam, [du_k...])."""
     put = operators.is_put(option_type)
     K = len(tangents)
+    per_lane = "nst" in fields
     inv = [fields[k] for k in _INV_KEYS]
+    if per_lane:
+        inv = inv + [fields["nst"]]
     rfa = jnp.asarray([fields["rf_val"]], dtype)
     u = fields["u"]
     lam = fields["lam"]
@@ -963,6 +1112,11 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
         return ([u, lam] if american else [u]) + dus + dlams
 
     if dividends is not None and len(dividends) > 0:
+        if per_lane:
+            raise ValueError(
+                "per-option step counts are incompatible with dividend "
+                "schedules (event step indices differ per maturity); "
+                "price dividend books per maturity group")
         n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
         n1a = jnp.asarray([0], jnp.int32)
         for plan, events in _chunk_dividend_plan(solver, dividends):
@@ -971,7 +1125,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
             chunk_call = _segment_call(
                 spec.m1, spec.m2, solver.theta, solver.delta_t, american,
                 dtype.name, interpret, unroll, plan, len(events),
-                n_tiles, tile, K, put)
+                n_tiles, tile, K, put, scheme=solver.scheme)
             sa = state_args()
             outs = chunk_call(n0a, n1a, rfa, sa[0],
                               *( [sa[1]] if american else [] ), *inv,
@@ -981,7 +1135,9 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
         call = _segment_call(spec.m1, spec.m2, solver.theta,
                              solver.delta_t, american, dtype.name,
                              interpret, unroll, n_tiles=n_tiles, tile=tile,
-                             n_tangents=K, put=put)
+                             n_tangents=K, put=put,
+                             per_lane_steps=per_lane,
+                             scheme=solver.scheme)
         n0a = jnp.asarray([1], jnp.int32)
         n1a = jnp.asarray([solver.n_steps + 1], jnp.int32)
         sa = state_args()
@@ -1022,21 +1178,28 @@ def fused_price_batch(
     interpret: Optional[bool] = None,
     unroll: bool = False,
     option_type: str = "call",
+    n_steps_per: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for models.douglas.price_batch running the time
     loop in the fused Pallas kernel. Jit-wrap the caller.
 
     interpret=None auto-selects interpret mode on CPU backends (the
     Mosaic kernel only exists on TPU) so engine="pallas" configs stay
-    portable across tests / virtual-mesh runs."""
+    portable across tests / virtual-mesh runs.
+
+    n_steps_per: optional per-option step counts for ONE-LAUNCH mixed-
+    maturity books under the shared-dt convention T_i = n_i * delta_t
+    (solver.n_steps must be max(n_steps_per); no dividends). Bitwise-
+    equal to pricing each maturity group in its own launch."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
-    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
-                                            strict=not interpret)
+    strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
+        spec, strikes, strict=not interpret, nsteps=n_steps_per,
+        extra_fields=_CS_EXTRA_FIELDS if solver.scheme == "cs" else 0)
     fields, vec_s, idx_s, idx_v, _ = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type)
+        option_type, nsteps_p)
     dtype = fields["u"].dtype
     fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     u, _, _ = _run_chunks(spec, solver, american, dividends, dtype,
@@ -1067,8 +1230,9 @@ def fused_surface_batch(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
-    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes,
-                                            strict=not interpret)
+    strikes_p, tile, n_tiles, _ = _pad_strikes(
+        spec, strikes, strict=not interpret,
+        extra_fields=_CS_EXTRA_FIELDS if solver.scheme == "cs" else 0)
     fields, vec_s, idx_s, idx_v, ops = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type)
@@ -1094,6 +1258,7 @@ def fused_theta_jacobian(
     interpret: Optional[bool] = None,
     unroll: bool = False,
     option_type: str = "call",
+    n_steps_per: Optional[jnp.ndarray] = None,
 ):
     """(base_prices [B], jacobian [B, 5]) via EXACT forward-mode AD
     through the fused kernel: XLA differentiates the field preparation
@@ -1104,17 +1269,26 @@ def fused_theta_jacobian(
     (ref: src/jacobian_computation.cpp:204-364 runs 6 bumped solves
     instead).
 
-    interpret=None auto-selects interpret mode on CPU backends."""
+    interpret=None auto-selects interpret mode on CPU backends.
+
+    n_steps_per: optional per-option step counts — the WHOLE mixed-
+    maturity calibration Jacobian (primal + 5 tangents, every maturity)
+    in one launch (see fused_price_batch)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
-    strikes_p, tile, n_tiles = _pad_strikes(spec, strikes, n_tangents=5,
-                                            strict=not interpret)
+    if solver.scheme != "do":
+        raise ValueError("fused_theta_jacobian requires scheme='do' "
+                         "(the forward-mode kernel has no CS variant; "
+                         "use_fused gates AD callers)")
+    strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
+        spec, strikes, n_tangents=5, strict=not interpret,
+        nsteps=n_steps_per)
 
     def prep_tangent_fields(tv):
         f, vec_s_, idx_s_, idx_v_, _ = _assemble(
             spec, solver, strikes_p, s0, tv[0], tv[1], tv[2], tv[3],
-            tv[4], r_d, r_f, option_type)
+            tv[4], r_d, r_f, option_type, nsteps_p)
         return (tuple(f[k] for k in _TANGENT_KEYS),
                 (f, vec_s_, idx_s_, idx_v_))
 

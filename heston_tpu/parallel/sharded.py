@@ -15,6 +15,7 @@ across iterations exactly like the single-chip path.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -97,9 +98,17 @@ def _local_jac(spec, solver, american, dividends, eps, option_type,
         # exact forward-mode Jacobian without the fused kernel —
         # MANDATORY in float32, where a 1e-6 FD bump is below one price
         # ulp and the LM stalls on a quantization-noise Jacobian (the
-        # same defect fixed for the host/device loops this round)
+        # same defect fixed for the host/device loops this round).
+        # The linearize must NOT trace through the fused kernel
+        # (pallas_call's input_output_aliases has no JVP rule): in the
+        # primal-fits-but-5-tangents-don't VMEM window price_batch would
+        # still dispatch it — force the XLA engine here.
+        lin_solver = solver
+        if solver.solver_engine == "pallas":
+            lin_solver = dataclasses.replace(solver, solver_engine="scan")
+
         def fleet(tv_):
-            return _local_prices(spec, solver, american, dividends,
+            return _local_prices(spec, lin_solver, american, dividends,
                                  option_type, ks, tv_, s0, r_d, r_f)
 
         base, jvp_fn = jax.linearize(fleet, jnp.asarray(tv))

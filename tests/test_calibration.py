@@ -186,6 +186,33 @@ def test_device_lm_ad_pallas_cs_scheme_falls_back(params):
     assert float(info_p["final_error"]) == float(info_s["final_error"])
 
 
+def test_device_lm_ad_pallas_vmem_window_falls_back(params):
+    """Grid in the fits(primal)-but-not-fits(5-tangents) VMEM window:
+    the AD-Jacobian branch cannot ride the fused kernel AND must not
+    linearize through price_batch while it still dispatches the kernel
+    (pallas_call's input_output_aliases has no JVP rule — this exact
+    config crashed at trace time with NotImplementedError). The fleet
+    downgrades to the XLA engine and the LM runs."""
+    import dataclasses
+
+    from heston_tpu.pallas import fused_do
+
+    p = params
+    spec = GridSpec(m1=60, m2=50)
+    assert fused_do.fits_vmem(spec, 8, 0)          # primal fits...
+    assert not fused_do.fits_vmem(spec, 8, 5)      # ...5 tangents don't
+    solver = dataclasses.replace(SOLVER, n_steps=4,
+                                 solver_engine="pallas")
+    strikes = jnp.linspace(95.0, 105.0, 4)
+    market = bs.generate_market_data(100.0, 1.0, p.r_d, strikes)
+    init = jnp.array([1.2, 0.05, 0.4, -0.5, 0.05])
+    cfg = CalibrationConfig(max_iter=2, tol=1e-12, jacobian_mode="ad")
+    tv, info = calib.calibrate_device(
+        spec, solver, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
+    assert np.all(np.isfinite(np.array(tv)))
+    assert int(info["iterations"]) >= 1
+
+
 def test_ad_jacobian_matches_fd(params):
     """jacobian_and_prices_ad (exact forward mode, the host-loop f32
     path) agrees with the FD Jacobian to the FD truncation error."""
@@ -199,3 +226,33 @@ def test_ad_jacobian_matches_fd(params):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.array(jac_ad), np.array(jac_fd),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_device_lm_returns_iteration_history(params):
+    """The on-chip LM keeps per-iteration forensics (error/lam/accept/
+    params) in preallocated [max_iter] rows — the host loop's history
+    equivalent, previously missing from the device loop."""
+    p = params
+    strikes = jnp.linspace(90.0, 110.0, 5)
+    market = bs.generate_market_data(100.0, 1.0, p.r_d, strikes)
+    init = jnp.array([1.2, 0.05, 0.4, -0.5, 0.05])
+    cfg = CalibrationConfig(max_iter=6, tol=1e-12)
+    tv, info = calib.calibrate_device(
+        SPEC, SOLVER, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
+    hist = info["history"]
+    it = int(info["iterations"])
+    assert 1 <= it <= 6
+    err = np.array(hist["error"])
+    assert np.all(np.isfinite(err[:it]))
+    assert np.all(np.isnan(err[it:]))
+    pars = np.array(hist["params"])
+    assert pars.shape == (6, 5)
+    assert np.all(np.isfinite(pars[:it]))
+    # the last recorded parameter row IS the returned vector
+    np.testing.assert_array_equal(pars[it - 1], np.array(tv))
+    # errors in the history are the per-iteration SSE of the CURRENT
+    # params — monotone non-increasing on accepted steps
+    acc = np.array(hist["accepted"])[:it]
+    for i in range(1, it):
+        if acc[i - 1]:
+            assert err[i] <= err[i - 1] + 1e-12

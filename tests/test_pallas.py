@@ -127,3 +127,107 @@ def test_calibrate_device_pallas_engine_matches_scan(params):
         res[eng] = np.asarray(tv)
     np.testing.assert_allclose(res["pallas"], res["scan"], rtol=0,
                                atol=1e-10)
+
+
+@pytest.mark.parametrize("american", [False, True])
+def test_per_lane_steps_match_per_group_launches(params, american):
+    """One-launch mixed-maturity pricing (per-lane step counts) is
+    BITWISE-equal to pricing each maturity group in its own launch:
+    a frozen lane performs identical arithmetic up to its own n_i and
+    none after (ref packs per-point time_steps the same way,
+    ref: src/heston_calibration.cpp:2165-2213)."""
+    import dataclasses
+
+    p = params
+    dt = SOLVER.delta_t
+    groups = [(0, 3, 2), (3, 6, 4)]
+    ks = jnp.array([95.0, 100.0, 105.0] * 2, dtype=jnp.float64)
+    nst = jnp.array([2, 2, 2, 4, 4, 4])
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    want = []
+    for (a, b, n) in groups:
+        sol = dataclasses.replace(SOLVER, n_steps=n, maturity=n * dt)
+        want.append(np.array(fused_do.fused_price_batch(
+            spec=SPEC, solver=sol, strikes=ks[a:b], s0=args[0],
+            kappa=args[1], eta=args[2], sigma=args[3], rho=args[4],
+            v0=args[5], r_d=args[6], r_f=args[7], american=american,
+            interpret=True)))
+    got = np.array(fused_do.fused_price_batch(
+        spec=SPEC, solver=SOLVER, strikes=ks, s0=args[0], kappa=args[1],
+        eta=args[2], sigma=args[3], rho=args[4], v0=args[5], r_d=args[6],
+        r_f=args[7], american=american, interpret=True, n_steps_per=nst))
+    np.testing.assert_array_equal(got, np.concatenate(want))
+
+
+def test_per_lane_steps_jacobian_matches_per_group(params):
+    """Forward-mode per-lane-steps kernel: one launch carries the whole
+    mixed-maturity Jacobian; equals the per-group launches bitwise."""
+    import dataclasses
+
+    p = params
+    dt = SOLVER.delta_t
+    groups = [(0, 2, 2), (2, 4, 4)]
+    ks = jnp.array([95.0, 105.0, 95.0, 105.0], dtype=jnp.float64)
+    nst = jnp.array([2, 2, 4, 4])
+    tv = jnp.array(p.bumpable())
+    wb, wj = [], []
+    for (a, b, n) in groups:
+        sol = dataclasses.replace(SOLVER, n_steps=n, maturity=n * dt)
+        bb, jj = fused_do.fused_theta_jacobian(
+            SPEC, sol, ks[a:b], 100.0, tv, p.r_d, p.r_f, interpret=True)
+        wb.append(np.array(bb))
+        wj.append(np.array(jj))
+    gb, gj = fused_do.fused_theta_jacobian(
+        SPEC, SOLVER, ks, 100.0, tv, p.r_d, p.r_f, interpret=True,
+        n_steps_per=nst)
+    np.testing.assert_array_equal(np.array(gb), np.concatenate(wb))
+    np.testing.assert_array_equal(np.array(gj), np.concatenate(wj))
+
+
+def test_per_lane_steps_rejects_dividends(params):
+    p = params
+    ks = jnp.array([95.0, 105.0])
+    with pytest.raises(ValueError, match="per-option step counts"):
+        fused_do.fused_price_batch(
+            SPEC, SOLVER, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, dividends=GOLDEN_DIVIDENDS,
+            interpret=True, n_steps_per=jnp.array([2, 4]))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+    dict(option_type="put"),
+])
+def test_fused_cs_scheme_matches_xla(params, kw):
+    """Fused Craig-Sneyd (in-kernel corrector: one extra A0 apply +
+    re-run of both staged solves, ref: src/solver.hpp:678-778) equals
+    the XLA CS path at solver roundoff in f64 — scheme='cs' no longer
+    pays the ~20x XLA fallback."""
+    import dataclasses
+
+    p = params
+    solver = dataclasses.replace(SOLVER, scheme="cs",
+                                 solver_engine="pallas")
+    assert fused_do.use_fused(SPEC, solver)
+    ks = jnp.linspace(80.0, 120.0, 6, dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    want = np.array(douglas.price_batch(SPEC, xla_solver, ks, *args, **kw))
+    got = np.array(jax.jit(
+        lambda k, kw=kw: fused_do.fused_price_batch(
+            SPEC, solver, k, *args, interpret=True, **kw))(ks))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+    # and price_batch itself now dispatches CS to the fused kernel
+    via_dispatch = np.array(jax.jit(
+        lambda k, kw=kw: douglas.price_batch(
+            SPEC, solver, k, *args, **kw))(ks))
+    np.testing.assert_allclose(via_dispatch, want, rtol=0, atol=1e-11)
+
+
+def test_fused_cs_rejects_tangents():
+    with pytest.raises(ValueError, match="Craig-Sneyd"):
+        fused_do._make_kernel(10, 8, 0.8, 0.1, False, False,
+                              n_tangents=2, scheme="cs")

@@ -27,3 +27,34 @@ def test_float32_rmse_within_target(params):
             spec, solver, ks32, jnp.float32(100.0), *args32, **kw))
         rmse = float(np.sqrt(np.mean((p64 - p32) ** 2)))
         assert rmse < 1e-4, f"f32 rmse {rmse} exceeds target for {kw}"
+
+
+def test_fused_kernel_f32_rmse_margin(params):
+    """Pin the fused kernel's f32 accuracy MARGIN (VERDICT r2: the euro
+    selftest sat at 86% of the 1e-4 budget and nothing would catch a
+    silent regression between rounds). The round-3 delta-form step
+    (solves on O(dt*Lu) increments, u enters once per step) must keep
+    every variant at <= 8e-5 vs the f64 XLA path — interpret mode runs
+    the same arithmetic as Mosaic at the same precision."""
+    from heston_tpu.pallas import fused_do
+
+    p = params
+    spec = GridSpec(m1=50, m2=25)
+    solver = SolverConfig(n_steps=20, a2_variant="upwind",
+                          solver_engine="pallas")
+    ks64 = jnp.linspace(75.0, 125.0, 16, dtype=jnp.float64)
+    ks32 = ks64.astype(jnp.float32)
+    args64 = (p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    args32 = tuple(jnp.float32(v) for v in args64)
+    for kw in (dict(),
+               dict(american=True, dividends=GOLDEN_DIVIDENDS),
+               dict(american=True, dividends=GOLDEN_DIVIDENDS,
+                    option_type="put")):
+        want = np.array(douglas.price_batch(
+            spec, solver, ks64, 100.0, *args64, **kw))
+        got = np.array(jax.jit(
+            lambda k, kw=kw: fused_do.fused_price_batch(
+                spec, solver, k, jnp.float32(100.0), *args32,
+                interpret=True, **kw))(ks32))
+        rmse = float(np.sqrt(np.mean((want - got) ** 2)))
+        assert rmse < 8e-5, f"fused f32 rmse {rmse} exceeds margin for {kw}"

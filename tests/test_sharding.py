@@ -153,3 +153,33 @@ def test_sharded_ad_jacobian_without_fused_kernel(params, mesh):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.array(jac), np.array(want_jac),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_sharded_ad_jacobian_vmem_window_falls_back(params, mesh):
+    """Same VMEM-window defect on the sharded LM arm: jacobian_mode='ad'
+    with engine='pallas' on a grid where the primal fits VMEM but 5
+    tangents do not must linearize through the XLA engine instead of
+    crashing on pallas_call's missing JVP rule."""
+    import dataclasses
+
+    from heston_tpu.models import calibration as calib
+    from heston_tpu.pallas import fused_do
+    from heston_tpu.parallel import sharded_pricing_fns
+
+    spec = GridSpec(m1=60, m2=50)
+    assert fused_do.fits_vmem(spec, 8, 0)
+    assert not fused_do.fits_vmem(spec, 8, 5)
+    solver = dataclasses.replace(SOLVER, n_steps=4,
+                                 solver_engine="pallas")
+    jac_fn, _ = sharded_pricing_fns(mesh)
+    strikes = jnp.linspace(95.0, 105.0, 8)
+    tv = _theta(params)
+    jac, base = jac_fn(spec, solver, strikes, 100.0, tv,
+                       params.r_d, params.r_f, jacobian_mode="ad")
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    want_jac, want_base = calib.jacobian_and_prices_ad(
+        spec, xla_solver, strikes, 100.0, tv, params.r_d, params.r_f)
+    np.testing.assert_allclose(np.array(base), np.array(want_base),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.array(jac), np.array(want_jac),
+                               rtol=1e-9, atol=1e-10)

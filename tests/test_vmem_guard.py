@@ -44,17 +44,22 @@ def test_fits_vmem_tangent_aware():
 
 
 def test_use_fused_predicate():
-    """Single dispatch predicate: pallas engine + DO scheme + VMEM fit."""
+    """Single dispatch predicate: pallas engine + DO/CS scheme + VMEM
+    fit (CS: primal only — the forward-mode kernel is Douglas-only — and
+    the corrector's extra live fields count against the budget)."""
     import dataclasses
 
     spec = GridSpec(m1=50, m2=25)
     pal = SolverConfig(n_steps=4, solver_engine="pallas")
+    cs = dataclasses.replace(pal, scheme="cs")
     assert fused_do.use_fused(spec, pal)
-    assert not fused_do.use_fused(spec, dataclasses.replace(pal, scheme="cs"))
+    assert fused_do.use_fused(spec, cs)
+    assert not fused_do.use_fused(spec, cs, n_tangents=5)
     assert not fused_do.use_fused(spec, dataclasses.replace(pal, scheme="mcs"))
     assert not fused_do.use_fused(
         spec, dataclasses.replace(pal, solver_engine="scan"))
     assert not fused_do.use_fused(GridSpec(m1=300, m2=150), pal)
+    assert not fused_do.use_fused(GridSpec(m1=300, m2=150), cs)
 
 
 def test_pick_tile_strict_raises_when_oversized():
@@ -67,3 +72,45 @@ def test_pick_tile_strict_raises_when_oversized():
     with pytest.raises(ValueError, match="exceeds VMEM"):
         fused_do.pick_tile(big, 128, 4)
     assert fused_do.pick_tile(big, 128, 4, strict=False) == 128
+
+
+def test_vmem_capacity_model_boundaries():
+    """The budget scales with the chip's physical VMEM (budget =
+    physical/2): pick_tile/fits_vmem must flip EXACTLY where the model
+    says, for the measured v5e parameters and for a second chip's.
+    Uses the explicit vmem_physical override so the test is deterministic
+    on any backend."""
+    v5e = 128 * 1024 * 1024
+    v3 = 16 * 1024 * 1024
+    spec = GridSpec(m1=50, m2=25)          # field = 51*32*128*4 bytes/tile128
+    field128 = fused_do._field_bytes(spec, 128, 4)
+    n_fields = fused_do._FIELDS_RESIDENT
+
+    # v5e: production grid fits at wide tiles; exact flip when the
+    # budget crosses n_fields * field(tile)
+    for tile in (1024, 512, 256, 128):
+        need = n_fields * fused_do._field_bytes(spec, tile, 4)
+        if need <= v5e // 2:
+            assert fused_do.pick_tile(spec, 2048, 4,
+                                      vmem_physical=v5e) >= tile
+            break
+    # shrink physical until even the minimum tile fails: flip point is
+    # 2 * n_fields * field128 exactly
+    phys_edge = 2 * n_fields * field128
+    assert fused_do.fits_vmem(spec, 4, vmem_physical=phys_edge)
+    assert not fused_do.fits_vmem(spec, 4, vmem_physical=phys_edge - 2)
+
+    # v3-class chip (16 MiB VMEM): production grid still fits the primal
+    # (needs ~11.2 MiB > 8 MiB budget? compute, don't guess)
+    fits_v3 = n_fields * field128 <= v3 // 2
+    assert fused_do.fits_vmem(spec, 4, vmem_physical=v3) == fits_v3
+    # the golden grid must NOT fit a v3-class budget
+    assert not fused_do.fits_vmem(GridSpec(m1=100, m2=75), 4,
+                                  vmem_physical=v3)
+
+
+def test_vmem_budget_device_derivation():
+    """On CPU backends the device-kind lookup falls back to the v5e-class
+    default, keeping the gate identical to the measured constants."""
+    assert fused_do._vmem_budget_bytes() == 64 * 1024 * 1024
+    assert fused_do._vmem_limit_bytes() == 100 * 1024 * 1024
