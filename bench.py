@@ -92,12 +92,22 @@ def main():
     extras = {"harness_floor_s": _harness_floor(strikes)}
     if engine == "pallas" and os.environ.get(
             "HESTON_BENCH_SELFTEST", "1") != "0":
-        extras.update(_selftest(spec, solver, p, dtype))
-        extras.update(_single_option_golden_grid(p, dtype))
-        extras.update(_lm_timing(spec, p, dtype))
-        extras.update(_lm_multi_timing(spec, p, dtype))
-        extras.update(_book_risk(spec, p, batch, dtype))
-        extras.update(_cpu_arm(spec, p, batch, value))
+        # each extras block fails SOFT (error string in the JSON instead
+        # of losing the whole artifact): the headline above is already
+        # measured, and a regression in one secondary metric must not
+        # erase the others
+        for name, block in [
+            ("selftest", lambda: _selftest(spec, solver, p, dtype)),
+            ("single_option", lambda: _single_option_golden_grid(p, dtype)),
+            ("lm", lambda: _lm_timing(spec, p, dtype)),
+            ("lm_multi", lambda: _lm_multi_timing(spec, p, dtype)),
+            ("book_risk", lambda: _book_risk(spec, p, batch, dtype)),
+            ("cpu_arm", lambda: _cpu_arm(spec, p, batch, value)),
+        ]:
+            try:
+                extras.update(block())
+            except Exception as exc:  # pragma: no cover - safety net
+                extras[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     print(json.dumps({
         "metric": f"american_dividend_batch{batch}_m1_50_m2_25_N20_"

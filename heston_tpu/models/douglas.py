@@ -398,8 +398,17 @@ def price_batch(
     solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
     (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path."""
     if solver.solver_engine == "pallas":
-        from heston_tpu.pallas import fused_do
+        from heston_tpu.pallas import fused_do, fused_single
 
+        if fused_single.use_single(spec, solver, strikes.shape[0],
+                                   dividends):
+            # batch of ONE: the latency kernel (2-D [nv, ns] layout,
+            # log-depth PCR along s) — the batched kernel's sequential
+            # sweeps waste 127/128 lanes on a single instance
+            return fused_single.fused_price_single(
+                spec, solver, strikes[0], s0, kappa, eta, sigma, rho,
+                v0, r_d, r_f, american=american, option_type=option_type,
+            ).reshape(1)
         if fused_do.use_fused(spec, solver):
             return fused_do.fused_price_batch(
                 spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,

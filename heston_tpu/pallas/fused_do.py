@@ -439,27 +439,61 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         factorize()
         factorize_penta()
 
-        def ds_of(x):
-            """beta_s first-derivative stencil along s (A0 inner factor)."""
-            return (bsm[:, None, :] * _shift_s(x, -1) + bs0[:, None, :] * x
-                    + bsp[:, None, :] * _shift_s(x, 1))
+        # ---- explicit multiplies in DIFFERENCE FORM (f32 accuracy):
+        # every explicit stencil here is zero-sum up to an analytic
+        # reaction (first/second-derivative weights sum to 0; the A1/A2
+        # rows add exactly -r_d/2 on their diagonal — operators.py
+        # build_a1_bands/build_a2_bands). The insert-and-sort grid quirk
+        # can land the spot/v0 node ~1e-2 from a natural node, making
+        # the weights O(1/h^2) ~ 1e4: the plain band-multiply form then
+        # cancels O(1e4*u) terms to an O(1) result and f32 loses ~1e-4
+        # ABSOLUTE per step (the round-2 euro selftest sat at 86% of
+        # budget for exactly this reason). Difference form computes the
+        # neighbor DIFFERENCES first — exact for close values — so the
+        # big weights multiply small numbers and the reaction enters as
+        # its analytic value (read off the band rows: a1qd[m1] = -r_d/2,
+        # a1qd[0] = row-0 reaction, 0 for calls / -r_d/2 for puts).
+        react_row = a1qd_ref[ns - 1]                      # [T] = -r_d/2
+        _s_iota = lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+        react_s2 = jnp.where(_s_iota == 0, a1qd_ref[0][None, :],
+                             react_row[None, :])          # [ns, T]
+        _v_iota = lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+        # A2 reaction rows: 0..m2-2 (calls) / all (puts) — exactly the
+        # rows build_a2_bands adds -r_d/2 to (operators.py:191-194)
+        n_react = nv if put else nv - 2
+        react_v2 = jnp.where(_v_iota < n_react, react_row[None, :],
+                             jnp.zeros_like(react_row)[None, :])
 
-        def dv_of(x, wm, w0, wp):
-            """beta_v stencil along v with the given weight rows."""
-            return (wm[None, :, :] * _shift_v(x, -1) + w0[None, :, :] * x
-                    + wp[None, :, :] * _shift_v(x, 1))
+        def ds_of(x):
+            """beta_s first-derivative stencil along s (A0 inner factor;
+            zero-sum weights, difference form)."""
+            return (bsm[:, None, :] * (_shift_s(x, -1) - x)
+                    + bsp[:, None, :] * (_shift_s(x, 1) - x))
+
+        def dv_of(x, wm, wp):
+            """beta_v stencil along v with the given weight rows
+            (zero-sum; the center weight is implied, difference form)."""
+            return (wm[None, :, :] * (_shift_v(x, -1) - x)
+                    + wp[None, :, :] * (_shift_v(x, 1) - x))
 
         def a1mul(x):
-            """Explicit A1 tridiagonal multiply (full field)."""
-            return (a1full(a1pl_ref, a1ql_ref) * _shift_s(x, -1)
-                    + a1full(a1pd_ref, a1qd_ref) * x
-                    + a1full(a1pu_ref, a1qu_ref) * _shift_s(x, 1))
+            """Explicit A1 tridiagonal multiply (difference form +
+            analytic reaction row)."""
+            return (a1full(a1pl_ref, a1ql_ref) * (_shift_s(x, -1) - x)
+                    + a1full(a1pu_ref, a1qu_ref) * (_shift_s(x, 1) - x)
+                    + react_s2[:, None, :] * x)
 
-        def a2mul(x, c2, c1b, c0, cu1, cu2):
-            """Pentadiagonal multiply along v with the given 1-D bands."""
-            return (bandv(c2) * _shift_v(x, -2) + bandv(c1b) * _shift_v(x, -1)
-                    + bandv(c0) * x + bandv(cu1) * _shift_v(x, 1)
-                    + bandv(cu2) * _shift_v(x, 2))
+        def a2mul(x, c2, c1b, cu1, cu2, react=None):
+            """Pentadiagonal multiply along v (difference form; `react`
+            is the analytic diagonal rowsum — None for tangent bands,
+            whose rows are zero-sum)."""
+            acc = (bandv(c2) * (_shift_v(x, -2) - x)
+                   + bandv(c1b) * (_shift_v(x, -1) - x)
+                   + bandv(cu1) * (_shift_v(x, 1) - x)
+                   + bandv(cu2) * (_shift_v(x, 2) - x))
+            if react is not None:
+                acc = acc + react[None, :, :] * x
+            return acc
 
         def tri_solve():
             """In-place tridiagonal solve of d_ref along s (outer axis —
@@ -566,13 +600,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # (substitute y1 = u + z1): bnd1 carries the SAME kb1/kb2a
             # boundary coefficients.
             dsu = ds_of(u)
-            a2r = a2mul(u, l2b, l1b, db, u1b, u2b)
+            a2r = a2mul(u, l2b, l1b, u1b, u2b, react_v2)
             # boundary injections as rank-1 full-array adds
             # (b1 = scalar x static mask; b2 = one v-row)
             bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
                     + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
             c_a0 = sfac[:, None, :] * vfac[None, :, :]
-            lu = c_a0 * dv_of(dsu, bvm, bv0, bvp) + a1mul(u) + a2r
+            lu = c_a0 * dv_of(dsu, bvm, bvp) + a1mul(u) + a2r
             if american:
                 lu = lu + lam_c
             d_ref[:] = dt * lu + bnd1
@@ -596,10 +630,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # solves — cheap VPU work that caps resident VMEM
                 # (_CS_EXTRA_FIELDS) instead of +4 full fields.
                 a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
-                    ds_of(z2), bvm, bv0, bvp)
+                    ds_of(z2), bvm, bvp)
                 lu2 = ((sfac[:, None, :] * vfac[None, :, :])
-                       * dv_of(ds_of(u), bvm, bv0, bvp)
-                       + a1mul(u) + a2mul(u, l2b, l1b, db, u1b, u2b))
+                       * dv_of(ds_of(u), bvm, bvp)
+                       + a1mul(u) + a2mul(u, l2b, l1b, u1b, u2b, react_v2))
                 if american:
                     lu2 = lu2 + lam_c
                 d_ref[:] = (dt * lu2 + (0.5 * dt) * a0z2
@@ -626,24 +660,26 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 
                 def mt_exp(x, dvfl=dvfl):
                     """Tangent EXPLICIT-A1 multiply: d(band) = dvfl x P
-                    (P/Q are parameter-independent)."""
+                    (P/Q are parameter-independent; P rows are the
+                    zero-sum diffusion weights, so difference form is
+                    exact — the implied center is -(pl+pu))."""
                     return ((dvfl[None, :, :] * a1pl_ref[:][:, None, :])
-                            * _shift_s(x, -1)
-                            + (dvfl[None, :, :] * a1pd_ref[:][:, None, :])
-                            * x
+                            * (_shift_s(x, -1) - x)
                             + (dvfl[None, :, :] * a1pu_ref[:][:, None, :])
-                            * _shift_s(x, 1))
+                            * (_shift_s(x, 1) - x))
 
                 # d/dtheta of the explicit A2 result on u, plus A2 on du
-                a2t = (a2mul(u, dal2, dal1, dad, dau1, dau2)
-                       + a2mul(du, l2b, l1b, db, u1b, u2b))
+                # (tangent bands are zero-sum: the -r_d/2 reaction is
+                # parameter-independent, so react=None)
+                a2t = (a2mul(u, dal2, dal1, dau1, dau2)
+                       + a2mul(du, l2b, l1b, u1b, u2b, react_v2))
                 # d/dtheta of A0 u: coefficient motion + v-weight motion
                 # + A0 on du (s-weights are parameter-independent)
                 a0t = ((dsfk[:, None, :] * vfac[None, :, :]
                         + sfac[:, None, :] * dvfk[None, :, :])
-                       * dv_of(dsu, bvm, bv0, bvp)
-                       + c_a0 * dv_of(dsu, dbvm, dbv0, dbvp)
-                       + c_a0 * dv_of(ds_of(du), bvm, bv0, bvp))
+                       * dv_of(dsu, bvm, bvp)
+                       + c_a0 * dv_of(dsu, dbvm, dbvp)
+                       + c_a0 * dv_of(ds_of(du), bvm, bvp))
                 # tangent of T1 z1 = R1 (boundary tangents are zero for
                 # parameter directions): dz1 = T1^-1 (dR1 + td * dA1 z1)
                 trhs = dt * (a0t + mt_exp(u) + a1mul(du) + a2t)
@@ -655,7 +691,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # dz2 = T2^-1 (dz1 + td * dA2 z2)
                 e_ref[:] = jnp.swapaxes(
                     d_ref[:]
-                    + td * a2mul(z2, dal2, dal1, dad, dau1, dau2), 0, 1)
+                    + td * a2mul(z2, dal2, dal1, dau1, dau2), 0, 1)
                 penta_solve()
                 dubar = du + jnp.swapaxes(e_ref[:], 0, 1)
 

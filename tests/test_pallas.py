@@ -231,3 +231,66 @@ def test_fused_cs_rejects_tangents():
     with pytest.raises(ValueError, match="Craig-Sneyd"):
         fused_do._make_kernel(10, 8, 0.8, 0.1, False, False,
                               n_tangents=2, scheme="cs")
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(option_type="put"),
+    dict(american=True, option_type="put"),
+    dict(scheme="cs"),
+])
+def test_single_option_kernel_matches_xla(params, kw):
+    """The latency kernel (2-D [nv, ns] layout + log-depth PCR along s,
+    pallas/fused_single.py) equals the XLA path at solver roundoff in
+    f64. PCR reorders the tridiagonal elimination, so equality is at
+    rounding level rather than bitwise."""
+    import dataclasses
+
+    from heston_tpu.pallas import fused_single
+
+    p = params
+    kw = dict(kw)
+    solver = (dataclasses.replace(SOLVER, scheme=kw.pop("scheme"))
+              if "scheme" in kw else SOLVER)
+    solver = dataclasses.replace(solver, solver_engine="pallas")
+    assert fused_single.use_single(SPEC, solver, 1)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    want = float(douglas.price_option(SPEC, xla_solver, jnp.float64(97.0),
+                                      *args, **kw))
+    got = float(jax.jit(
+        lambda k, kw=kw: fused_single.fused_price_single(
+            SPEC, solver, k, *args, interpret=True, **kw))(
+            jnp.float64(97.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
+
+
+def test_price_batch_dispatches_single(params, monkeypatch):
+    """price_batch with ONE strike routes through the latency kernel
+    (the unjitted function is traced directly so the spy cannot be
+    defeated by an earlier test's jit-cache entry)."""
+    import dataclasses
+
+    from heston_tpu.pallas import fused_single
+
+    p = params
+    solver = dataclasses.replace(SOLVER, solver_engine="pallas")
+    called = {}
+    orig = fused_single.fused_price_single
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fused_single, "fused_price_single", spy)
+    ks = jnp.array([100.0], dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    got = np.array(douglas.price_batch.__wrapped__(
+        SPEC, solver, ks, *args))
+    assert called.get("yes")
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    want = np.array(douglas.price_batch(SPEC, xla_solver, ks, *args))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
