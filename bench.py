@@ -189,6 +189,7 @@ def _selftest(spec, solver, p, dtype):
         ("put_amer_div", dict(american=True, dividends=GOLDEN_DIVIDENDS,
                               option_type="put")),
         ("cs", dict(scheme="cs")),
+        ("mcs", dict(scheme="mcs")),
     ]:
         kw = dict(kw)
         sol = (dataclasses.replace(solver, scheme=kw.pop("scheme"))

@@ -415,8 +415,8 @@ def price_batch(
                 r_d, r_f, american=american, dividends=dividends,
                 option_type=option_type,
             )
-        # non-DO scheme or grid too large for the fused kernel's VMEM
-        # working set — fall through to the XLA path
+        # grid too large for the fused kernel's VMEM working set —
+        # fall through to the XLA path
 
     def one(k):
         return price_option(

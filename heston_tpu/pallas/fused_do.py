@@ -98,6 +98,13 @@ _FIELDS_RESIDENT = 14
 # Craig-Sneyd corrector: the A0(z2) field plus re-staged rhs stay live
 # across the re-run of both solves
 _CS_EXTRA_FIELDS = 2
+# modified Craig-Sneyd: additionally the full L(z2) field
+_MCS_EXTRA_FIELDS = 3
+
+
+def _scheme_extra_fields(scheme: str) -> int:
+    """Scheme-dependent extra resident VMEM fields (see fits_vmem)."""
+    return {"cs": _CS_EXTRA_FIELDS, "mcs": _MCS_EXTRA_FIELDS}.get(scheme, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -156,7 +163,8 @@ def _live_dtype_bytes() -> int:
 def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     """THE dispatch predicate for every fused-kernel call site
     (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
-    LM): the kernel implements the Douglas and Craig-Sneyd schemes
+    LM): the kernel implements the Douglas, Craig-Sneyd and modified
+    Craig-Sneyd schemes
     (forward-mode tangents: Douglas only), requires the pallas engine,
     and its working set — including tangent surfaces, the CS corrector's
     extra live fields, and the live dtype width — must fit VMEM. Call
@@ -165,8 +173,8 @@ def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     calibrate_device)."""
     if solver.scheme == "do":
         extra = 0
-    elif solver.scheme == "cs" and n_tangents == 0:
-        extra = _CS_EXTRA_FIELDS
+    elif solver.scheme in ("cs", "mcs") and n_tangents == 0:
+        extra = _scheme_extra_fields(solver.scheme)
     else:
         return False
     return (solver.solver_engine == "pallas"
@@ -287,11 +295,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     if per_lane_steps and div_plan is not None:
         raise ValueError("per_lane_steps is incompatible with dividend "
                          "plans (event step indices differ per maturity)")
-    if scheme not in ("do", "cs"):
-        raise ValueError(f"fused kernel implements 'do'/'cs' only, "
+    if scheme not in ("do", "cs", "mcs"):
+        raise ValueError(f"fused kernel implements 'do'/'cs'/'mcs' only, "
                          f"got {scheme!r}")
-    if scheme == "cs" and K:
-        raise ValueError("the fused Craig-Sneyd scheme has no "
+    if scheme in ("cs", "mcs") and K:
+        raise ValueError("the fused Craig-Sneyd schemes have no "
                          "forward-mode variant (use_fused gates AD "
                          "callers to 'do')")
 
@@ -639,6 +647,35 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 d_ref[:] = (dt * lu2 + (0.5 * dt) * a0z2
                             + (kb1 * b1v) * b1_mask[:, :, None]
                             + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
+                tri_solve()
+                e_ref[:] = jnp.swapaxes(
+                    d_ref[:] + kb2b * bottom2d[:, :, None]
+                    * b2r[:, None, :], 0, 1)
+                penta_solve()
+                z2 = jnp.swapaxes(e_ref[:], 0, 1)
+            elif scheme == "mcs":
+                # modified Craig-Sneyd (in 't Hout-Foulon; the
+                # reference's MCS is marked broken, src/solver.hpp:915):
+                # y0_hat = y0 + theta*dt*A0(y2 - u) and y0_tilde adds
+                # (1/2 - theta)*dt*(L y2 + b e_n - L u - b e_nm1). In
+                # delta form (y2 = u + z2, operators linear) the
+                # corrector's stage-1 rhs is the predictor's rhs1 plus
+                # td*A0(z2) + (1/2-theta)*dt*(L z2 + (e1-e0)*(b1+b2)).
+                a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
+                    ds_of(z2), bvm, bvp)
+                lz2 = (a0z2 + a1mul(z2)
+                       + a2mul(z2, l2b, l1b, u1b, u2b, react_v2))
+                lu2 = ((sfac[:, None, :] * vfac[None, :, :])
+                       * dv_of(ds_of(u), bvm, bvp)
+                       + a1mul(u) + a2mul(u, l2b, l1b, u1b, u2b, react_v2))
+                if american:
+                    lu2 = lu2 + lam_c
+                kmc = (0.5 - theta) * dt * (e1 - e0)
+                d_ref[:] = (dt * lu2 + td * a0z2
+                            + ((0.5 - theta) * dt) * lz2
+                            + ((kb1 + kmc) * b1v) * b1_mask[:, :, None]
+                            + (kb2a + kmc) * bottom2d[:, :, None]
+                            * b2r[:, None, :])
                 tri_solve()
                 e_ref[:] = jnp.swapaxes(
                     d_ref[:] + kb2b * bottom2d[:, :, None]
@@ -1232,7 +1269,7 @@ def fused_price_batch(
     b = strikes.shape[0]
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
         spec, strikes, strict=not interpret, nsteps=n_steps_per,
-        extra_fields=_CS_EXTRA_FIELDS if solver.scheme == "cs" else 0)
+        extra_fields=_scheme_extra_fields(solver.scheme))
     fields, vec_s, idx_s, idx_v, _ = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type, nsteps_p)
@@ -1268,7 +1305,7 @@ def fused_surface_batch(
     b = strikes.shape[0]
     strikes_p, tile, n_tiles, _ = _pad_strikes(
         spec, strikes, strict=not interpret,
-        extra_fields=_CS_EXTRA_FIELDS if solver.scheme == "cs" else 0)
+        extra_fields=_scheme_extra_fields(solver.scheme))
     fields, vec_s, idx_s, idx_v, ops = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type)

@@ -51,7 +51,7 @@ from heston_tpu.pallas import fused_do
 def use_single(spec, solver, batch: int, dividends=None,
                n_tangents: int = 0) -> bool:
     """Dispatch predicate for the latency kernel: one option, pallas
-    engine, DO/CS scheme, no dividend schedule, no tangent surfaces
+    engine, DO/CS/MCS scheme, no dividend schedule, no tangent surfaces
     (Jacobian passes are batched by construction and belong on the
     throughput kernel). The working set is tiny at reference grids
     (~30 [nv, ns] fields ~ 1 MiB at the golden grid) but the PCR cascade
@@ -60,7 +60,7 @@ def use_single(spec, solver, batch: int, dividends=None,
     device-derived VMEM budget as the batched kernel."""
     if not (batch == 1
             and solver.solver_engine == "pallas"
-            and solver.scheme in ("do", "cs")
+            and solver.scheme in ("do", "cs", "mcs")
             and (dividends is None or len(dividends) == 0)
             and n_tangents == 0):
         return False
@@ -115,8 +115,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     td = theta * delta_t
     levels = _pcr_levels(ns)
     b1_rows = fused_do._b1_colrows(m1, m2)
-    if scheme not in ("do", "cs"):
-        raise ValueError(f"single kernel implements 'do'/'cs', got "
+    if scheme not in ("do", "cs", "mcs"):
+        raise ValueError(f"single kernel implements 'do'/'cs'/'mcs', got "
                          f"{scheme!r}")
 
     def kernel(*refs):
@@ -306,6 +306,24 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 if american:
                     lu2 = lu2 + lam_c
                 d_ref[:] = dt * lu2 + (0.5 * dt) * a0z2 + bnd1
+                tri_solve()
+                e_ref[:] = d_ref[:] + kb2b * bottom2d * b2r
+                penta_solve()
+                z2 = e_ref[:]
+            elif scheme == "mcs":
+                # modified Craig-Sneyd in delta form (see
+                # fused_do._make_kernel): predictor rhs1 plus
+                # td*A0(z2) + (1/2-theta)*dt*(L z2 + (e1-e0)*(b1+b2))
+                a0z2 = c_a0 * dv_of(ds_of(z2))
+                lz2 = a0z2 + a1mul(z2) + a2mul(z2)
+                lu2 = c_a0 * dv_of(ds_of(u)) + a1mul(u) + a2mul(u)
+                if american:
+                    lu2 = lu2 + lam_c
+                kmc = (0.5 - theta) * dt * (e1 - e0)
+                d_ref[:] = (dt * lu2 + td * a0z2
+                            + ((0.5 - theta) * dt) * lz2
+                            + ((kb1 + kmc) * b1v) * b1_mask
+                            + (kb2a + kmc) * bottom2d * b2r)
                 tri_solve()
                 e_ref[:] = d_ref[:] + kb2b * bottom2d * b2r
                 penta_solve()

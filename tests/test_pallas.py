@@ -239,6 +239,7 @@ def test_fused_cs_rejects_tangents():
     dict(option_type="put"),
     dict(american=True, option_type="put"),
     dict(scheme="cs"),
+    dict(scheme="mcs"),
 ])
 def test_single_option_kernel_matches_xla(params, kw):
     """The latency kernel (2-D [nv, ns] layout + log-depth PCR along s,
@@ -294,3 +295,33 @@ def test_price_batch_dispatches_single(params, monkeypatch):
     xla_solver = dataclasses.replace(solver, solver_engine="scan")
     want = np.array(douglas.price_batch(SPEC, xla_solver, ks, *args))
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-9)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+    dict(option_type="put"),
+])
+def test_fused_mcs_scheme_matches_xla(params, kw):
+    """Fused modified Craig-Sneyd (in-kernel corrector:
+    td*A0(z2) + (1/2-theta)*dt*(L z2 + boundary drift) on top of the
+    predictor rhs) equals the XLA MCS path at solver roundoff in f64 —
+    the last scheme that paid the ~20x XLA fallback. The reference's own
+    MCS is marked broken (ref: src/solver.hpp:915); the XLA oracle here
+    is the working in 't Hout-Foulon form (models.douglas._do_step)."""
+    import dataclasses
+
+    p = params
+    solver = dataclasses.replace(SOLVER, scheme="mcs",
+                                 solver_engine="pallas")
+    assert fused_do.use_fused(SPEC, solver)
+    ks = jnp.linspace(80.0, 120.0, 6, dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    want = np.array(douglas.price_batch(SPEC, xla_solver, ks, *args, **kw))
+    got = np.array(jax.jit(
+        lambda k, kw=kw: fused_do.fused_price_batch(
+            SPEC, solver, k, *args, interpret=True, **kw))(ks))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)

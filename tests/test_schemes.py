@@ -106,9 +106,8 @@ def test_tracking_matches_plain_run(params):
 
 def test_pallas_engine_respects_scheme(params):
     """engine='pallas' must NOT silently run the Douglas kernel for
-    other schemes: CS runs its OWN fused corrector (solver-roundoff
-    match vs the XLA CS stepper), MCS falls back to the XLA stepper
-    bitwise."""
+    other schemes: CS and MCS each run their OWN fused corrector
+    (solver-roundoff match vs the XLA stepper of the same scheme)."""
     import numpy as np
     from heston_tpu.models import douglas
 
@@ -116,7 +115,7 @@ def test_pallas_engine_respects_scheme(params):
     spec = GridSpec(m1=20, m2=10)
     ks = jnp.array([95.0, 105.0])
     args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
-    for scheme, atol in (("cs", 1e-11), ("mcs", 0.0)):
+    for scheme, atol in (("cs", 1e-11), ("mcs", 1e-11)):
         want = np.array(douglas.price_batch(
             spec, SolverConfig(n_steps=4, scheme=scheme), ks, *args))
         got = np.array(douglas.price_batch(

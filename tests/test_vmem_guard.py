@@ -44,9 +44,10 @@ def test_fits_vmem_tangent_aware():
 
 
 def test_use_fused_predicate():
-    """Single dispatch predicate: pallas engine + DO/CS scheme + VMEM
-    fit (CS: primal only — the forward-mode kernel is Douglas-only — and
-    the corrector's extra live fields count against the budget)."""
+    """Single dispatch predicate: pallas engine + DO/CS/MCS scheme +
+    VMEM fit (CS/MCS: primal only — the forward-mode kernel is
+    Douglas-only — and the correctors' extra live fields count against
+    the budget)."""
     import dataclasses
 
     spec = GridSpec(m1=50, m2=25)
@@ -55,7 +56,9 @@ def test_use_fused_predicate():
     assert fused_do.use_fused(spec, pal)
     assert fused_do.use_fused(spec, cs)
     assert not fused_do.use_fused(spec, cs, n_tangents=5)
-    assert not fused_do.use_fused(spec, dataclasses.replace(pal, scheme="mcs"))
+    mcs = dataclasses.replace(pal, scheme="mcs")
+    assert fused_do.use_fused(spec, mcs)
+    assert not fused_do.use_fused(spec, mcs, n_tangents=5)
     assert not fused_do.use_fused(
         spec, dataclasses.replace(pal, solver_engine="scan"))
     assert not fused_do.use_fused(GridSpec(m1=300, m2=150), pal)
