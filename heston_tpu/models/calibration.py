@@ -142,7 +142,7 @@ def jacobian_and_prices(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "solver", "american", "dividends", "eps",
-                     "option_type"),
+                     "option_type", "v0_mode"),
 )
 def jacobian_and_prices_ad(
     spec: GridSpec,
@@ -156,21 +156,49 @@ def jacobian_and_prices_ad(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    v0_mode: str = "stencil",
 ) -> Tuple[Array, Array]:
     """EXACT forward-mode Jacobian for the host LM loop — drop-in for
     `jacobian_and_prices`. Required in float32, where a 1e-6 FD bump
     drowns in rounding noise (the on-chip loop already switches to AD;
     this is the host-loop counterpart). With solver_engine="pallas" the
-    tangents ride THROUGH the fused kernel in one launch."""
+    tangents ride THROUGH the fused kernel in one launch.
+
+    v0_mode: "stencil" (default) takes the v0 column from the surface
+    v-stencil (douglas.price_and_v0_stencil — one fewer tangent, far
+    better f32 conditioning); "ad" differentiates through the v0 grid
+    motion (kept for cross-checks)."""
+    if v0_mode not in ("stencil", "ad"):
+        raise ValueError(f"unknown v0_mode: {v0_mode!r}")
+    stencil = v0_mode == "stencil"
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if fused_do.use_fused(spec, solver, n_tangents=5):
+        n_tg = fused_do.JAC_TANGENTS if stencil else 5
+        if fused_do.use_fused(spec, solver, n_tangents=n_tg):
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, strikes, s0, jnp.asarray(theta_vec),
                 r_d, r_f, american=american, dividends=dividends,
-                option_type=option_type)
+                option_type=option_type, v0_mode=v0_mode)
             return jac, base
+
+    theta_vec = jnp.asarray(theta_vec)
+    if stencil:
+        v0 = theta_vec[4]
+
+        def fleet4(tv4):
+            def one(k):
+                return douglas.price_and_v0_stencil(
+                    spec, solver, k, s0, tv4[0], tv4[1], tv4[2], tv4[3],
+                    v0, r_d, r_f, american=american, dividends=dividends,
+                    option_type=option_type)
+            pr, dv = jax.vmap(one)(strikes)
+            return pr, dv
+
+        base, jvp_fn, dv0_col = jax.linearize(
+            fleet4, theta_vec[:4], has_aux=True)
+        jac4 = jax.vmap(jvp_fn)(jnp.eye(4, dtype=base.dtype)).T
+        return jnp.concatenate([jac4, dv0_col[:, None]], axis=1), base
 
     def fleet(tv):
         def price_one(k):
@@ -180,7 +208,7 @@ def jacobian_and_prices_ad(
                 option_type=option_type)
         return jax.vmap(price_one)(strikes)
 
-    base, jvp_fn = jax.linearize(fleet, jnp.asarray(theta_vec))
+    base, jvp_fn = jax.linearize(fleet, theta_vec)
     jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=base.dtype)).T
     return jac, base
 
@@ -301,7 +329,8 @@ def calibrate_device(
             and solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if not fused_do.use_fused(spec, solver, n_tangents=5):
+        if not fused_do.use_fused(spec, solver,
+                                  n_tangents=fused_do.JAC_TANGENTS):
             # AD cannot trace through pallas_call (input_output_aliases
             # has no JVP rule), and in the primal-fits-but-5-tangents-
             # don't VMEM window price_batch WOULD still dispatch the
@@ -336,19 +365,22 @@ def calibrate_device(
                 from heston_tpu.pallas import fused_do
 
                 if (multi_nsteps is not None
-                        and fused_do.use_fused(spec, sol_max,
-                                               n_tangents=5)):
-                    # whole mixed-maturity Jacobian (primal + 5 tangent
+                        and fused_do.use_fused(
+                            spec, sol_max,
+                            n_tangents=fused_do.JAC_TANGENTS)):
+                    # whole mixed-maturity Jacobian (primal + tangent
                     # surfaces, every maturity) in ONE kernel launch
                     bb, jj = fused_do.fused_theta_jacobian(
                         spec, sol_max, strikes, s0, tv, r_d, r_f,
                         american=american, option_type=option_type,
                         n_steps_per=multi_nsteps)
                     return jj, bb
-                if fused_do.use_fused(spec, solver, n_tangents=5):
+                if fused_do.use_fused(spec, solver,
+                                      n_tangents=fused_do.JAC_TANGENTS):
                     # exact forward-mode AD THROUGH the fused kernel: one
-                    # launch per maturity group carries all 5 tangent
-                    # surfaces alongside the primal. use_fused guards the
+                    # launch per maturity group carries the tangent
+                    # surfaces alongside the primal (v0 rides as a
+                    # surface stencil, not a tangent). use_fused guards the
                     # scheme (DO-only kernel — trial pricing dispatches on
                     # the same predicate, so Jacobian and residuals always
                     # come from the SAME discretization) and the tangent-
@@ -366,7 +398,25 @@ def calibrate_device(
                         bases.append(bb)
                         jacs.append(jj)
                     return jnp.concatenate(jacs), jnp.concatenate(bases)
-            # exact forward-mode Jacobian: linearize once, push 5 tangents
+            if pricer == "pde":
+                # XLA-engine exact-AD Jacobian, SAME formulation as the
+                # fused branch (4 AD columns + the surface v-stencil v0
+                # column) so the LM trajectory is engine-independent
+                jacs, bases = [], []
+                for (a, b, n) in groups:
+                    sol = dataclasses.replace(
+                        solver, n_steps=n,
+                        maturity=solver.maturity * n
+                        / max(solver.n_steps, 1))
+                    jj, bb = jacobian_and_prices_ad(
+                        spec, sol, strikes[a:b], s0, tv, r_d, r_f,
+                        american=american, dividends=dividends,
+                        option_type=option_type)
+                    jacs.append(jj)
+                    bases.append(bb)
+                return jnp.concatenate(jacs), jnp.concatenate(bases)
+            # cf pricer: v0 is a direct (smooth, grid-free) argument —
+            # plain linearize over all 5 parameters is exact
             base, jvp_fn = jax.linearize(fleet_prices, tv)
             jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=tv.dtype)).T
             return jac, base

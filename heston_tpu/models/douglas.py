@@ -350,6 +350,55 @@ def price_option(
     return u[inst.idx_v, inst.idx_s]
 
 
+def price_and_v0_stencil(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strike,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+):
+    """(price, dPrice/dv0) from ONE solve: the v0 sensitivity is the
+    discretization's own 3-point v-derivative stencil at the inserted v0
+    node. v0 enters the discrete price ONLY through the grid (the PDE
+    coefficients are v0-free), so the continuum dP/dv0 is dU/dv at
+    (s0, v0) — reading it off the surface avoids differentiating through
+    the grid motion, whose f32 tangents dominate the Jacobian error
+    (see pallas.fused_do._v0_stencil_col; the two estimators agree to
+    O(h^2), measured 2.5e-3 normalized on the reference grid).
+
+    Boundary clipping mirrors greeks._surface_risk: the parabola is
+    centered on the clipped interior node and EVALUATED at v0 (a no-op
+    for interior idx_v, where v0 == vec_v[idx_v] by insertion)."""
+    from heston_tpu.ops import coeff
+
+    inst = prepare_instance(
+        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        option_type,
+    )
+    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+    u = run_time_loop(inst, solver, b_rate, american, dividends,
+                      option_type)
+    vv = inst.grid.vec_v
+    j = jnp.clip(inst.idx_v, 1, spec.m2 - 1)
+    h0 = vv[j] - vv[j - 1]
+    h1 = vv[j + 1] - vv[j]
+    bm, b0, bp = coeff.w_beta(h0, h1)
+    dm, d0, dp = coeff.w_delta(h0, h1)
+    col = u[:, inst.idx_s]
+    first = bm * col[j - 1] + b0 * col[j] + bp * col[j + 1]
+    second = dm * col[j - 1] + d0 * col[j] + dp * col[j + 1]
+    return u[inst.idx_v, inst.idx_s], first + second * (v0 - vv[j])
+
+
 def price_surface(
     spec: GridSpec,
     solver: SolverConfig,

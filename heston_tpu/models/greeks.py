@@ -114,7 +114,8 @@ def price_and_greeks(
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if fused_do.use_fused(spec, solver, n_tangents=5):
+        if fused_do.use_fused(spec, solver,
+                              n_tangents=fused_do.JAC_TANGENTS):
             import dataclasses
 
             tv = jnp.stack([jnp.asarray(v, dtype)
@@ -150,17 +151,20 @@ def price_and_greeks(
                 "rho_rd": rho_rd,
             }
 
+    # same formulation as the fused branch: vega_v0 is the surface
+    # v-stencil at the inserted v0 node (douglas.price_and_v0_stencil),
+    # NOT a grid-motion tangent — so the greeks are engine-independent
     def price_fn(x):
-        s0_, kappa_, eta_, sigma_, rho_, v0_, r_d_ = x
-        return douglas.price_option(
-            spec, solver, strike, s0_, kappa_, eta_, sigma_, rho_, v0_,
+        s0_, kappa_, eta_, sigma_, rho_, r_d_ = x
+        return douglas.price_and_v0_stencil(
+            spec, solver, strike, s0_, kappa_, eta_, sigma_, rho_, v0,
             r_d_, r_f, american=american, dividends=dividends,
             option_type=option_type)
 
     x = jnp.stack([jnp.asarray(v, dtype)
-                   for v in (s0, kappa, eta, sigma, rho, v0, r_d)])
-    price, jvp_fn = jax.linearize(price_fn, x)
-    grads = jax.vmap(jvp_fn)(jnp.eye(7, dtype=x.dtype))
+                   for v in (s0, kappa, eta, sigma, rho, r_d)])
+    price, jvp_fn, vega_v0 = jax.linearize(price_fn, x, has_aux=True)
+    grads = jax.vmap(jvp_fn)(jnp.eye(6, dtype=x.dtype))
     return {
         "price": price,
         "delta": grads[0],
@@ -168,8 +172,8 @@ def price_and_greeks(
         "d_eta": grads[2],
         "d_sigma": grads[3],
         "d_rho": grads[4],
-        "vega_v0": grads[5],
-        "rho_rd": grads[6],
+        "vega_v0": vega_v0,
+        "rho_rd": grads[5],
     }
 
 
@@ -230,7 +234,8 @@ def batch_greeks(
 
         out = jax.vmap(one)(ks)
     if param_jacobian:
-        if fused_do.use_fused(spec, solver, n_tangents=5):
+        if fused_do.use_fused(spec, solver,
+                              n_tangents=fused_do.JAC_TANGENTS):
             dtype = jnp.result_type(float)
             tv = jnp.stack([jnp.asarray(v, dtype)
                             for v in (kappa, eta, sigma, rho, v0)])
@@ -239,19 +244,17 @@ def batch_greeks(
                 american=american, dividends=dividends,
                 option_type=option_type)
         else:
-            def prices(tv):
-                def p_one(k):
-                    return douglas.price_option(
-                        spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3],
-                        tv[4], r_d, r_f, american=american,
-                        dividends=dividends, option_type=option_type)
-                return jax.vmap(p_one)(ks)
+            # same formulation as the fused branch (4 AD columns + the
+            # surface v-stencil v0 column) so the book Jacobian is
+            # engine-independent
+            from heston_tpu.models import calibration as calib
 
             dtype = jnp.result_type(float)
             tv = jnp.stack([jnp.asarray(v, dtype)
                             for v in (kappa, eta, sigma, rho, v0)])
-            _, jvp_fn = jax.linearize(prices, tv)
-            jac = jax.vmap(jvp_fn)(jnp.eye(5, dtype=dtype)).T
+            jac, _ = calib.jacobian_and_prices_ad(
+                spec, solver, ks, s0, tv, r_d, r_f, american=american,
+                dividends=dividends, option_type=option_type)
         out["param_jacobian"] = jac
     return out
 

@@ -144,8 +144,9 @@ def fits_vmem(spec, dtype_bytes: int = 4, n_tangents: int = 0,
     and m1=100, m2=75 golden) fit; price_batch falls back to the XLA path
     beyond. The forward-mode kernel holds ~3 extra full fields per
     tangent (carry in/out + live temporaries), so AD callers must gate
-    with n_tangents=5 — the primal fitting does NOT imply the Jacobian
-    variant fits (at the golden grid it does not).
+    with n_tangents=JAC_TANGENTS (4 under the default v0_mode="stencil";
+    5 with grid-motion v0 tangents) — the primal fitting does NOT imply
+    the Jacobian variant fits (at the golden grid it does not).
     `vmem_physical` overrides the device-derived physical VMEM size
     (capacity-model tests for other chip generations); `extra_fields`
     adds scheme-dependent resident fields (the Craig-Sneyd corrector
@@ -1319,6 +1320,50 @@ def fused_surface_batch(
     return to_bvs(u), to_bvs(lam), ops_b, vec_s[:b], idx_s[:b], idx_v[:b]
 
 
+# tangent count of the fused Jacobian launch under the default
+# v0_mode="stencil" (kappa, eta, sigma, rho ride the kernel; the v0
+# column is read off the primal surface) — the number VMEM gates and
+# use_fused callers must budget for
+JAC_TANGENTS = 4
+
+
+def _v0_stencil_col(spec, u, vfl, idx_s, idx_v, b, v0):
+    """dPrice/dv0 [:b] as the discretization's own v-derivative stencil
+    at the inserted v0 node, read off the primal surface u [ns, nv, Bp]
+    (s-major). v0 enters the discrete price ONLY through the grid — the
+    PDE coefficients are v0-free — so the continuum dP/dv0 is dU/dv at
+    (s0, v0). Reading it off the surface replaces the grid-motion AD
+    tangents, whose f32 carry error dominated the fused Jacobian
+    (measured golden grid: normalized v0-column RMSE 3.7e-4 via
+    grid-motion tangents vs ~1e-5 via this stencil; the two estimators
+    agree to 2.5e-3 in f64 — pure O(h^2) discretization difference).
+
+    Boundary clipping mirrors greeks._surface_risk: the 3-point parabola
+    is centered on the clipped interior node j and EVALUATED at v0
+    (the w_delta second-derivative term); a no-op when idx_v is interior
+    (v0 == vec_v[idx_v] by insertion)."""
+    nv = spec.m2 + 1
+    j = jnp.clip(idx_v, 1, spec.m2 - 1)
+    rows = jnp.arange(nv, dtype=j.dtype)[:, None]            # [nv, 1]
+    bp_lanes = u.shape[-1]
+
+    def v_at(jj):
+        oh = (rows == jj[None, :bp_lanes]).astype(u.dtype)   # [nv, Bp]
+        return jnp.sum(vfl * oh, axis=0)[:b]                 # [b]
+
+    v_m, v_0, v_p = v_at(j - 1), v_at(j), v_at(j + 1)
+    u_m = _extract(u, idx_s, j - 1, b)
+    u_0 = _extract(u, idx_s, j, b)
+    u_p = _extract(u, idx_s, j + 1, b)
+    h0 = v_0 - v_m
+    h1 = v_p - v_0
+    bm, b0, bpw = coeff.w_beta(h0, h1)
+    dm, d0, dpw = coeff.w_delta(h0, h1)
+    first = bm * u_m + b0 * u_0 + bpw * u_p
+    second = dm * u_m + d0 * u_0 + dpw * u_p
+    return first + second * (jnp.asarray(v0, u.dtype) - v_0)
+
+
 def fused_theta_jacobian(
     spec: GridSpec,
     solver: SolverConfig,
@@ -1332,36 +1377,51 @@ def fused_theta_jacobian(
     unroll: bool = False,
     option_type: str = "call",
     n_steps_per: Optional[jnp.ndarray] = None,
+    v0_mode: str = "stencil",
 ):
     """(base_prices [B], jacobian [B, 5]) via EXACT forward-mode AD
     through the fused kernel: XLA differentiates the field preparation
-    (grid/operator assembly) for the five parameter directions, and the
-    forward-mode kernel variant carries all five tangent surfaces through
+    (grid/operator assembly) for the parameter directions, and the
+    forward-mode kernel variant carries the tangent surfaces through
     the time loop alongside the primal in ONE launch — the Pallas
     counterpart of calibrate_device's jacobian_mode='ad'
     (ref: src/jacobian_computation.cpp:204-364 runs 6 bumped solves
     instead).
 
+    v0_mode: "stencil" (default) carries 4 tangents (kappa, eta, sigma,
+    rho) and reads the v0 column off the primal surface with the
+    discretization's own v-stencil (_v0_stencil_col — far better f32
+    conditioning, smaller VMEM footprint); "ad" carries all 5 tangents
+    including the grid-motion v0 direction (the r1/r2 formulation, kept
+    for cross-checks).
+
     interpret=None auto-selects interpret mode on CPU backends.
 
     n_steps_per: optional per-option step counts — the WHOLE mixed-
-    maturity calibration Jacobian (primal + 5 tangents, every maturity)
+    maturity calibration Jacobian (primal + tangents, every maturity)
     in one launch (see fused_price_batch)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if v0_mode not in ("stencil", "ad"):
+        raise ValueError(f"unknown v0_mode: {v0_mode!r}")
+    stencil = v0_mode == "stencil"
+    n_tg = JAC_TANGENTS if stencil else 5
     b = strikes.shape[0]
     if solver.scheme != "do":
         raise ValueError("fused_theta_jacobian requires scheme='do' "
                          "(the forward-mode kernel has no CS variant; "
                          "use_fused gates AD callers)")
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
-        spec, strikes, n_tangents=5, strict=not interpret,
+        spec, strikes, n_tangents=n_tg, strict=not interpret,
         nsteps=n_steps_per)
+    dtype = jnp.result_type(float)   # matches the grid/field build dtype
+    theta_vec = theta_vec.astype(dtype)
 
     def prep_tangent_fields(tv):
+        full = jnp.concatenate([tv, theta_vec[4:]]) if stencil else tv
         f, vec_s_, idx_s_, idx_v_, _ = _assemble(
-            spec, solver, strikes_p, s0, tv[0], tv[1], tv[2], tv[3],
-            tv[4], r_d, r_f, option_type, nsteps_p)
+            spec, solver, strikes_p, s0, full[0], full[1], full[2],
+            full[3], full[4], r_d, r_f, option_type, nsteps_p)
         return (tuple(f[k] for k in _TANGENT_KEYS),
                 (f, vec_s_, idx_s_, idx_v_))
 
@@ -1369,19 +1429,23 @@ def fused_theta_jacobian(
     # same trace that provides the tangent-field JVP (a separate
     # jax.jacfwd(prep) would re-emit the whole vmapped grid/operator
     # assembly graph a second time)
-    dtype = jnp.result_type(float)   # matches the grid/field build dtype
     _, jvp_fn, (fields, vec_s, idx_s, idx_v) = jax.linearize(
-        prep_tangent_fields, theta_vec.astype(dtype), has_aux=True)
+        prep_tangent_fields, theta_vec[:n_tg] if stencil else theta_vec,
+        has_aux=True)
     fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
-    basis = jnp.eye(5, dtype=dtype)
-    dfields = jax.vmap(jvp_fn)(basis)   # each leaf gains a leading (5,)
+    basis = jnp.eye(n_tg, dtype=dtype)
+    dfields = jax.vmap(jvp_fn)(basis)  # each leaf gains a leading (n_tg,)
     tangents = [
         {k: leaf[kk] for k, leaf in zip(_TANGENT_KEYS, dfields)}
-        for kk in range(5)
+        for kk in range(n_tg)
     ]
     u, _, dus = _run_chunks(spec, solver, american, dividends, dtype,
                             interpret, unroll, n_tiles, tile, fields,
                             vec_s, tangents, option_type)
     base = _extract(u, idx_s, idx_v, b)
-    jac = jnp.stack([_extract(du, idx_s, idx_v, b) for du in dus], axis=-1)
+    cols = [_extract(du, idx_s, idx_v, b) for du in dus]
+    if stencil:
+        cols.append(_v0_stencil_col(spec, u, fields["vfl"], idx_s, idx_v,
+                                    b, theta_vec[4]))
+    jac = jnp.stack(cols, axis=-1)
     return base, jac

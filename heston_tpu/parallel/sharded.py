@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
 from heston_tpu.models import douglas
+from heston_tpu.models import calibration
 from heston_tpu.models.calibration import (
     N_PARAMS,
     _bumped_param_matrix,
@@ -84,7 +85,8 @@ def _local_jac(spec, solver, american, dividends, eps, option_type,
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
-        if fused_do.use_fused(spec, solver, n_tangents=5):
+        if fused_do.use_fused(spec, solver,
+                              n_tangents=fused_do.JAC_TANGENTS):
             # exact forward-mode AD through the fused kernel, one launch
             # per shard (the distributed analog of
             # calibrate_device(jacobian_mode='ad')); use_fused guards the
@@ -106,13 +108,13 @@ def _local_jac(spec, solver, american, dividends, eps, option_type,
         lin_solver = solver
         if solver.solver_engine == "pallas":
             lin_solver = dataclasses.replace(solver, solver_engine="scan")
-
-        def fleet(tv_):
-            return _local_prices(spec, lin_solver, american, dividends,
-                                 option_type, ks, tv_, s0, r_d, r_f)
-
-        base, jvp_fn = jax.linearize(fleet, jnp.asarray(tv))
-        jac = jax.vmap(jvp_fn)(jnp.eye(N_PARAMS, dtype=base.dtype)).T
+        # SAME formulation as the fused branch (4 AD columns + the
+        # surface v-stencil v0 column) so the distributed LM trajectory
+        # is engine-independent
+        jac, base = calibration.jacobian_and_prices_ad(
+            spec, lin_solver, ks, s0, jnp.asarray(tv), r_d, r_f,
+            american=american, dividends=dividends,
+            option_type=option_type)
         return jac, base
     pmat = _bumped_param_matrix(tv, eps)  # (6, 5)
     if _kernel_dispatched(spec, solver):

@@ -221,7 +221,8 @@ def test_ad_jacobian_matches_fd(params):
     jac_fd, base_fd = calib.jacobian_and_prices(
         SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f, eps=1e-6)
     jac_ad, base_ad = calib.jacobian_and_prices_ad(
-        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f)
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f,
+        v0_mode="ad")
     np.testing.assert_allclose(np.array(base_ad), np.array(base_fd),
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.array(jac_ad), np.array(jac_fd),

@@ -151,8 +151,16 @@ def test_batch_greeks_consistent(params):
             params.r_d, params.r_f)
 
     want = np.array(jax.jacfwd(prices)(tv))
-    np.testing.assert_allclose(np.array(out["param_jacobian"]), want,
-                               rtol=1e-7, atol=1e-9)
+    got = np.array(out["param_jacobian"])
+    # kappa/eta/sigma/rho columns: same AD formulation as jacfwd
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-7,
+                               atol=1e-9)
+    # v0 column: the surface v-stencil estimator (engine-independent
+    # production formulation) vs jacfwd's grid-motion AD — equal up to
+    # the O(h^2) discretization difference between the two estimators
+    rel = np.abs(got[:, 4] - want[:, 4]) / np.maximum(1.0,
+                                                      np.abs(want[:, 4]))
+    assert rel.max() < 2e-2, rel
     # financial sanity across the book
     assert np.all(np.asarray(out["gamma"]) > 0)
     assert np.all(np.asarray(out["theta"]) < 0)

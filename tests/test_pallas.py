@@ -77,8 +77,9 @@ def test_fused_kernel_multi_tile(params):
 ])
 def test_fused_theta_jacobian_matches_xla_ad(params, kw):
     """Forward-mode AD THROUGH the fused kernel == jax.jacfwd through the
-    XLA path, in f64 (the kernel carries all 5 tangent surfaces through
-    the time loop; solves reuse the primal factorization via
+    XLA path, in f64 (v0_mode="ad": the kernel carries all 5 tangent
+    surfaces through the time loop, including the grid-motion v0
+    direction; solves reuse the primal factorization via
     dx = T^-1 (dr - dT x)). Covers American LCP tangents (maximum-JVP
     tie handling) and the linear dividend re-map of tangents."""
     p = params
@@ -96,9 +97,67 @@ def test_fused_theta_jacobian_matches_xla_ad(params, kw):
     want_base = np.array(price_xla(tv))
     want_jac = np.array(jax.jacfwd(price_xla)(tv))
     base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
-        SPEC, SOLVER, ks, 100.0, t, p.r_d, p.r_f, interpret=True, **kw))(tv)
+        SPEC, SOLVER, ks, 100.0, t, p.r_d, p.r_f, interpret=True,
+        v0_mode="ad", **kw))(tv)
     np.testing.assert_allclose(np.array(base), want_base, rtol=0, atol=1e-11)
     np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+])
+def test_fused_theta_jacobian_stencil_matches_xla_stencil(params, kw):
+    """Default v0_mode="stencil" (4 kernel tangents + the surface
+    v-stencil v0 column) == the XLA-engine stencil formulation
+    (calibration.jacobian_and_prices_ad) in f64 — the production
+    formulation is engine-independent."""
+    import dataclasses
+
+    from heston_tpu.models import calibration as calib
+
+    p = params
+    tv = jnp.array([p.kappa, p.eta, p.sigma, p.rho, p.v0],
+                   dtype=jnp.float64)
+    ks = jnp.linspace(85.0, 115.0, 6, dtype=jnp.float64)
+    scan = dataclasses.replace(SOLVER, solver_engine="scan")
+    want_jac, want_base = calib.jacobian_and_prices_ad(
+        SPEC, scan, ks, 100.0, tv, p.r_d, p.r_f, **kw)
+    base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
+        SPEC, SOLVER, ks, 100.0, t, p.r_d, p.r_f, interpret=True, **kw))(tv)
+    np.testing.assert_allclose(np.array(base), np.array(want_base),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.array(jac), np.array(want_jac),
+                               rtol=0, atol=1e-9)
+
+
+def test_v0_stencil_consistent_with_grid_motion_ad(params):
+    """The two dP/dv0 estimators — surface v-stencil vs AD through the
+    grid motion — agree to the O(h^2) discretization difference in f64
+    (measured 2.5e-3 normalized on the reference grid; they are NOT the
+    same discrete quantity, which is why the strict equality tests pin
+    each formulation against its own counterpart). Runs on the REFERENCE
+    grid — on the deliberately tiny SPEC the O(h^2) gap is O(1)."""
+    from heston_tpu.models import calibration as calib
+
+    p = params
+    spec = GridSpec(m1=50, m2=25)
+    scan = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                        a2_variant="upwind", solver_engine="scan")
+    tv = jnp.array([p.kappa, p.eta, p.sigma, p.rho, p.v0],
+                   dtype=jnp.float64)
+    ks = jnp.linspace(85.0, 115.0, 6, dtype=jnp.float64)
+    jac_st, _ = calib.jacobian_and_prices_ad(
+        spec, scan, ks, 100.0, tv, p.r_d, p.r_f, v0_mode="stencil")
+    jac_ad, _ = calib.jacobian_and_prices_ad(
+        spec, scan, ks, 100.0, tv, p.r_d, p.r_f, v0_mode="ad")
+    a, b = np.array(jac_st)[:, 4], np.array(jac_ad)[:, 4]
+    rel = np.abs(a - b) / np.maximum(1.0, np.abs(b))
+    assert rel.max() < 2e-2, rel
+    # the other four columns are the SAME formulation in both modes
+    np.testing.assert_allclose(np.array(jac_st)[:, :4],
+                               np.array(jac_ad)[:, :4], rtol=0, atol=1e-9)
 
 
 def test_calibrate_device_pallas_engine_matches_scan(params):
@@ -125,7 +184,9 @@ def test_calibrate_device_pallas_engine_matches_scan(params):
             spec, solver, strikes, market, 100.0, init, p.r_d, p.r_f,
             cfg=cfg, american=True)
         res[eng] = np.asarray(tv)
-    np.testing.assert_allclose(res["pallas"], res["scan"], rtol=0,
+    # rtol absorbs roundoff-order differences between the fused-kernel
+    # and scan-engine Jacobians amplified through the LM iterations
+    np.testing.assert_allclose(res["pallas"], res["scan"], rtol=1e-9,
                                atol=1e-10)
 
 

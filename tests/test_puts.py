@@ -151,7 +151,7 @@ def test_fused_put_jacobian_matches_xla_ad():
     want_jac = np.array(jax.jacfwd(xla_prices)(tv))
     base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
         SPEC, SOLVER, ks, 100.0, t, P.r_d, P.r_f, american=True,
-        option_type="put", interpret=True))(tv)
+        option_type="put", interpret=True, v0_mode="ad"))(tv)
     np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
     np.testing.assert_allclose(np.array(base), np.array(xla_prices(tv)),
                                rtol=0, atol=1e-11)
