@@ -207,6 +207,8 @@ def _selftest(spec, solver, p, dtype):
             )(jnp.asarray(ks, jnp.float64)))
         rmses[tag] = float(np.sqrt(np.mean((fused - want) ** 2)))
     rmses["jac"] = _selftest_jac(spec, solver, p, dtype)
+    rmses["jac_cs"] = _selftest_jac(
+        spec, dataclasses.replace(solver, scheme="cs"), p, dtype)
     return {
         "selftest_rmse": rmses,
         "selftest_rmse_max": max(rmses.values()),

@@ -94,7 +94,10 @@ _VMEM_PHYSICAL_BY_KIND = (
     ("v6", 128 * _MIB),     # conservative for Trillium
 )
 _DEFAULT_PHYSICAL = 128 * _MIB
-_FIELDS_RESIDENT = 14
+# 14 measured in round 2 (5 state/band inputs + 2 outputs + 3 scratch +
+# Mosaic step temporaries) + 1 for the compensated-summation carry the
+# round-3 kernel threads through the time loop (see step())
+_FIELDS_RESIDENT = 15
 # Craig-Sneyd corrector: the A0(z2) field plus re-staged rhs stay live
 # across the re-run of both solves
 _CS_EXTRA_FIELDS = 2
@@ -161,23 +164,30 @@ def _live_dtype_bytes() -> int:
     return 8 if jax.config.read("jax_enable_x64") else 4
 
 
+def _scheme_tangent_extra_fields(scheme: str, n_tangents: int) -> int:
+    """Scheme + forward-mode resident VMEM fields: the CS/MCS tangent
+    phase keeps the predictor increments (z2p) AND the corrector's
+    stage-1 increment (z1c) live across the whole tangent loop — two
+    fields beyond the primal corrector's."""
+    extra = _scheme_extra_fields(scheme)
+    if n_tangents and scheme in ("cs", "mcs"):
+        extra += 2
+    return extra
+
+
 def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     """THE dispatch predicate for every fused-kernel call site
     (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
     LM): the kernel implements the Douglas, Craig-Sneyd and modified
-    Craig-Sneyd schemes
-    (forward-mode tangents: Douglas only), requires the pallas engine,
-    and its working set — including tangent surfaces, the CS corrector's
-    extra live fields, and the live dtype width — must fit VMEM. Call
-    sites must not re-derive any part of this condition (a missed scheme
-    check here once produced a DO-Jacobian / CS-residual mismatch in
-    calibrate_device)."""
-    if solver.scheme == "do":
-        extra = 0
-    elif solver.scheme in ("cs", "mcs") and n_tangents == 0:
-        extra = _scheme_extra_fields(solver.scheme)
-    else:
+    Craig-Sneyd schemes — forward-mode tangents included for all three
+    — requires the pallas engine, and its working set (tangent
+    surfaces, the CS corrector's extra live fields, the live dtype
+    width) must fit VMEM. Call sites must not re-derive any part of
+    this condition (a missed scheme check here once produced a
+    DO-Jacobian / CS-residual mismatch in calibrate_device)."""
+    if solver.scheme not in ("do", "cs", "mcs"):
         return False
+    extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
     return (solver.solver_engine == "pallas"
             and fits_vmem(spec, _live_dtype_bytes(), n_tangents,
                           extra_fields=extra))
@@ -299,10 +309,6 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     if scheme not in ("do", "cs", "mcs"):
         raise ValueError(f"fused kernel implements 'do'/'cs'/'mcs' only, "
                          f"got {scheme!r}")
-    if scheme in ("cs", "mcs") and K:
-        raise ValueError("the fused Craig-Sneyd schemes have no "
-                         "forward-mode variant (use_fused gates AD "
-                         "callers to 'do')")
 
     def kernel(*refs):
         (n0_ref, n1_ref, rf_ref,
@@ -578,18 +584,28 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 lax.fori_loop(0, nv - 1, pen_bwd,
                               (e_ref[nv - 1], jnp.zeros_like(dp0)))
 
+        def two_sum(a, b):
+            """Branch-free error-free sum (Knuth 2Sum): s = fl(a + b),
+            err = a + b - s exactly. XLA/Mosaic preserve IEEE evaluation
+            order (no reassociation), so the cancellation is real."""
+            s = a + b
+            bb = s - a
+            err = (a - (s - bb)) + (b - bb)
+            return s, err
+
         def unpack(carry):
             i = 0
             u = carry[i]; i += 1
             lam_c = None
             if american:
                 lam_c = carry[i]; i += 1
+            comp = carry[i]; i += 1
             dus = carry[i:i + K]; i += K
             dlams = carry[i:i + K] if american else ()
-            return u, lam_c, dus, dlams
+            return u, lam_c, comp, dus, dlams
 
         def step(n, carry):
-            u, lam_c, dus, dlams = unpack(carry)
+            u, lam_c, comp, dus, dlams = unpack(carry)
             nf = n.astype(u.dtype)
             e0 = jnp.exp(rf * dt * (nf - 1.0))
             e1 = jnp.exp(rf * dt * nf)
@@ -627,6 +643,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 z1 + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
             penta_solve()
             z2 = jnp.swapaxes(e_ref[:], 0, 1)
+            # predictor-stage increments, needed by the CS/MCS tangent
+            # phase (for scheme="do" they alias z1/z2; z1c is the
+            # corrector's stage-1 increment)
+            z1p, z2p, z1c = z1, z2, None
 
             if scheme == "cs":
                 # Craig-Sneyd corrector (ref: src/solver.hpp:678-778):
@@ -649,8 +669,9 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                             + (kb1 * b1v) * b1_mask[:, :, None]
                             + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
                 tri_solve()
+                z1c = d_ref[:]
                 e_ref[:] = jnp.swapaxes(
-                    d_ref[:] + kb2b * bottom2d[:, :, None]
+                    z1c + kb2b * bottom2d[:, :, None]
                     * b2r[:, None, :], 0, 1)
                 penta_solve()
                 z2 = jnp.swapaxes(e_ref[:], 0, 1)
@@ -678,13 +699,39 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                             + (kb2a + kmc) * bottom2d[:, :, None]
                             * b2r[:, None, :])
                 tri_solve()
+                z1c = d_ref[:]
                 e_ref[:] = jnp.swapaxes(
-                    d_ref[:] + kb2b * bottom2d[:, :, None]
+                    z1c + kb2b * bottom2d[:, :, None]
                     * b2r[:, None, :], 0, 1)
                 penta_solve()
                 z2 = jnp.swapaxes(e_ref[:], 0, 1)
 
-            u_bar = u + z2
+            # ---- compensated state update: the ONE u-scale add per step
+            # (the delta form's whole point) still rounds at eps*|u| ~
+            # 1.2e-5 absolute in f32, and 20 steps random-walk that to
+            # the ~2.5-5.5e-5 selftest RMSEs of round 3. 2Sum captures
+            # that rounding exactly into a compensation field `comp`
+            # carried through the loop (true state = u + comp; comp is
+            # folded into the output at the end of the launch). The
+            # small-scale terms (z2, dt*lam, comp) are summed first —
+            # their roundings are at eps*|z2| ~ 1e-8, negligible.
+            if american:
+                t_inc = (z2 - dt * lam_c) + comp
+                q, err = two_sum(u, t_inc)       # q + err = u_bar - dt*lam
+                u_new = jnp.maximum(q, u0)
+                comp_new = jnp.where(q > u0, err, jnp.zeros_like(err))
+                # lam_c + (u0 - u_bar)/dt with u_bar = q + err + dt*lam_c
+                # is ALGEBRAICALLY (u0 - q - err)/dt — and (u0 - q) is a
+                # cancellation of two like-scale values (exact by
+                # Sterbenz where the constraint is near-active, i.e.
+                # exactly where lam matters)
+                lam_arg = ((u0 - q) - err) / dt
+                lam_new = (jnp.maximum(0.0, lam_arg)
+                           * smax_mask[:, :, None])
+            else:
+                t_inc = z2 + comp
+                q, err = two_sum(u, t_inc)
+                u_new, comp_new, lam_new = q, err, lam_c
 
             # ---- tangent phase: for each direction k, push the tangent
             # surface through the SAME step using the primal increments
@@ -723,40 +770,71 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 trhs = dt * (a0t + mt_exp(u) + a1mul(du) + a2t)
                 if american:
                     trhs = trhs + dt * dlams[k]
-                d_ref[:] = trhs + td * mt_exp(z1)
+                d_ref[:] = trhs + td * mt_exp(z1p)
                 tri_solve()
                 # tangent penta: T2 z2 = z1 + kb2b*b2 gives
                 # dz2 = T2^-1 (dz1 + td * dA2 z2)
                 e_ref[:] = jnp.swapaxes(
                     d_ref[:]
-                    + td * a2mul(z2, dal2, dal1, dau1, dau2), 0, 1)
+                    + td * a2mul(z2p, dal2, dal1, dau1, dau2), 0, 1)
                 penta_solve()
-                dubar = du + jnp.swapaxes(e_ref[:], 0, 1)
+                dz2p = jnp.swapaxes(e_ref[:], 0, 1)
+
+                if scheme != "do":
+                    # corrector tangent: differentiate the corrector's
+                    # stage-1 rhs (predictor rhs + the A0/L(z2p) terms)
+                    # and re-run both staged tangent solves against the
+                    # corrector's primal increments (z1c, final z2).
+                    # dA0(x) = coefficient motion + v-weight motion;
+                    # A0(dx) completes the product rule.
+                    def a0_tan(x):
+                        dsx = ds_of(x)
+                        return ((dsfk[:, None, :] * vfac[None, :, :]
+                                 + sfac[:, None, :] * dvfk[None, :, :])
+                                * dv_of(dsx, bvm, bvp)
+                                + c_a0 * dv_of(dsx, dbvm, dbvp))
+
+                    da0z2 = a0_tan(z2p) + c_a0 * dv_of(ds_of(dz2p),
+                                                       bvm, bvp)
+                    if scheme == "cs":
+                        crhs = trhs + (0.5 * dt) * da0z2
+                    else:   # mcs
+                        # d/dtheta of td*A0(z2p) + (1/2-theta)*dt*L(z2p)
+                        # (the boundary terms are parameter-independent)
+                        dlz2 = (da0z2 + mt_exp(z2p)
+                                + a2mul(z2p, dal2, dal1, dau1, dau2)
+                                + a1mul(dz2p)
+                                + a2mul(dz2p, l2b, l1b, u1b, u2b,
+                                        react_v2))
+                        crhs = (trhs + td * da0z2
+                                + ((0.5 - theta) * dt) * dlz2)
+                    d_ref[:] = crhs + td * mt_exp(z1c)
+                    tri_solve()
+                    e_ref[:] = jnp.swapaxes(
+                        d_ref[:]
+                        + td * a2mul(z2, dal2, dal1, dau1, dau2), 0, 1)
+                    penta_solve()
+                    dubar = du + jnp.swapaxes(e_ref[:], 0, 1)
+                else:
+                    dubar = du + dz2p
 
                 if american:
-                    # match XLA's maximum-JVP exactly (0.5 weight on ties)
-                    a = u_bar - dt * lam_c
+                    # match XLA's maximum-JVP exactly (0.5 weight on
+                    # ties), branching on the SAME compensated primal
+                    # values (q, lam_arg) the state update used
                     da = dubar - dt * dlams[k]
                     du_new = jnp.where(
-                        a > u0, da, jnp.where(a < u0, 0.0, 0.5 * da))
-                    arg = lam_c + (u0 - u_bar) / dt
+                        q > u0, da, jnp.where(q < u0, 0.0, 0.5 * da))
                     darg = dlams[k] - dubar / dt
                     dlam_new = jnp.where(
-                        arg > 0.0, darg,
-                        jnp.where(arg < 0.0, 0.0, 0.5 * darg)
+                        lam_arg > 0.0, darg,
+                        jnp.where(lam_arg < 0.0, 0.0, 0.5 * darg)
                     ) * smax_mask[:, :, None]
                     new_dus.append(du_new)
                     new_dlams.append(dlam_new)
                 else:
                     new_dus.append(dubar)
 
-            if american:
-                u_new = jnp.maximum(u_bar - dt * lam_c, u0)
-                # multiplier update, zeroed on the s_max column via mask
-                lam_new = (jnp.maximum(0.0, lam_c + (u0 - u_bar) / dt)
-                           * smax_mask[:, :, None])
-            else:
-                u_new, lam_new = u_bar, lam_c
             if per_lane_steps:
                 # mixed-maturity launch: lane i freezes (state AND
                 # tangents) once the shared step counter passes its own
@@ -765,6 +843,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # bitwise-equal to the per-maturity-group path
                 act = (nst_ref[0] >= nf)[None, None, :]
                 u_new = jnp.where(act, u_new, u)
+                comp_new = jnp.where(act, comp_new, comp)
                 if american:
                     lam_new = jnp.where(act, lam_new, lam_c)
                 new_dus = [jnp.where(act, nd, d)
@@ -772,22 +851,35 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 new_dlams = [jnp.where(act, nd, d)
                              for nd, d in zip(new_dlams, dlams)]
             if american:
-                return (u_new, lam_new, *new_dus, *new_dlams)
-            return (u_new, *new_dus)
+                return (u_new, lam_new, comp_new, *new_dus, *new_dlams)
+            return (u_new, comp_new, *new_dus)
 
         def remap(u, e_idx):
-            """u <- contract(u, R_e) over the s axis. R_e is rank-
-            structured: R_e[c, i] = w0[i]*(i0[i]==c) + w1[i]*(i1[i]==c)
+            """u <- contract(u, R_e) over the s axis, returning
+            (value, err) with err the exactly-captured rounding of the
+            final u-scale add. R_e is rank-structured:
+            R_e[c, i] = w0[i]*(i0[i]==c) + w1[i]*(i1[i]==c)
             (2-point interpolation), so its row for source column c is
             rebuilt on the fly from the four compact [ns, TILE] fields.
             s is the outer axis, so both the staged read (d_ref[c]) and
             the accumulation are dense [nv, TILE] block ops. w_ref is
             borrowed as the accumulator; the caller re-runs factorize()
-            before the next time-loop segment."""
+            before the next time-loop segment.
+
+            DIFFERENCE FORM (f32): the weights of each output column sum
+            to W in {0, 1} (1 - w + w, or all-zero for a call column
+            pushed below s = 0), so u_new = W*u + sum_c rc*(u[c] - u[i])
+            — the interpolation arrives as a small-scale correction to
+            the column's own value (2-3 roundings at eps*|u| per event
+            in the plain form, which would dominate once the step adds
+            are compensated) and the single remaining u-scale add is
+            2Sum-captured into the returned err."""
             i0 = r_refs[4 * e_idx][:]
             w0 = r_refs[4 * e_idx + 1][:]
             i1 = r_refs[4 * e_idx + 2][:]
             w1 = r_refs[4 * e_idx + 3][:]
+            wsum = jnp.where(w0 + w1 > 0.5, jnp.ones_like(w0),
+                             jnp.zeros_like(w0))              # exact {0,1}
             d_ref[:] = u
             w_ref[:] = jnp.zeros_like(u)
 
@@ -796,14 +888,15 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 rc = (w0 * (i0 == cf).astype(w0.dtype)
                       + w1 * (i1 == cf).astype(w0.dtype))    # [ns, T]
                 w_ref[:] = w_ref[:] + (rc[:, None, :]
-                                       * d_ref[c][None, :, :])
+                                       * (d_ref[c][None, :, :] - d_ref[:]))
                 return 0
             lax.fori_loop(0, ns, contract, 0)
-            return w_ref[:]
+            return two_sum(wsum[:, None, :] * d_ref[:], w_ref[:])
 
         carry = [u_ref[:]]
         if american:
             carry.append(lam_ref[:])
+        carry.append(jnp.zeros_like(u_ref[:]))   # compensation field
         carry += [r[:] for r in du_refs]
         carry += [r[:] for r in dlam_refs]
         carry = tuple(carry)
@@ -821,17 +914,24 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     carry = lax.fori_loop(seg_a, seg_b, step, carry)
                 for _ in range(k_events):
                     # the re-map is linear and parameter-independent, so
-                    # it applies identically to u and every tangent
-                    u_c, lam_c, dus, dlams = unpack(carry)
-                    u_c = remap(u_c, e_idx)
-                    dus = [remap(d, e_idx) for d in dus]
+                    # it applies identically to u, the compensation and
+                    # every tangent (comp must ride the remap — holding
+                    # it at the OLD s-locations would misattribute an
+                    # eps*|u|-scale field); the u remap's own captured
+                    # rounding e2 joins the remapped compensation
+                    u_c, lam_c, comp_c, dus, dlams = unpack(carry)
+                    u_c, e2 = remap(u_c, e_idx)
+                    comp_c = remap(comp_c, e_idx)[0] + e2
+                    dus = [remap(d, e_idx)[0] for d in dus]
                     carry = tuple(([u_c, lam_c] if american else [u_c])
-                                  + list(dus) + list(dlams))
+                                  + [comp_c] + list(dus) + list(dlams))
                     e_idx += 1
                     w_dirty = True
 
-        u_c, lam_c, dus, dlams = unpack(carry)
-        uo_ref[:] = u_c
+        u_c, lam_c, comp_c, dus, dlams = unpack(carry)
+        # fold the compensation into the output representation (the one
+        # rounding the output dtype cannot avoid)
+        uo_ref[:] = u_c + comp_c
         if american:
             lamo_ref[:] = lam_c
         for k in range(K):
@@ -1045,9 +1145,19 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call"):
                  else (new_s > 0.0).astype(dtype))
         is_left = idx == 0        # left extrapolation: copy column 0
         i0 = jnp.where(is_left, 0, lo).astype(dtype)
-        w0 = valid * jnp.where(is_left, 1.0, 1.0 - w).astype(dtype)
         i1 = jnp.where(is_left, 0, idx).astype(dtype)
-        w1 = valid * jnp.where(is_left, 0.0, w).astype(dtype)
+        # Sterbenz pairing: derive the complement from whichever weight
+        # is >= 0.5, so 1 - x is EXACT and the pair sums to exactly 1.0
+        # in the kernel dtype. The kernel's difference-form remap (see
+        # _make_kernel.remap) implicitly weights the column's own value
+        # by (1 - w0 - w1); a 2^-25-scale residual there multiplies
+        # O(100)-scale surface values
+        wc = w.astype(dtype)
+        one = jnp.asarray(1.0, dtype)
+        w0i = one - wc                      # exact where wc >= 0.5
+        w1i = jnp.where(wc >= 0.5, wc, one - w0i)  # exact complement else
+        w0 = valid * jnp.where(is_left, 1.0, w0i).astype(dtype)
+        w1 = valid * jnp.where(is_left, 0.0, w1i).astype(dtype)
         fields.append((i0, w0, i1, w1))                  # each [B, ns]
     return fields
 
@@ -1407,13 +1517,10 @@ def fused_theta_jacobian(
     stencil = v0_mode == "stencil"
     n_tg = JAC_TANGENTS if stencil else 5
     b = strikes.shape[0]
-    if solver.scheme != "do":
-        raise ValueError("fused_theta_jacobian requires scheme='do' "
-                         "(the forward-mode kernel has no CS variant; "
-                         "use_fused gates AD callers)")
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
         spec, strikes, n_tangents=n_tg, strict=not interpret,
-        nsteps=n_steps_per)
+        nsteps=n_steps_per,
+        extra_fields=_scheme_tangent_extra_fields(solver.scheme, n_tg))
     dtype = jnp.result_type(float)   # matches the grid/field build dtype
     theta_vec = theta_vec.astype(dtype)
 

@@ -276,8 +276,15 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 
         c_a0 = sfac * vfac                  # [nv, ns] separable A0 coeff
 
+        def two_sum(a, b):
+            """Error-free sum (see fused_do._make_kernel.two_sum)."""
+            s = a + b
+            bb = s - a
+            err = (a - (s - bb)) + (b - bb)
+            return s, err
+
         def step(n, carry):
-            u, lam_c = carry
+            u, lam_c, comp = carry
             nf = n.astype(u.dtype)
             e0 = jnp.exp(rf * dt * (nf - 1.0))
             e1 = jnp.exp(rf * dt * nf)
@@ -329,18 +336,25 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 penta_solve()
                 z2 = e_ref[:]
 
-            u_bar = u + z2
+            # compensated state update (see fused_do._make_kernel.step):
+            # the single u-scale add per step is 2Sum-captured into a
+            # carried compensation field
             if american:
-                u_new = jnp.maximum(u_bar - dt * lam_c, u0)
-                lam_new = (jnp.maximum(0.0, lam_c + (u0 - u_bar) / dt)
+                t_inc = (z2 - dt * lam_c) + comp
+                q, err = two_sum(u, t_inc)
+                u_new = jnp.maximum(q, u0)
+                comp_new = jnp.where(q > u0, err, jnp.zeros_like(err))
+                lam_new = (jnp.maximum(0.0, ((u0 - q) - err) / dt)
                            * smax_mask)
-                return (u_new, lam_new)
-            return (u_bar, lam_c)
+                return (u_new, lam_new, comp_new)
+            q, err = two_sum(u, z2 + comp)
+            return (q, lam_c, err)
 
-        u_c, lam_c = lax.fori_loop(
+        u_c, lam_c, comp_c = lax.fori_loop(
             n0, n1, step,
-            (u_ref[:], lam_ref[:] if american else jnp.zeros((), dtype)))
-        uo_ref[:] = u_c
+            (u_ref[:], lam_ref[:] if american else jnp.zeros((), dtype),
+             jnp.zeros_like(u_ref[:])))
+        uo_ref[:] = u_c + comp_c
         if american:
             lamo_ref[:] = lam_c
 

@@ -161,19 +161,25 @@ def test_calibration_sharded_matches_single(params):
     assert abs(res_sharded.final_error - res_single.final_error) < 1e-8
 
 
-def test_device_lm_ad_pallas_cs_scheme_falls_back(params):
-    """The fused kernel implements Douglas ONLY. With scheme='cs' and
-    engine='pallas', the AD-Jacobian branch must fall back to the XLA
-    linearize path (use_fused gate) so the Jacobian and the trial
-    residuals come from the SAME discretization — a missed scheme guard
-    here once produced a DO-Jacobian / CS-residual LM."""
+def test_device_lm_ad_pallas_cs_scheme(params):
+    """scheme='cs' + engine='pallas' AD calibration: the forward-mode
+    kernel now implements the Craig-Sneyd corrector, so the device LM
+    rides the fused kernel (use_fused dispatches it) and must agree
+    with the XLA-engine CS calibration at solver roundoff — the
+    Jacobian and the trial residuals still come from the SAME
+    discretization (a missed scheme guard here once produced a
+    DO-Jacobian / CS-residual LM)."""
     import dataclasses
+
+    from heston_tpu.pallas import fused_do
 
     p = params
     solver_p = dataclasses.replace(SOLVER, scheme="cs",
                                    solver_engine="pallas")
     solver_s = dataclasses.replace(SOLVER, scheme="cs",
                                    solver_engine="scan")
+    assert fused_do.use_fused(SPEC, solver_p,
+                              n_tangents=fused_do.JAC_TANGENTS)
     strikes = jnp.linspace(90.0, 110.0, 5)
     market = bs.generate_market_data(100.0, 1.0, p.r_d, strikes)
     init = jnp.array([1.2, 0.05, 0.4, -0.5, 0.05])
@@ -182,8 +188,11 @@ def test_device_lm_ad_pallas_cs_scheme_falls_back(params):
         SPEC, solver_p, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
     tv_s, info_s = calib.calibrate_device(
         SPEC, solver_s, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
-    np.testing.assert_array_equal(np.array(tv_p), np.array(tv_s))
-    assert float(info_p["final_error"]) == float(info_s["final_error"])
+    np.testing.assert_allclose(np.array(tv_p), np.array(tv_s),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(info_p["final_error"]),
+                               float(info_s["final_error"]),
+                               rtol=1e-6, atol=0)
 
 
 def test_device_lm_ad_pallas_vmem_window_falls_back(params):

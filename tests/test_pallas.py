@@ -103,6 +103,40 @@ def test_fused_theta_jacobian_matches_xla_ad(params, kw):
     np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
 
 
+@pytest.mark.parametrize("scheme", ["cs", "mcs"])
+@pytest.mark.parametrize("kw", [dict(), dict(american=True)])
+def test_fused_theta_jacobian_cs_mcs_matches_xla_ad(params, scheme, kw):
+    """Forward-mode AD through the fused CRAIG-SNEYD / modified-CS
+    kernels == jax.jacfwd through the XLA CS/MCS steppers in f64: the
+    corrector tangent re-runs both staged tangent solves against the
+    corrector's primal increments (z1c, final z2) with the
+    dA0(z2p)/dL(z2p) product-rule terms (ref: src/solver.hpp:678-778 is
+    the primal corrector being differentiated)."""
+    import dataclasses
+
+    p = params
+    sol = dataclasses.replace(SOLVER, scheme=scheme)
+    tv = jnp.array([p.kappa, p.eta, p.sigma, p.rho, p.v0],
+                   dtype=jnp.float64)
+    ks = jnp.linspace(85.0, 115.0, 5, dtype=jnp.float64)
+
+    def price_xla(t):
+        def one(k):
+            return douglas.price_option(
+                SPEC, sol, k, 100.0, t[0], t[1], t[2], t[3], t[4],
+                p.r_d, p.r_f, **kw)
+        return jax.vmap(one)(ks)
+
+    want_base = np.array(price_xla(tv))
+    want_jac = np.array(jax.jacfwd(price_xla)(tv))
+    base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
+        SPEC, sol, ks, 100.0, t, p.r_d, p.r_f, interpret=True,
+        v0_mode="ad", **kw))(tv)
+    np.testing.assert_allclose(np.array(base), want_base, rtol=0,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
+
+
 @pytest.mark.parametrize("kw", [
     dict(),
     dict(american=True),
@@ -288,10 +322,20 @@ def test_fused_cs_scheme_matches_xla(params, kw):
     np.testing.assert_allclose(via_dispatch, want, rtol=0, atol=1e-11)
 
 
-def test_fused_cs_rejects_tangents():
-    with pytest.raises(ValueError, match="Craig-Sneyd"):
-        fused_do._make_kernel(10, 8, 0.8, 0.1, False, False,
-                              n_tangents=2, scheme="cs")
+def test_use_fused_cs_mcs_tangent_budget():
+    """CS/MCS forward-mode kernels are dispatchable, and their VMEM gate
+    charges the corrector's extra live tangent-phase fields (z2p, z1c)
+    on top of the scheme's primal extras."""
+    spec = GridSpec(m1=50, m2=25)
+    for scheme in ("cs", "mcs"):
+        sol = SolverConfig(n_steps=4, scheme=scheme,
+                           solver_engine="pallas")
+        assert fused_do.use_fused(spec, sol, n_tangents=4)
+        extra = fused_do._scheme_tangent_extra_fields(scheme, 4)
+        assert extra == fused_do._scheme_extra_fields(scheme) + 2
+        assert fused_do._scheme_tangent_extra_fields(scheme, 0) == \
+            fused_do._scheme_extra_fields(scheme)
+    assert fused_do._scheme_tangent_extra_fields("do", 4) == 0
 
 
 @pytest.mark.parametrize("kw", [

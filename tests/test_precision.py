@@ -33,9 +33,12 @@ def test_fused_kernel_f32_rmse_margin(params):
     """Pin the fused kernel's f32 accuracy MARGIN (VERDICT r2: the euro
     selftest sat at 86% of the 1e-4 budget and nothing would catch a
     silent regression between rounds). The round-3 delta-form step
-    (solves on O(dt*Lu) increments, u enters once per step) must keep
-    every variant at <= 8e-5 vs the f64 XLA path — interpret mode runs
-    the same arithmetic as Mosaic at the same precision."""
+    (solves on O(dt*Lu) increments, u enters once per step) plus the
+    2Sum-compensated state carry (the remaining u-scale add per step is
+    error-free-captured into a compensation field) must keep every
+    variant at <= 4e-5 vs the f64 XLA path — interpret mode runs the
+    same arithmetic as Mosaic at the same precision (real-TPU rounding
+    differs ~2x; the on-chip budget is pinned by bench.py's selftest)."""
     from heston_tpu.pallas import fused_do
 
     p = params
@@ -57,4 +60,4 @@ def test_fused_kernel_f32_rmse_margin(params):
                 spec, solver, k, jnp.float32(100.0), *args32,
                 interpret=True, **kw))(ks32))
         rmse = float(np.sqrt(np.mean((want - got) ** 2)))
-        assert rmse < 8e-5, f"fused f32 rmse {rmse} exceeds margin for {kw}"
+        assert rmse < 4e-5, f"fused f32 rmse {rmse} exceeds margin for {kw}"

@@ -45,9 +45,9 @@ def test_fits_vmem_tangent_aware():
 
 def test_use_fused_predicate():
     """Single dispatch predicate: pallas engine + DO/CS/MCS scheme +
-    VMEM fit (CS/MCS: primal only — the forward-mode kernel is
-    Douglas-only — and the correctors' extra live fields count against
-    the budget)."""
+    VMEM fit — forward-mode tangents included for all three schemes,
+    with the CS/MCS correctors' extra live fields (primal AND the
+    tangent phase's z2p/z1c) counted against the budget."""
     import dataclasses
 
     spec = GridSpec(m1=50, m2=25)
@@ -55,10 +55,20 @@ def test_use_fused_predicate():
     cs = dataclasses.replace(pal, scheme="cs")
     assert fused_do.use_fused(spec, pal)
     assert fused_do.use_fused(spec, cs)
-    assert not fused_do.use_fused(spec, cs, n_tangents=5)
+    # CS forward mode is dispatchable where its larger working set fits
+    # (production grid in the test dtype) ...
+    assert fused_do.use_fused(spec, cs, n_tangents=5)
     mcs = dataclasses.replace(pal, scheme="mcs")
     assert fused_do.use_fused(spec, mcs)
-    assert not fused_do.use_fused(spec, mcs, n_tangents=5)
+    assert fused_do.use_fused(spec, mcs, n_tangents=5)
+    # ... and correctly gated out where it does not: a grid in the
+    # window that fits the 4-tangent DO Jacobian in f32 but NOT the CS
+    # one (27 fields = 62.8 MiB <= 64 < 31 fields = 72.1 MiB)
+    window = GridSpec(m1=70, m2=63)
+    assert fused_do.fits_vmem(window, 4, n_tangents=4)
+    assert not fused_do.fits_vmem(
+        window, 4, n_tangents=4,
+        extra_fields=fused_do._scheme_tangent_extra_fields("cs", 4))
     assert not fused_do.use_fused(
         spec, dataclasses.replace(pal, solver_engine="scan"))
     assert not fused_do.use_fused(GridSpec(m1=300, m2=150), pal)
