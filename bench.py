@@ -327,8 +327,29 @@ def _lm_multi_timing(spec, p, dtype):
     iters = int(np.asarray(info["iterations"]))
     assert np.all(np.isfinite(tv))
     dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=50)
-    return {"lm_multi200_s": dt, "lm_multi200_iterations": iters,
-            "lm_multi200_sse": float(np.asarray(info["final_error"]))}
+    out = {"lm_multi200_s": dt, "lm_multi200_iterations": iters,
+           "lm_multi200_sse": float(np.asarray(info["final_error"]))}
+
+    # the reference's LARGEST scenario: american + dividends over the
+    # same 200-point ladder (ref: src/heston_calibration.cpp:3245-3821)
+    # — still one fused launch per Jacobian pass (per-lane dividend
+    # events ride identity remap rows past each lane's maturity)
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+
+    def run_ad(init_vec):
+        return calib.calibrate_device(
+            spec, solver, jnp.asarray(strikes, dtype),
+            jnp.asarray(market, dtype), 100.0, init_vec, p.r_d, p.r_f,
+            cfg=cfg, group_steps=group_steps, american=True,
+            dividends=GOLDEN_DIVIDENDS)
+
+    tv2, info2 = jax.jit(run_ad)(init)
+    assert np.all(np.isfinite(np.asarray(tv2)))
+    out["lm_multi200_amer_div_s"] = _device_time_per_call(
+        lambda iv: run_ad(iv)[0], init, reps=50)
+    out["lm_multi200_amer_div_iterations"] = int(
+        np.asarray(info2["iterations"]))
+    return out
 
 
 def _book_risk(spec, p, batch, dtype):

@@ -340,14 +340,18 @@ def calibrate_device(
             # compares like with like) to the XLA engine.
             solver = dataclasses.replace(solver, solver_engine="scan")
 
-    # One-launch mixed-maturity fleet: with the fused kernel and no
-    # dividends, a multi-group chain prices ALL maturities in a single
-    # launch via per-lane step counts (the reference's CalibrationPoint
-    # packing, ref: src/heston_calibration.cpp:2165-2213) instead of one
+    # One-launch mixed-maturity fleet: with the fused kernel, a
+    # multi-group chain prices ALL maturities in a single launch via
+    # per-lane step counts (the reference's CalibrationPoint packing,
+    # ref: src/heston_calibration.cpp:2165-2213) instead of one
     # sequential launch per maturity group — bitwise-equal results.
+    # Dividend schedules compose: events keep their shared step index
+    # and lanes already past maturity get identity remap rows (the
+    # reference's american+dividend multi-maturity scenario,
+    # ref: src/heston_calibration.cpp:2936-3243).
     multi_nsteps = None
     sol_max = solver
-    if (pricer == "pde" and dividends is None and len(groups) > 1
+    if (pricer == "pde" and len(groups) > 1
             and solver.solver_engine == "pallas"):
         from heston_tpu.pallas import fused_do
 
@@ -372,7 +376,8 @@ def calibrate_device(
                     # surfaces, every maturity) in ONE kernel launch
                     bb, jj = fused_do.fused_theta_jacobian(
                         spec, sol_max, strikes, s0, tv, r_d, r_f,
-                        american=american, option_type=option_type,
+                        american=american, dividends=dividends,
+                        option_type=option_type,
                         n_steps_per=multi_nsteps)
                     return jj, bb
                 if fused_do.use_fused(spec, solver,
@@ -460,7 +465,7 @@ def calibrate_device(
             # and Jacobian come from the same executable family
             return fused_do.fused_price_batch(
                 spec, sol_max, strikes, s0, tv[0], tv[1], tv[2], tv[3],
-                tv[4], r_d, r_f, american=american,
+                tv[4], r_d, r_f, american=american, dividends=dividends,
                 option_type=option_type, n_steps_per=multi_nsteps)
     else:
         def fleet_prices(tv):

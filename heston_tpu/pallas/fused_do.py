@@ -296,16 +296,19 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     calibration chain prices in ONE launch under the shared-dt
     steps-per-year convention T_i = n_i * dt (the reference packs per-
     point time_steps/delta_t into one kernel the same way,
-    ref: src/heston_calibration.cpp:2165-2213). Incompatible with
-    div_plan (dividend step indices would differ per maturity)."""
+    ref: src/heston_calibration.cpp:2165-2213). COMPOSES with div_plan:
+    the step-window convention date in [n*dt, (n+1)*dt) assigns every
+    event the SAME step index for every maturity (the reference's
+    per-point window check does the same under shared dt,
+    ref: src/device_solver.hpp:433-437), so the plan is shared; lanes
+    whose n_i < event step get IDENTITY remap rows from
+    _build_remap_fields — bitwise-equal to per-group launches, which
+    never reach that step for those lanes."""
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
     K = n_tangents
     b1_rows = _b1_colrows(m1, m2)
-    if per_lane_steps and div_plan is not None:
-        raise ValueError("per_lane_steps is incompatible with dividend "
-                         "plans (event step indices differ per maturity)")
     if scheme not in ("do", "cs", "mcs"):
         raise ValueError(f"fused kernel implements 'do'/'cs'/'mcs' only, "
                          f"got {scheme!r}")
@@ -1109,13 +1112,22 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     return jax.vmap(one)(strikes, nsteps)
 
 
-def _build_remap_fields(vec_s, events, dtype, option_type="call"):
+def _build_remap_fields(vec_s, events, dtype, option_type="call",
+                        nsteps=None):
     """Compact per-option re-map fields: the dense matrix
     R_e[c, i] (U_new[:, i] = sum_c U[:, c] R[c, i]) of
     models.douglas.apply_dividend has <= 2 nonzeros per output column i,
     so per event only (i0, w0, i1, w1), each [B, ns], is stored:
     R_e[c, i] = w0[i]*(i0[i]==c) + w1[i]*(i1[i]==c). Indices are carried
     in the kernel dtype (exact for node counts << 2^24).
+
+    `events` are (step, amount, pct) triples; `nsteps` (optional,
+    [B] per-option step counts of a mixed-maturity launch) turns the
+    rows of options whose maturity ends BEFORE an event's step into the
+    IDENTITY map (i0 = i1 = own column, w0 = 1, w1 = 0) — their
+    per-maturity-group launches never reach that step, and the identity
+    keeps the one-launch path bitwise-equal (the difference-form remap
+    contributes exactly 0 and two_sum(u, 0) = (u, 0)).
 
     Calls zero the surface where the dividend pushes new_s <= 0 (the
     reference's convention, exact because U(0) = 0 for calls); puts copy
@@ -1124,8 +1136,10 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call"):
     b, ns = vec_s.shape
     m1 = ns - 1
     c_ids = jnp.arange(ns, dtype=jnp.int32)[None, :, None]   # [1, c, 1]
+    own = jnp.broadcast_to(
+        jnp.arange(ns, dtype=dtype)[None, :], (b, ns))       # identity i0/i1
     fields = []
-    for amount, pct in events:
+    for step_n, amount, pct in events:
         new_s = vec_s * (1.0 - pct) - amount            # [B, i]
         # first strictly-greater index as a comparison count, and the
         # grid values at lo/idx as one-hot contractions — vectorized:
@@ -1158,6 +1172,12 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call"):
         w1i = jnp.where(wc >= 0.5, wc, one - w0i)  # exact complement else
         w0 = valid * jnp.where(is_left, 1.0, w0i).astype(dtype)
         w1 = valid * jnp.where(is_left, 0.0, w1i).astype(dtype)
+        if nsteps is not None:
+            act = (jnp.asarray(nsteps) >= step_n)[:, None]   # [B, 1]
+            i0 = jnp.where(act, i0, own)
+            i1 = jnp.where(act, i1, own)
+            w0 = jnp.where(act, w0, jnp.ones_like(w0))
+            w1 = jnp.where(act, w1, jnp.zeros_like(w1))
         fields.append((i0, w0, i1, w1))                  # each [B, ns]
     return fields
 
@@ -1168,10 +1188,12 @@ MAX_EVENTS_PER_LAUNCH = 8  # compact fields: 4 x [ns, TILE] per event
 def _chunk_dividend_plan(solver, dividends):
     """Split the static schedule into launch chunks of
     <= MAX_EVENTS_PER_LAUNCH events. Returns a list of
-    (plan_tuple, [events...]) where plan covers a contiguous step range."""
-    items = []      # (step, [(amount, pct), ...]) in order
+    (plan_tuple, [(step, amount, pct)...]) where plan covers a
+    contiguous step range."""
+    items = []      # (step, [(step, amount, pct), ...]) in order
     for n in range(1, solver.n_steps + 1):
-        ev = dividends.events_for_step(n, solver.delta_t)
+        ev = [(n, a, p)
+              for (a, p) in dividends.events_for_step(n, solver.delta_t)]
         if ev:
             items.append((n, ev))
     chunks = []
@@ -1296,20 +1318,18 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
         return ([u, lam] if american else [u]) + dus + dlams
 
     if dividends is not None and len(dividends) > 0:
-        if per_lane:
-            raise ValueError(
-                "per-option step counts are incompatible with dividend "
-                "schedules (event step indices differ per maturity); "
-                "price dividend books per maturity group")
         n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
         n1a = jnp.asarray([0], jnp.int32)
+        nst_per = fields["nst"][0] if per_lane else None
         for plan, events in _chunk_dividend_plan(solver, dividends):
-            rmf = _build_remap_fields(vec_s, events, dtype, option_type)
+            rmf = _build_remap_fields(vec_s, events, dtype, option_type,
+                                      nsteps=nst_per)
             r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
             chunk_call = _segment_call(
                 spec.m1, spec.m2, solver.theta, solver.delta_t, american,
                 dtype.name, interpret, unroll, plan, len(events),
-                n_tiles, tile, K, put, scheme=solver.scheme)
+                n_tiles, tile, K, put, per_lane_steps=per_lane,
+                scheme=solver.scheme)
             sa = state_args()
             outs = chunk_call(n0a, n1a, rfa, sa[0],
                               *( [sa[1]] if american else [] ), *inv,
@@ -1373,8 +1393,10 @@ def fused_price_batch(
 
     n_steps_per: optional per-option step counts for ONE-LAUNCH mixed-
     maturity books under the shared-dt convention T_i = n_i * delta_t
-    (solver.n_steps must be max(n_steps_per); no dividends). Bitwise-
-    equal to pricing each maturity group in its own launch."""
+    (solver.n_steps must be max(n_steps_per)). Composes with dividend
+    schedules: events keep their shared step index and lanes already
+    past maturity get identity remap rows (see _build_remap_fields).
+    Bitwise-equal to pricing each maturity group in its own launch."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]

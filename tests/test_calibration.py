@@ -145,6 +145,39 @@ def test_device_lm_multi_maturity_groups(params):
     assert int(info["iterations"]) >= 1
 
 
+def test_device_lm_multi_maturity_dividends_one_launch(params):
+    """Mixed-maturity AD calibration WITH a dividend schedule: the
+    pallas engine rides the ONE-LAUNCH per-lane path (events at shared
+    step indices, identity remap rows past each lane's maturity —
+    the reference's american+dividend multi-maturity scenario,
+    ref: src/heston_calibration.cpp:2936-3243) and must reproduce the
+    scan-engine per-group trajectory to roundoff."""
+    import dataclasses
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+
+    strikes = jnp.concatenate([jnp.linspace(90., 110., 4)] * 2)
+    market = jnp.concatenate([
+        bs.generate_market_data(100.0, 0.5, params.r_d, strikes[:4]),
+        bs.generate_market_data(100.0, 1.0, params.r_d, strikes[4:]),
+    ])
+    init_vec = jnp.array(params.bumpable())
+    cfg = CalibrationConfig(max_iter=2, tol=1e-12, jacobian_mode="ad")
+    res = {}
+    for eng in ("scan", "pallas"):
+        sol = dataclasses.replace(SOLVER, solver_engine=eng)
+        tv, info = calib.calibrate_device(
+            SPEC, sol, strikes, market, 100.0, init_vec,
+            params.r_d, params.r_f, cfg=cfg, american=True,
+            dividends=GOLDEN_DIVIDENDS,
+            group_steps=((0, 4, 5), (4, 8, 10)))
+        res[eng] = (np.asarray(tv), float(info["final_error"]))
+    np.testing.assert_allclose(res["pallas"][0], res["scan"][0],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res["pallas"][1], res["scan"][1],
+                               rtol=1e-6)
+
+
 def test_calibration_sharded_matches_single(params):
     """The same LM driver with sharded pricing fns reproduces the
     single-device trajectory bit-for-bit."""

@@ -279,14 +279,45 @@ def test_per_lane_steps_jacobian_matches_per_group(params):
     np.testing.assert_array_equal(np.array(gj), np.concatenate(wj))
 
 
-def test_per_lane_steps_rejects_dividends(params):
+def test_per_lane_steps_with_dividends_match_per_group(params):
+    """One-launch mixed-maturity pricing AND Jacobian WITH a dividend
+    schedule: events keep their shared step index (the date-window
+    convention is maturity-independent under shared dt — the
+    reference's per-point window check behaves the same,
+    ref: src/device_solver.hpp:433-437) and lanes whose maturity ends
+    before an event get identity remap rows; bitwise-equal to
+    per-maturity-group launches (the reference's american+dividend
+    multi-maturity packing, ref: src/heston_calibration.cpp:2936-3243)."""
+    import dataclasses
+
     p = params
-    ks = jnp.array([95.0, 105.0])
-    with pytest.raises(ValueError, match="per-option step counts"):
-        fused_do.fused_price_batch(
-            SPEC, SOLVER, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f, dividends=GOLDEN_DIVIDENDS,
-            interpret=True, n_steps_per=jnp.array([2, 4]))
+    dt = SOLVER.delta_t          # 0.25: GOLDEN dates .4/.6/.8 hit steps
+    groups = [(0, 2, 2), (2, 4, 4)]   # 1/2/3; the n=2 group sees 1/2 only
+    ks = jnp.array([95.0, 105.0, 95.0, 105.0], dtype=jnp.float64)
+    nst = jnp.array([2, 2, 4, 4])
+    tv = jnp.array(p.bumpable())
+    want, wb, wj = [], [], []
+    for (a, b, n) in groups:
+        sol = dataclasses.replace(SOLVER, n_steps=n, maturity=n * dt)
+        want.append(np.array(fused_do.fused_price_batch(
+            SPEC, sol, ks[a:b], 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, american=True,
+            dividends=GOLDEN_DIVIDENDS, interpret=True)))
+        bb, jj = fused_do.fused_theta_jacobian(
+            SPEC, sol, ks[a:b], 100.0, tv, p.r_d, p.r_f, american=True,
+            dividends=GOLDEN_DIVIDENDS, interpret=True)
+        wb.append(np.array(bb))
+        wj.append(np.array(jj))
+    got = np.array(fused_do.fused_price_batch(
+        SPEC, SOLVER, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+        p.v0, p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
+        interpret=True, n_steps_per=nst))
+    np.testing.assert_array_equal(got, np.concatenate(want))
+    gb, gj = fused_do.fused_theta_jacobian(
+        SPEC, SOLVER, ks, 100.0, tv, p.r_d, p.r_f, american=True,
+        dividends=GOLDEN_DIVIDENDS, interpret=True, n_steps_per=nst)
+    np.testing.assert_array_equal(np.array(gb), np.concatenate(wb))
+    np.testing.assert_array_equal(np.array(gj), np.concatenate(wj))
 
 
 @pytest.mark.parametrize("kw", [
