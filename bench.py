@@ -357,6 +357,8 @@ def _book_risk(spec, p, batch, dtype):
     theta for every option (American + dividends) in one fused-kernel
     launch plus stencil epilogues (models.greeks.batch_greeks). The
     reference has no batched-greeks analog."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from heston_tpu.config import GOLDEN_DIVIDENDS, SolverConfig
@@ -375,7 +377,27 @@ def _book_risk(spec, p, batch, dtype):
         return r["price"] + r["delta"] + r["gamma"] + r["theta"]
 
     dt = _device_time_per_call(fn, ks, reps=500)
-    return {f"book_risk{batch}_s": dt}
+    out = {f"book_risk{batch}_s": dt}
+
+    # mixed-maturity book (10 maturities, per-lane step counts): the
+    # whole book's risk still runs in ONE fused launch
+    n_groups = 10
+    per = batch // n_groups
+    groups = tuple((i * per,
+                    batch if i == n_groups - 1 else (i + 1) * per,
+                    2 * (i + 1)) for i in range(n_groups))
+    sol_mx = dataclasses.replace(solver, n_steps=20, maturity=1.0)
+
+    def fn_mx(k):
+        r = greeks.batch_greeks(
+            spec, sol_mx, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
+            group_steps=groups)
+        return r["price"] + r["delta"] + r["gamma"] + r["theta"]
+
+    out[f"book_risk{batch}_multi10_s"] = _device_time_per_call(
+        fn_mx, ks, reps=500)
+    return out
 
 
 def _cpu_arm(spec, p, batch, tpu_value):

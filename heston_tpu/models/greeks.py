@@ -26,7 +26,8 @@ from heston_tpu.models import douglas
 from heston_tpu.ops import operators
 
 
-def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v):
+def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v,
+                  nsf=None):
     """price / delta / gamma / theta for ONE instance read off its
     solution surface with the discretization's own stencils
     (delta = w_beta, gamma = w_delta); THE single implementation behind
@@ -36,8 +37,16 @@ def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v):
     WITHOUT it the theta of an American option in the early-exercise
     region would read a spurious ~r_d*K instead of ~0), so
     theta = -(L U + b*e^{rate*dt*N} + lambda). lam is zeros for
-    European."""
+    European.
+
+    `nsf`: the option's OWN step count (defaults to solver.n_steps) —
+    mixed-maturity books scale each boundary vector through the lane's
+    own e^{rate dt n_i} factor (ops.b was assembled with the matching
+    e^{-rate dt (n_i - 1)})."""
     from heston_tpu.ops import coeff
+
+    if nsf is None:
+        nsf = solver.n_steps
 
     # the stencil center is clamped to the interior; when the inserted
     # spot node sits ON a grid boundary (idx_s = 0 or m1) the parabola
@@ -54,7 +63,7 @@ def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v):
     du = (operators.a0_multiply(ops, u)
           + operators.a1_multiply(ops, u)
           + operators.a2_multiply(ops, u)
-          + ops.b * jnp.exp(b_rate * solver.delta_t * solver.n_steps)
+          + ops.b * jnp.exp(b_rate * solver.delta_t * nsf)
           + lam)
     gamma_i = dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1]
     delta_i = bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1]
@@ -179,7 +188,8 @@ def price_and_greeks(
 
 @functools.partial(
     jax.jit, static_argnames=("spec", "solver", "american", "dividends",
-                              "option_type", "param_jacobian"))
+                              "option_type", "param_jacobian",
+                              "group_steps"))
 def batch_greeks(
     spec: GridSpec,
     solver: SolverConfig,
@@ -190,6 +200,7 @@ def batch_greeks(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     param_jacobian: bool = False,
+    group_steps=(),
 ) -> Dict[str, jax.Array]:
     """Book-level risk in ONE batched solve: price, delta, gamma and
     calendar theta for every option, read off each option's solution
@@ -200,17 +211,33 @@ def batch_greeks(
     param_jacobian=True adds the five exact model-parameter
     sensitivities d(kappa, eta, sigma, rho, v0) [B, 5] via forward-mode
     AD — through the fused Pallas kernel in one launch when the engine
-    and grid allow (fused_do.use_fused), else the XLA linearize path."""
-    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+    and grid allow (fused_do.use_fused), else the XLA linearize path.
 
-    def prepare(k):
-        return douglas.prepare_instance(
-            spec, solver, k, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-            option_type)
+    group_steps: optional static tuple of (start, end, n_steps) slices
+    — a MIXED-MATURITY book under the shared-dt convention
+    T_i = n_i * solver.delta_t with solver.n_steps = max(n_i) (the
+    reference's CalibrationPoint packing applied to risk,
+    ref: src/heston_calibration.cpp:2165-2213). With the fused engine
+    the whole book still runs in ONE launch (per-lane step counts);
+    the XLA fallback prices per maturity group."""
+    import dataclasses
+
+    b_rate = operators.boundary_rate(r_d, r_f, option_type)
 
     from heston_tpu.pallas import fused_do
 
     ks = jnp.asarray(strikes)
+    dtype = jnp.result_type(float)
+    if group_steps:
+        if solver.n_steps != max(n for _, _, n in group_steps):
+            raise ValueError("solver.n_steps must be max(group n_steps)")
+        nsf = jnp.concatenate([
+            jnp.full(e - a, n, dtype) for a, e, n in group_steps])
+        nsteps_per = jnp.concatenate([
+            jnp.full(e - a, n, jnp.int32) for a, e, n in group_steps])
+    else:
+        nsf = jnp.full(ks.shape, solver.n_steps, dtype)
+        nsteps_per = None
     risk = functools.partial(_surface_risk, spec, solver, b_rate)
     if fused_do.use_fused(spec, solver):
         # surfaces + the ALREADY-assembled operators from ONE fused
@@ -221,40 +248,63 @@ def batch_greeks(
             fused_do.fused_surface_batch(
                 spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d,
                 r_f, american=american, dividends=dividends,
-                option_type=option_type))
-        out = jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v)
+                option_type=option_type, n_steps_per=nsteps_per))
+        out = jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v,
+                             nsf)
     else:
-        def one(k):
-            inst = prepare(k)
-            u, lam = douglas.run_time_loop(
-                inst, solver, b_rate, american, dividends, option_type,
-                with_lambda=True)
-            return risk(u, lam, inst.ops, inst.grid.vec_s, inst.idx_s,
-                        inst.idx_v)
+        def one_group(sol_g, ks_g):
+            def one(k):
+                inst = douglas.prepare_instance(
+                    spec, sol_g, k, s0, kappa, eta, sigma, rho, v0,
+                    r_d, r_f, option_type)
+                u, lam = douglas.run_time_loop(
+                    inst, sol_g, b_rate, american, dividends,
+                    option_type, with_lambda=True)
+                return risk(u, lam, inst.ops, inst.grid.vec_s,
+                            inst.idx_s, inst.idx_v,
+                            jnp.asarray(sol_g.n_steps, dtype))
 
-        out = jax.vmap(one)(ks)
+            return jax.vmap(one)(ks_g)
+
+        if group_steps:
+            parts = [
+                one_group(dataclasses.replace(
+                    solver, n_steps=n, maturity=n * solver.delta_t),
+                    ks[a:e])
+                for a, e, n in group_steps]
+            out = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs), *parts)
+        else:
+            out = one_group(solver, ks)
     if param_jacobian:
+        tv = jnp.stack([jnp.asarray(v, dtype)
+                        for v in (kappa, eta, sigma, rho, v0)])
         if fused_do.use_fused(spec, solver,
                               n_tangents=fused_do.JAC_TANGENTS):
-            dtype = jnp.result_type(float)
-            tv = jnp.stack([jnp.asarray(v, dtype)
-                            for v in (kappa, eta, sigma, rho, v0)])
             _, jac = fused_do.fused_theta_jacobian(
                 spec, solver, ks, s0, tv, r_d, r_f,
                 american=american, dividends=dividends,
-                option_type=option_type)
+                option_type=option_type, n_steps_per=nsteps_per)
         else:
             # same formulation as the fused branch (4 AD columns + the
             # surface v-stencil v0 column) so the book Jacobian is
             # engine-independent
             from heston_tpu.models import calibration as calib
 
-            dtype = jnp.result_type(float)
-            tv = jnp.stack([jnp.asarray(v, dtype)
-                            for v in (kappa, eta, sigma, rho, v0)])
-            jac, _ = calib.jacobian_and_prices_ad(
-                spec, solver, ks, s0, tv, r_d, r_f, american=american,
-                dividends=dividends, option_type=option_type)
+            if group_steps:
+                jac = jnp.concatenate([
+                    calib.jacobian_and_prices_ad(
+                        spec, dataclasses.replace(
+                            solver, n_steps=n,
+                            maturity=n * solver.delta_t),
+                        ks[a:e], s0, tv, r_d, r_f, american=american,
+                        dividends=dividends, option_type=option_type)[0]
+                    for a, e, n in group_steps])
+            else:
+                jac, _ = calib.jacobian_and_prices_ad(
+                    spec, solver, ks, s0, tv, r_d, r_f,
+                    american=american, dividends=dividends,
+                    option_type=option_type)
         out["param_jacobian"] = jac
     return out
 

@@ -1050,9 +1050,12 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
 
     def one(k, nsf):
         g = gridmod.make_grid(spec, s0, k, v0)
+        # per-option nsf (mixed-maturity books) so ops.b carries each
+        # option's OWN e^{-rate dt (n_i - 1)} boundary scaling — surface
+        # consumers (batch_greeks' theta epilogue) stay exact per lane
         ops = operators.build_operators(
             g, kappa, eta, sigma, rho, r_d, r_f, solver.theta,
-            solver.delta_t, solver.n_steps, solver.a2_variant,
+            solver.delta_t, nsf, solver.a2_variant,
             option_type, k)
         dtype = g.vec_s.dtype
         u0 = jnp.maximum(
@@ -1425,6 +1428,7 @@ def fused_surface_batch(
     interpret: Optional[bool] = None,
     unroll: bool = False,
     option_type: str = "call",
+    n_steps_per: Optional[jnp.ndarray] = None,
 ):
     """Like fused_price_batch but returns the full terminal surfaces
     (u [B, nv, ns]) and American lambda-multiplier surfaces (lam, same
@@ -1432,16 +1436,20 @@ def fused_surface_batch(
     assembled and per-option (vec_s [B, ns], idx_s, idx_v) — the input to book-level risk extraction
     (models.greeks.batch_greeks), which reads delta/gamma/theta off each
     surface with the discretization's own stencils at fused-kernel
-    speed."""
+    speed.
+
+    n_steps_per: optional per-option step counts — a mixed-maturity
+    book's surfaces (every maturity) come back from ONE launch, each
+    lane frozen at its own terminal step (see fused_price_batch)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
-    strikes_p, tile, n_tiles, _ = _pad_strikes(
-        spec, strikes, strict=not interpret,
+    strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
+        spec, strikes, strict=not interpret, nsteps=n_steps_per,
         extra_fields=_scheme_extra_fields(solver.scheme))
     fields, vec_s, idx_s, idx_v, ops = _assemble(
         spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type)
+        option_type, nsteps_p)
     dtype = fields["u"].dtype
     fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     u, lam, _ = _run_chunks(spec, solver, american, dividends, dtype,

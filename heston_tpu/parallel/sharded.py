@@ -281,6 +281,39 @@ def _risk_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _risk_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+                     american: bool, dividends, option_type: str):
+    """Mixed-maturity whole-book risk: each shard runs ONE fused launch
+    over its slice of the book with per-lane step counts (the sharded
+    form of batch_greeks(group_steps=...); fused engine only — the
+    caller guards use_fused)."""
+    from heston_tpu.models import greeks
+    from heston_tpu.ops import operators
+    from heston_tpu.pallas import fused_do
+
+    def local(ks, nst, tv, s0, r_d, r_f):
+        b_rate = operators.boundary_rate(r_d, r_f, option_type)
+        surf, lam, ops_b, vec_s_b, idx_s, idx_v = (
+            fused_do.fused_surface_batch(
+                spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+                r_d, r_f, american=american, dividends=dividends,
+                option_type=option_type, n_steps_per=nst))
+        risk = functools.partial(greeks._surface_risk, spec, solver,
+                                 b_rate)
+        out = jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v,
+                             nst.astype(ks.dtype))
+        return (out["price"], out["delta"], out["gamma"], out["theta"])
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
+        out_specs=(P(AXIS),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def batch_greeks_sharded(
     mesh: Mesh,
     spec: GridSpec,
@@ -293,19 +326,54 @@ def batch_greeks_sharded(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    group_steps=(),
 ):
     """Whole-book risk (price / delta / gamma / theta per option,
     models.greeks.batch_greeks) with the book sharded across the mesh —
     each chip runs the fused surface pass + stencil epilogues on its
-    shard; no collectives. Returns a dict of [n] arrays."""
+    shard; no collectives. Returns a dict of [n] arrays.
+
+    group_steps: optional static (start, end, n_steps) slices for a
+    mixed-maturity book (see models.greeks.batch_greeks). With the
+    fused engine each shard prices its slice of the WHOLE mixed book in
+    one launch (per-lane step counts); otherwise each maturity group is
+    sharded separately."""
     n_dev = mesh.devices.size
     padded, n = _pad_to(jnp.asarray(strikes), n_dev)
     dtype = padded.dtype
+    tv = jnp.asarray(theta_vec, dtype)
+    s0a, rda, rfa = (jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
+                     jnp.asarray(r_f, dtype))
+    if group_steps:
+        from heston_tpu.pallas import fused_do
+
+        if solver.n_steps != max(g[2] for g in group_steps):
+            raise ValueError("solver.n_steps must be max(group n_steps)")
+        if fused_do.use_fused(spec, solver):
+            nst = jnp.concatenate([
+                jnp.full(e - a, g, jnp.int32) for a, e, g in group_steps])
+            nst_p, _ = _pad_to(nst, n_dev)
+            fn = _risk_exec_mixed(mesh, spec, solver, american, dividends,
+                                  option_type)
+            price, delta, gamma, theta = fn(
+                shard_batch(padded, mesh), shard_batch(nst_p, mesh),
+                tv, s0a, rda, rfa)
+            return dict(price=price[:n], delta=delta[:n],
+                        gamma=gamma[:n], theta=theta[:n])
+        # XLA engines: shard each maturity group separately
+        parts = [
+            batch_greeks_sharded(
+                mesh, spec,
+                dataclasses.replace(solver, n_steps=g,
+                                    maturity=g * solver.delta_t),
+                strikes[a:e], s0, theta_vec, r_d, r_f, american=american,
+                dividends=dividends, option_type=option_type)
+            for a, e, g in group_steps]
+        return {k: jnp.concatenate([p[k] for p in parts])
+                for k in parts[0]}
     fn = _risk_exec(mesh, spec, solver, american, dividends, option_type)
     price, delta, gamma, theta = fn(
-        shard_batch(padded, mesh), jnp.asarray(theta_vec, dtype),
-        jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
-        jnp.asarray(r_f, dtype))
+        shard_batch(padded, mesh), tv, s0a, rda, rfa)
     return dict(price=price[:n], delta=delta[:n], gamma=gamma[:n],
                 theta=theta[:n])
 

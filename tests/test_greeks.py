@@ -207,3 +207,38 @@ def test_american_put_theta_in_exercise_region(params):
         params.kappa, params.eta, params.sigma, params.rho, params.v0,
         params.r_d, params.r_f, american=False, option_type="put"))
     assert th_e > 1.0, th_e
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_batch_greeks_mixed_maturity_groups(params, engine):
+    """A mixed-maturity book (group_steps, the reference's
+    CalibrationPoint packing applied to risk,
+    ref: src/heston_calibration.cpp:2165-2213) with an American+dividend
+    overlay equals per-maturity-group batch_greeks calls — for the XLA
+    group loop AND the fused one-launch per-lane path (theta tolerance
+    1e-9: the padded-batch vmapped assembly reorders float ops with the
+    batch shape, same effect the fused-vs-XLA test documents)."""
+    import dataclasses
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+
+    ks = jnp.array([90.0, 100.0, 110.0, 95.0, 105.0])
+    groups = ((0, 3, 5), (3, 5, 10))
+    args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
+            params.v0, params.r_d, params.r_f)
+    tol = dict(price=1e-11, delta=1e-11, gamma=1e-11, theta=1e-9,
+               param_jacobian=1e-11)
+    se = dataclasses.replace(SOLVER, solver_engine=engine)
+    got = greeks.batch_greeks(SPEC, se, ks, *args, american=True,
+                              dividends=GOLDEN_DIVIDENDS,
+                              param_jacobian=True, group_steps=groups)
+    parts = []
+    for a, e, n in groups:
+        sg = dataclasses.replace(se, n_steps=n, maturity=n * se.delta_t)
+        parts.append(greeks.batch_greeks(
+            SPEC, sg, ks[a:e], *args, american=True,
+            dividends=GOLDEN_DIVIDENDS, param_jacobian=True))
+    for key, atol in tol.items():
+        want = np.concatenate([np.asarray(p[key]) for p in parts])
+        np.testing.assert_allclose(np.asarray(got[key]), want, rtol=0,
+                                   atol=atol, err_msg=f"{engine}:{key}")

@@ -183,3 +183,31 @@ def test_sharded_ad_jacobian_vmem_window_falls_back(params, mesh):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.array(jac), np.array(want_jac),
                                rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_sharded_mixed_maturity_book_risk(params, mesh, engine):
+    """batch_greeks_sharded(group_steps=...) == single-device
+    batch_greeks(group_steps=...): the fused engine runs ONE per-lane
+    launch per shard; XLA engines shard each maturity group separately."""
+    import dataclasses
+
+    from heston_tpu.models import greeks
+    from heston_tpu.parallel import batch_greeks_sharded
+
+    ks = jnp.linspace(85.0, 115.0, 11)          # 11 % 8 != 0
+    groups = ((0, 5, 5), (5, 11, 10))
+    se = dataclasses.replace(SOLVER, solver_engine=engine)
+    tv = _theta(params)
+    want = greeks.batch_greeks(
+        SPEC, se, ks, 100.0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f, american=True,
+        dividends=GOLDEN_DIVIDENDS, group_steps=groups)
+    got = batch_greeks_sharded(
+        mesh, SPEC, se, ks, 100.0, tv, params.r_d, params.r_f,
+        american=True, dividends=GOLDEN_DIVIDENDS, group_steps=groups)
+    for key in ("price", "delta", "gamma", "theta"):
+        np.testing.assert_allclose(
+            np.array(got[key]), np.array(want[key]), rtol=0,
+            atol=(1e-9 if key == "theta" else 1e-11),
+            err_msg=f"{engine}:{key}")
