@@ -156,6 +156,11 @@ def main(argv=None):
     p.add_argument("--param-jacobian", action="store_true",
                    help="also output the five model-parameter "
                         "sensitivities per option")
+    p.add_argument("--maturities", type=float, nargs="+", default=None,
+                   help="per-strike maturities (same count as --strikes) "
+                        "for a mixed-maturity book — priced in ONE fused "
+                        "launch via per-lane step counts; steps per year "
+                        "come from n-steps/maturity")
 
     p = sub.add_parser("surface", help="export a price surface CSV")
     _add_common(p)
@@ -328,19 +333,51 @@ def main(argv=None):
 
         divs = _parse_dividends(args.dividends)
         engine = "pallas" if args.engine == "pallas" else "scan"
+        sol_r = dataclasses.replace(solver, solver_engine=engine)
+        strikes = np.asarray(args.strikes, dtype=float)
+        mats = None
+        groups = ()
+        order = np.arange(len(strikes))
+        if args.maturities is not None:
+            mats = np.asarray(args.maturities, dtype=float)
+            if len(mats) != len(strikes):
+                raise SystemExit("--maturities must pair 1:1 with "
+                                 "--strikes")
+            # shared-dt convention: n_i = round(spy * T_i), dt from the
+            # common (n_steps, maturity) config
+            spy = solver.n_steps / solver.maturity
+            nst = np.maximum(1, np.round(spy * mats)).astype(int)
+            order = np.argsort(nst, kind="stable")
+            strikes = strikes[order]
+            nst_sorted = nst[order]
+            bounds = np.flatnonzero(np.diff(nst_sorted)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(strikes)]])
+            groups = tuple(
+                (int(a), int(e), int(nst_sorted[a]))
+                for a, e in zip(starts, ends))
+            n_max = int(nst_sorted[-1])
+            sol_r = dataclasses.replace(
+                sol_r, n_steps=n_max, maturity=n_max / spy)
+            if len(groups) == 1:
+                groups = ()
         out = greeks_mod.batch_greeks(
-            spec, dataclasses.replace(solver, solver_engine=engine),
-            jnp.asarray(args.strikes), args.spot, params.kappa, params.eta,
+            spec, sol_r,
+            jnp.asarray(strikes), args.spot, params.kappa, params.eta,
             params.sigma, params.rho, params.v0, params.r_d, params.r_f,
             american=args.american, dividends=divs,
             option_type=args.option_type,
-            param_jacobian=args.param_jacobian)
-        for j, k in enumerate(args.strikes):
-            row = {"strike": k,
+            param_jacobian=args.param_jacobian, group_steps=groups)
+        inv = np.argsort(order, kind="stable")  # back to input order
+        for i in range(len(strikes)):
+            j = int(inv[i])
+            row = {"strike": float(args.strikes[i]),
                    "price": float(out["price"][j]),
                    "delta": float(out["delta"][j]),
                    "gamma": float(out["gamma"][j]),
                    "theta": float(out["theta"][j])}
+            if mats is not None:
+                row["maturity"] = float(args.maturities[i])
             if args.param_jacobian:
                 row.update(zip(("d_kappa", "d_eta", "d_sigma", "d_rho",
                                 "vega_v0"),

@@ -66,6 +66,30 @@ def test_cli_risk(capsys):
     assert deltas[0] > deltas[1] > deltas[2] > 0   # call deltas fall
     assert all(r["gamma"] > 0 and r["theta"] < 0 for r in rows)
     assert all("vega_v0" in r for r in rows)
+def test_cli_risk_mixed_maturities(capsys):
+    """--maturities prices a mixed-maturity book (one fused launch with
+    per-lane step counts under the pallas engine; XLA group loop here)
+    and must equal per-maturity single-book runs, in INPUT order."""
+    rc = cli.main(["risk", "--strikes", "100", "90", "110",
+                   "--maturities", "1.0", "0.5", "0.5",
+                   "--m1", "20", "--m2", "10", "--n-steps", "4",
+                   "--american"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["strike"] for r in rows] == [100.0, 90.0, 110.0]
+    assert [r["maturity"] for r in rows] == [1.0, 0.5, 0.5]
+    for sub, mat, nst in ((["100"], "1.0", "4"), (["90", "110"], "0.5", "2")):
+        rc = cli.main(["risk", "--strikes", *sub, "--m1", "20", "--m2",
+                       "10", "--n-steps", nst, "--maturity", mat,
+                       "--american"])
+        assert rc == 0
+        want = [json.loads(l)
+                for l in capsys.readouterr().out.splitlines()]
+        got = [r for r in rows if r["maturity"] == float(mat)]
+        for g, w in zip(got, want):
+            for key in ("price", "delta", "gamma", "theta"):
+                assert abs(g[key] - w[key]) < 1e-9, (key, g, w)
+
 
 
 def test_cli_mc(capsys):
