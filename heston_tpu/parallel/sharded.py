@@ -192,6 +192,42 @@ def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def _normal_eq_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+                          american: bool, dividends,
+                          option_type: str = "call"):
+    """Mixed-maturity distributed LM linear-algebra step: each shard runs
+    ONE fused forward-mode launch over its slice of the whole maturity
+    ladder (per-lane step counts — the distributed form of
+    calibrate_device's one-launch multi-maturity path), then the normal
+    equations reduce over ICI as usual. Fused engine only (the caller
+    guards use_fused with JAC_TANGENTS)."""
+    from heston_tpu.pallas import fused_do
+
+    def local(ks, nst, mkt, w, tv, lam_, s0, r_d, r_f):
+        base, jac = fused_do.fused_theta_jacobian(
+            spec, solver, ks, s0, tv, r_d, r_f, american=american,
+            dividends=dividends, option_type=option_type,
+            n_steps_per=nst)
+        resid = (mkt - base) * w
+        jac = jac * w[:, None]
+        jtj = jax.lax.psum(jac.T @ jac, AXIS)
+        jtr = jax.lax.psum(jac.T @ resid, AXIS)
+        sse = jax.lax.psum(resid @ resid, AXIS)
+        jtj = jtj * (1.0 + lam_ * jnp.eye(N_PARAMS, dtype=jtj.dtype))
+        delta = jnp.linalg.solve(jtj, jtr)
+        return delta, base, sse
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(), P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def price_batch_sharded(
     mesh: Mesh,
     spec: GridSpec,
@@ -236,6 +272,7 @@ def jacobian_normal_eq_sharded(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     jacobian_mode: Optional[str] = None,
+    group_steps=(),
 ):
     """One fully-distributed LM linear-algebra step.
 
@@ -243,12 +280,42 @@ def jacobian_normal_eq_sharded(
     JtJ = psum(J_loc^T J_loc), Jtr = psum(J_loc^T r_loc) over ICI, Marquardt
     damping JtJ_ii *= (1+lam), and a replicated 5x5 solve. Padded entries are
     zero-weighted so they don't pollute the reduction. Returns
-    (delta [5] replicated, base_prices [n], sse replicated)."""
+    (delta [5] replicated, base_prices [n], sse replicated).
+
+    group_steps: optional static (start, end, n_steps) maturity-ladder
+    slices (see models.calibration.calibrate_device). With the fused
+    engine each shard prices + differentiates its slice of the WHOLE
+    ladder in ONE forward-mode launch (per-lane step counts)."""
     n_dev = mesh.devices.size
     padded_k, n = _pad_to(jnp.asarray(strikes), n_dev)
     padded_m, _ = _pad_to(jnp.asarray(market_prices), n_dev)
     dtype = padded_k.dtype
     valid = (jnp.arange(padded_k.shape[0]) < n).astype(dtype)
+    if group_steps:
+        from heston_tpu.pallas import fused_do
+
+        if solver.n_steps != max(g[2] for g in group_steps):
+            raise ValueError("solver.n_steps must be max(group n_steps)")
+        if not (solver.solver_engine == "pallas" and fused_do.use_fused(
+                spec, solver, n_tangents=fused_do.JAC_TANGENTS)):
+            raise ValueError(
+                "group_steps needs the fused engine (per-lane step "
+                "counts); price each maturity group separately via "
+                "calibrate(pricing_fns=sharded_pricing_fns(mesh)) "
+                "otherwise")
+        nst = jnp.concatenate([
+            jnp.full(e - a, g, jnp.int32) for a, e, g in group_steps])
+        nst_p, _ = _pad_to(nst, n_dev)
+        fn = _normal_eq_exec_mixed(mesh, spec, solver, american,
+                                   dividends, option_type)
+        delta, base, sse = fn(
+            shard_batch(padded_k, mesh), shard_batch(nst_p, mesh),
+            shard_batch(padded_m, mesh), shard_batch(valid, mesh),
+            jnp.asarray(theta_vec, dtype), jnp.asarray(lam, dtype),
+            jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
+            jnp.asarray(r_f, dtype),
+        )
+        return delta, base[:n], sse
     fn = _normal_eq_exec(mesh, spec, solver, american, dividends, eps,
                          option_type, _auto_jacobian_mode(jacobian_mode))
     delta, base, sse = fn(

@@ -211,3 +211,56 @@ def test_sharded_mixed_maturity_book_risk(params, mesh, engine):
             np.array(got[key]), np.array(want[key]), rtol=0,
             atol=(1e-9 if key == "theta" else 1e-11),
             err_msg=f"{engine}:{key}")
+
+
+def test_sharded_mixed_maturity_normal_eq_one_launch(params, mesh):
+    """jacobian_normal_eq_sharded(group_steps=...): each shard runs ONE
+    fused forward-mode launch over its slice of the maturity ladder
+    (per-lane step counts, the distributed form of calibrate_device's
+    one-launch multi-maturity path) — equal to the single-device
+    normal-equation step built from fused_theta_jacobian."""
+    import dataclasses
+
+    from heston_tpu.models import bs
+    from heston_tpu.pallas import fused_do
+
+    solver = dataclasses.replace(SOLVER, solver_engine="pallas")
+    ks = jnp.concatenate([jnp.linspace(90.0, 110.0, 8)] * 2)
+    groups = ((0, 8, 5), (8, 16, 10))
+    nst = jnp.concatenate([jnp.full(8, 5), jnp.full(8, 10)])
+    market = jnp.concatenate([
+        bs.generate_market_data(100.0, 0.5, params.r_d, ks[:8]),
+        bs.generate_market_data(100.0, 1.0, params.r_d, ks[8:]),
+    ])
+    tv = _theta(params)
+    lam = 0.01
+    delta, base, sse = jacobian_normal_eq_sharded(
+        mesh, SPEC, solver, ks, market, 100.0, tv, params.r_d,
+        params.r_f, lam=lam, american=True,
+        dividends=GOLDEN_DIVIDENDS, group_steps=groups)
+    want_base, want_jac = fused_do.fused_theta_jacobian(
+        SPEC, solver, ks, 100.0, tv, params.r_d, params.r_f,
+        american=True, dividends=GOLDEN_DIVIDENDS, interpret=True,
+        n_steps_per=nst)
+    resid = np.asarray(market) - np.asarray(want_base)
+    J = np.asarray(want_jac)
+    jtj = J.T @ J * (1.0 + lam * np.eye(5))
+    want_delta = np.linalg.solve(jtj, J.T @ resid)
+    np.testing.assert_allclose(np.array(base), np.asarray(want_base),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(float(sse), float(resid @ resid),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.array(delta), want_delta, rtol=1e-8,
+                               atol=1e-12)
+
+
+def test_sharded_mixed_maturity_normal_eq_rejects_xla_engine(params, mesh):
+    from heston_tpu.models import bs
+
+    ks = jnp.linspace(90.0, 110.0, 8)
+    market = bs.generate_market_data(100.0, 1.0, params.r_d, ks)
+    with pytest.raises(ValueError, match="fused engine"):
+        jacobian_normal_eq_sharded(
+            mesh, SPEC, SOLVER, ks, market, 100.0, _theta(params),
+            params.r_d, params.r_f, lam=0.01,
+            group_steps=((0, 4, 5), (4, 8, 10)))
