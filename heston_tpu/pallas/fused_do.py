@@ -347,6 +347,17 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         rf = rf_ref[0]
         n0 = n0_ref[0]
         n1 = n1_ref[0]
+        if per_lane_steps:
+            # per-TILE early exit: this tile's own max step count bounds
+            # its time loop (the loop bound is an SMEM scalar already, so
+            # this costs nothing structurally). Steps past the tile max
+            # would freeze every lane (see `act` below) — skipping them
+            # is bitwise-identical, and a book sorted by maturity turns
+            # short-maturity tiles into genuinely shorter launches.
+            # Exact: step counts are integers << 2^24 in f32.
+            tile_n1 = jnp.max(nst_ref[0]).astype(n1.dtype) + 1
+        else:
+            tile_n1 = None
 
         # The A1 bands are RANK-2 in (s, v):
         #   band[i, j] = v_j * P[i] + Q[i]
@@ -905,7 +916,17 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         carry = tuple(carry)
 
         if div_plan is None:
-            carry = lax.fori_loop(n0, n1, step, carry)
+            # per-lane books: the bound is ALREADY an SMEM scalar, so
+            # min() with the tile max keeps the while-loop lowering (and
+            # with it bitwise equality to the per-group launches) while
+            # letting short-maturity tiles exit early. Dividend segments
+            # below deliberately KEEP their static bounds: turning them
+            # dynamic would switch lax.fori_loop's scan lowering to
+            # while_loop, whose different fusion/FMA contraction shifts
+            # results by an ulp vs the per-group path (measured) — there
+            # the frozen lanes' steps run and are discarded instead.
+            hi = n1 if tile_n1 is None else jnp.minimum(n1, tile_n1)
+            carry = lax.fori_loop(n0, hi, step, carry)
         else:
             e_idx = 0
             w_dirty = False   # w_ref clobbered by a remap staging?
