@@ -55,6 +55,15 @@ def main():
     print("book delta:", np.round(np.asarray(risk["delta"]), 4))
     print("book gamma:", np.round(np.asarray(risk["gamma"]), 5))
 
+    # --- 2c. MIXED-maturity book: group_steps = (start, end, n_steps)
+    # slices under the shared-dt convention T_i = n_i * delta_t; with the
+    # pallas engine the whole ladder runs in ONE fused launch
+    mixed = greeks.batch_greeks(
+        spec, solver, strikes, s0, params.kappa, params.eta, params.sigma,
+        params.rho, params.v0, params.r_d, params.r_f, american=True,
+        group_steps=((0, 5, 10), (5, len(strikes), 20)))  # T=0.5 and T=1.0
+    print("mixed-book theta:", np.round(np.asarray(mixed["theta"]), 4))
+
     # --- 3. calibrate to a synthetic flat-vol market ----------------------
     chain = jnp.linspace(70.0, 129.0, 30)
     market = bs.generate_market_data(s0, 1.0, params.r_d, chain)
