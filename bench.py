@@ -102,6 +102,7 @@ def main():
             ("lm", lambda: _lm_timing(spec, p, dtype)),
             ("lm_multi", lambda: _lm_multi_timing(spec, p, dtype)),
             ("book_risk", lambda: _book_risk(spec, p, batch, dtype)),
+            ("mixed5000", lambda: _throughput_mixed(spec, p, dtype)),
             ("cpu_arm", lambda: _cpu_arm(spec, p, batch, value)),
         ]:
             try:
@@ -397,6 +398,44 @@ def _book_risk(spec, p, batch, dtype):
 
     out[f"book_risk{batch}_multi10_s"] = _device_time_per_call(
         fn_mx, ks, reps=500)
+    return out
+
+
+def _throughput_mixed(spec, p, dtype):
+    """Large MIXED-maturity book throughput (5000 options, 10 maturities,
+    per-lane step counts): the book spans several lane tiles, so sorted-
+    by-maturity tiles exit the time loop early (European arm; the
+    American+dividend arm keeps static segment bounds and freezes lanes
+    instead — both are ONE launch)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS, SolverConfig
+    from heston_tpu.pallas import fused_do
+
+    solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
+                          a2_variant="upwind", solver_engine="pallas")
+    b = 5000
+    n_groups = 10
+    per = b // n_groups
+    ks = jnp.tile(jnp.linspace(70.0, 130.0, per, dtype=dtype), n_groups)
+    nst = jnp.repeat(2 * (jnp.arange(n_groups, dtype=jnp.int32) + 1), per)
+
+    out = {}
+    for name, kw in (("euro", {}),
+                     ("amer_div", dict(american=True,
+                                       dividends=GOLDEN_DIVIDENDS))):
+        def fn(k, kw=kw):
+            return fused_do.fused_price_batch(
+                spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f, n_steps_per=nst, **kw)
+
+        v = np.array(jax.jit(fn)(ks))
+        assert np.all(np.isfinite(v))
+        dt = _device_time_per_call(fn, ks, reps=100)
+        out[f"mixed5000_{name}_s"] = dt
+        out[f"mixed5000_{name}_options_per_s"] = b / dt
     return out
 
 
