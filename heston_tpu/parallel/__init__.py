@@ -12,6 +12,7 @@ from heston_tpu.parallel.sharded import (
     price_batch_sharded,
     batch_greeks_sharded,
     jacobian_normal_eq_sharded,
+    calibrate_sharded,
     sharded_pricing_fns,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "price_batch_sharded",
     "batch_greeks_sharded",
     "jacobian_normal_eq_sharded",
+    "calibrate_sharded",
     "sharded_pricing_fns",
 ]

@@ -152,6 +152,38 @@ def _price_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
 
 
 @functools.lru_cache(maxsize=None)
+def _price_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
+                      american: bool, dividends,
+                      option_type: str = "call"):
+    """Mixed-maturity sharded pricing: one fused per-lane launch per
+    shard (fused engine only; the caller guards use_fused)."""
+    from heston_tpu.pallas import fused_do
+
+    def local(ks, nst, tv, s0, r_d, r_f):
+        return fused_do.fused_price_batch(
+            spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+            r_d, r_f, american=american, dividends=dividends,
+            option_type=option_type, n_steps_per=nst)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _group_nsteps(group_steps, n: int):
+    """[n] int32 per-option step counts from static (start, end, n_steps)
+    slices (must tile [0, n) contiguously)."""
+    nst = np.zeros(n, np.int32)
+    for a, e, g in group_steps:
+        nst[a:e] = g
+    return jnp.asarray(nst)
+
+
+@functools.lru_cache(maxsize=None)
 def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
               american: bool, dividends, eps: float,
               option_type: str = "call", jacobian_mode: str = "fd"):
@@ -240,19 +272,47 @@ def price_batch_sharded(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    group_steps=(),
 ) -> jax.Array:
     """Price the book with the batch axis sharded across the mesh.
 
     Each device runs the plain vmapped pricer on its shard — embarrassingly
     parallel, no collectives (the TPU-native form of the reference's
-    one-team-per-option kernel, ref: src/device_solver.hpp:53-185)."""
+    one-team-per-option kernel, ref: src/device_solver.hpp:53-185).
+
+    group_steps: optional static (start, end, n_steps) maturity-ladder
+    slices. With the fused engine each shard prices its slice of the
+    WHOLE mixed book in one per-lane launch; XLA engines price per
+    maturity group."""
     n_dev = mesh.devices.size
     padded, n = _pad_to(jnp.asarray(strikes), n_dev)
     dtype = padded.dtype
+    tv = jnp.asarray(theta_vec, dtype)
+    s0a, rda, rfa = (jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
+                     jnp.asarray(r_f, dtype))
+    if group_steps:
+        from heston_tpu.pallas import fused_do
+
+        if solver.n_steps != max(g[2] for g in group_steps):
+            raise ValueError("solver.n_steps must be max(group n_steps)")
+        if (solver.solver_engine == "pallas"
+                and fused_do.use_fused(spec, solver)):
+            nst_p, _ = _pad_to(_group_nsteps(group_steps, n), n_dev)
+            fn = _price_exec_mixed(mesh, spec, solver, american,
+                                   dividends, option_type)
+            return fn(shard_batch(padded, mesh),
+                      shard_batch(nst_p, mesh), tv, s0a, rda, rfa)[:n]
+        return jnp.concatenate([
+            price_batch_sharded(
+                mesh, spec,
+                dataclasses.replace(solver, n_steps=g,
+                                    maturity=g * solver.delta_t),
+                strikes[a:e], s0, theta_vec, r_d, r_f,
+                american=american, dividends=dividends,
+                option_type=option_type)
+            for a, e, g in group_steps])
     fn = _price_exec(mesh, spec, solver, american, dividends, option_type)
-    out = fn(shard_batch(padded, mesh), jnp.asarray(theta_vec, dtype),
-             jnp.asarray(s0, dtype), jnp.asarray(r_d, dtype),
-             jnp.asarray(r_f, dtype))
+    out = fn(shard_batch(padded, mesh), tv, s0a, rda, rfa)
     return out[:n]
 
 
@@ -443,6 +503,92 @@ def batch_greeks_sharded(
         shard_batch(padded, mesh), tv, s0a, rda, rfa)
     return dict(price=price[:n], delta=delta[:n], gamma=gamma[:n],
                 theta=theta[:n])
+
+
+def calibrate_sharded(
+    mesh: Mesh,
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes,
+    market_prices,
+    s0,
+    init_vec,
+    r_d,
+    r_f,
+    cfg=None,
+    group_steps=(),
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+):
+    """Distributed Levenberg–Marquardt calibration: the whole (possibly
+    mixed-maturity) chain stays sharded over the mesh for every pass —
+    ONE per-lane fused launch per shard per Jacobian pass
+    (jacobian_normal_eq_sharded) and one per trial pricing
+    (price_batch_sharded) — with the host running only the scalar LM
+    bookkeeping (accept/reject, Marquardt damping, clamps; the same
+    logic as models.calibration.calibrate,
+    ref: src/heston_calibration.cpp:26-512).
+
+    Returns (theta_vec [5], info dict with iterations / final_error /
+    converged / history)."""
+    from heston_tpu.config import CalibrationConfig
+    from heston_tpu.models.calibration import clamp_params, lm_update
+
+    cfg = cfg or CalibrationConfig()
+    ks = jnp.asarray(strikes)
+    market = np.asarray(market_prices)
+    theta_vec = np.asarray(init_vec, dtype=np.asarray(ks).dtype)
+    lam = cfg.lambda_init
+    history = []
+    converged = False
+    final_error = np.inf
+    iters = 0
+    fitted = np.zeros_like(market)
+
+    def price(tv):
+        return np.asarray(price_batch_sharded(
+            mesh, spec, solver, ks, s0, jnp.asarray(tv), r_d, r_f,
+            american=american, dividends=dividends,
+            option_type=option_type, group_steps=group_steps))
+
+    for it in range(cfg.max_iter):
+        iters = it + 1
+        delta, base, sse = jacobian_normal_eq_sharded(
+            mesh, spec, solver, ks, jnp.asarray(market), s0,
+            jnp.asarray(theta_vec), r_d, r_f, lam=lam, eps=cfg.eps,
+            american=american, dividends=dividends,
+            option_type=option_type, jacobian_mode=cfg.jacobian_mode,
+            group_steps=group_steps)
+        fitted = np.asarray(base)
+        current_error = float(sse)
+        delta = np.asarray(delta)
+        new_vec = clamp_params(theta_vec + delta, cfg)
+        delta_norm = float(np.linalg.norm(delta))
+        if delta_norm < cfg.tol or current_error < cfg.tol:
+            theta_vec = new_vec
+            converged = True
+            final_error = current_error
+            history.append(dict(iter=iters, sse=current_error,
+                                delta_norm=delta_norm, lam=lam,
+                                accepted=True))
+            break
+        new_prices = price(new_vec)
+        new_error = float((market - new_prices) @ (market - new_prices))
+        accepted = new_error < current_error
+        if accepted:
+            theta_vec = new_vec
+            fitted = new_prices
+            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
+        else:
+            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
+        final_error = min(new_error, current_error)
+        history.append(dict(iter=iters, sse=current_error,
+                            delta_norm=delta_norm, lam=lam,
+                            accepted=accepted))
+    return jnp.asarray(theta_vec), dict(
+        iterations=iters, final_error=final_error, converged=converged,
+        fitted_prices=fitted, history=history)
 
 
 def sharded_pricing_fns(mesh: Mesh):

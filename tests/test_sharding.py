@@ -264,3 +264,69 @@ def test_sharded_mixed_maturity_normal_eq_rejects_xla_engine(params, mesh):
             mesh, SPEC, SOLVER, ks, market, 100.0, _theta(params),
             params.r_d, params.r_f, lam=0.01,
             group_steps=((0, 4, 5), (4, 8, 10)))
+
+
+def test_calibrate_sharded_mixed_ladder(params, mesh):
+    """calibrate_sharded: whole mixed-maturity American+dividend chain
+    stays sharded for every LM pass (one per-lane fused launch per shard
+    per Jacobian, one per trial). Must reproduce calibrate_device's
+    one-launch trajectory (same AD Jacobian, same LM rules) and cut the
+    SSE."""
+    import dataclasses
+
+    from heston_tpu.models import bs
+    from heston_tpu.parallel import calibrate_sharded
+    from heston_tpu.config import CalibrationConfig
+
+    solver = dataclasses.replace(SOLVER, solver_engine="pallas")
+    ks = jnp.concatenate([jnp.linspace(90.0, 110.0, 8)] * 2)
+    groups = ((0, 8, 5), (8, 16, 10))
+    market = jnp.concatenate([
+        bs.generate_market_data(100.0, 0.5, params.r_d, ks[:8]),
+        bs.generate_market_data(100.0, 1.0, params.r_d, ks[8:]),
+    ])
+    init = jnp.array([1.0, 0.05, 0.4, -0.5, 0.05])
+    cfg = CalibrationConfig(max_iter=3, tol=1e-12, jacobian_mode="ad")
+    tv, info = calibrate_sharded(
+        mesh, SPEC, solver, ks, market, 100.0, init, params.r_d,
+        params.r_f, cfg=cfg, group_steps=groups, american=True,
+        dividends=GOLDEN_DIVIDENDS)
+    assert info["iterations"] == 3
+    first = info["history"][0]["sse"]
+    assert info["final_error"] < 0.2 * first, info
+    want_tv, want_info = calib.calibrate_device(
+        SPEC, solver, ks, market, 100.0, init, params.r_d, params.r_f,
+        cfg=cfg, group_steps=groups, american=True,
+        dividends=GOLDEN_DIVIDENDS)
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(want_tv),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(info["final_error"],
+                               float(want_info["final_error"]),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_price_batch_sharded_mixed(params, mesh, engine):
+    """price_batch_sharded(group_steps=...): fused one-launch per shard
+    or per-group sharded XLA launches — both equal single-device
+    per-group pricing."""
+    import dataclasses
+
+    from heston_tpu.models import douglas
+
+    se = dataclasses.replace(SOLVER, solver_engine=engine)
+    ks = jnp.linspace(85.0, 115.0, 11)
+    groups = ((0, 5, 5), (5, 11, 10))
+    tv = _theta(params)
+    got = price_batch_sharded(
+        mesh, SPEC, se, ks, 100.0, tv, params.r_d, params.r_f,
+        american=True, dividends=GOLDEN_DIVIDENDS, group_steps=groups)
+    want = []
+    for a, e, g in groups:
+        sg = dataclasses.replace(se, n_steps=g, maturity=g * se.delta_t)
+        want.append(np.array(douglas.price_batch(
+            SPEC, sg, ks[a:e], 100.0, tv[0], tv[1], tv[2], tv[3], tv[4],
+            params.r_d, params.r_f, american=True,
+            dividends=GOLDEN_DIVIDENDS)))
+    np.testing.assert_allclose(np.array(got), np.concatenate(want),
+                               rtol=0, atol=1e-12)
