@@ -254,6 +254,33 @@ def lm_update(jac: Array, residual: Array, lam) -> Array:
     return jnp.linalg.solve(jtj, jtr)
 
 
+def validate_group_steps(group_steps, n: int, n_steps=None) -> None:
+    """Check (start, end, n_steps) maturity-group slices tile [0, n)
+    contiguously IN ORDER. Every group_steps consumer indexes the book
+    both positionally (per-lane step vectors are built by concatenating
+    the groups) and by slice (per-group fallbacks take strikes[a:e]) —
+    out-of-order, overlapping or gapped tuples would make those two
+    views silently disagree, so fail loudly here instead.
+
+    n_steps (optional): assert the launch step count equals the largest
+    group's (callers whose solver is NOT rescaled internally)."""
+    if not group_steps:
+        return
+    prev = 0
+    for a, e, g in group_steps:
+        if a != prev or e <= a or g < 1:
+            raise ValueError(
+                f"group_steps must tile [0, {n}) contiguously in order "
+                f"(start==previous end, end>start, n_steps>=1); got "
+                f"{tuple(group_steps)}")
+        prev = e
+    if prev != n:
+        raise ValueError(
+            f"group_steps cover [0, {prev}) but the book has {n} options")
+    if n_steps is not None and n_steps != max(g for _, _, g in group_steps):
+        raise ValueError("solver.n_steps must be max(group n_steps)")
+
+
 def clamp_params(vec: np.ndarray, cfg: CalibrationConfig) -> np.ndarray:
     """Parameter clamps (ref: src/heston_calibration.cpp:286-290)."""
     return np.array([
@@ -323,6 +350,7 @@ def calibrate_device(
     """
     dtype = jnp.result_type(strikes.dtype, jnp.float32)
     market = market_prices.astype(dtype)
+    validate_group_steps(group_steps, int(strikes.shape[0]))
     groups = group_steps or ((0, int(strikes.shape[0]), solver.n_steps),)
 
     if cfg.jacobian_mode == "ad" and pricer == "pde" \

@@ -186,6 +186,29 @@ def price_and_greeks(
     }
 
 
+def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
+                    r_d, r_f, american=False, dividends=None,
+                    option_type="call", nst=None):
+    """Fused-surface book risk: one kernel launch for the surfaces + the
+    stencil/theta epilogues; THE single implementation behind
+    batch_greeks' fused branch and the sharded mixed-maturity risk exec
+    (parallel.sharded._risk_exec_mixed) — keep them in sync by keeping
+    them the same code. `nst`: optional per-option int step counts."""
+    from heston_tpu.pallas import fused_do
+
+    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+    dtype = jnp.result_type(float)
+    nsf = (jnp.full(ks.shape, solver.n_steps, dtype) if nst is None
+           else jnp.asarray(nst).astype(dtype))
+    surf, lam, ops_b, vec_s_b, idx_s, idx_v = (
+        fused_do.fused_surface_batch(
+            spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d,
+            r_f, american=american, dividends=dividends,
+            option_type=option_type, n_steps_per=nst))
+    risk = functools.partial(_surface_risk, spec, solver, b_rate)
+    return jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v, nsf)
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "solver", "american", "dividends",
                               "option_type", "param_jacobian",
@@ -224,34 +247,29 @@ def batch_greeks(
 
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
 
+    from heston_tpu.models.calibration import validate_group_steps
     from heston_tpu.pallas import fused_do
 
     ks = jnp.asarray(strikes)
     dtype = jnp.result_type(float)
     if group_steps:
-        if solver.n_steps != max(n for _, _, n in group_steps):
-            raise ValueError("solver.n_steps must be max(group n_steps)")
-        nsf = jnp.concatenate([
-            jnp.full(e - a, n, dtype) for a, e, n in group_steps])
+        validate_group_steps(group_steps, int(ks.shape[0]),
+                             n_steps=solver.n_steps)
         nsteps_per = jnp.concatenate([
             jnp.full(e - a, n, jnp.int32) for a, e, n in group_steps])
     else:
-        nsf = jnp.full(ks.shape, solver.n_steps, dtype)
         nsteps_per = None
-    risk = functools.partial(_surface_risk, spec, solver, b_rate)
     if fused_do.use_fused(spec, solver):
         # surfaces + the ALREADY-assembled operators from ONE fused
         # launch (re-running the vmapped assembly here would double the
         # prep cost); stencil extraction and the theta operator
         # application are tiny XLA epilogues
-        surf, lam, ops_b, vec_s_b, idx_s, idx_v = (
-            fused_do.fused_surface_batch(
-                spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d,
-                r_f, american=american, dividends=dividends,
-                option_type=option_type, n_steps_per=nsteps_per))
-        out = jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v,
-                             nsf)
+        out = fused_book_risk(
+            spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            american=american, dividends=dividends,
+            option_type=option_type, nst=nsteps_per)
     else:
+        risk = functools.partial(_surface_risk, spec, solver, b_rate)
         def one_group(sol_g, ks_g):
             def one(k):
                 inst = douglas.prepare_instance(

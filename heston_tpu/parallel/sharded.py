@@ -174,13 +174,14 @@ def _price_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
     return jax.jit(fn)
 
 
-def _group_nsteps(group_steps, n: int):
+def _group_nsteps(group_steps, n: int, n_steps=None):
     """[n] int32 per-option step counts from static (start, end, n_steps)
-    slices (must tile [0, n) contiguously)."""
-    nst = np.zeros(n, np.int32)
-    for a, e, g in group_steps:
-        nst[a:e] = g
-    return jnp.asarray(nst)
+    slices; validates the slices tile [0, n) contiguously in order
+    (calibration.validate_group_steps) so positional concatenation and
+    slice-indexed fallbacks always agree."""
+    calibration.validate_group_steps(group_steps, n, n_steps=n_steps)
+    return jnp.concatenate([
+        jnp.full(e - a, g, jnp.int32) for a, e, g in group_steps])
 
 
 @functools.lru_cache(maxsize=None)
@@ -198,6 +199,20 @@ def _jac_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
     return jax.jit(fn)
 
 
+def _normal_eq_local(jac, base, mkt, w, lam_):
+    """Shard-local damped normal equations: psum(JtJ/Jtr/SSE) over ICI,
+    Marquardt damping, replicated 5x5 solve — THE single implementation
+    behind both the uniform and mixed-maturity LM execs."""
+    resid = (mkt - base) * w
+    jac = jac * w[:, None]
+    jtj = jax.lax.psum(jac.T @ jac, AXIS)
+    jtr = jax.lax.psum(jac.T @ resid, AXIS)
+    sse = jax.lax.psum(resid @ resid, AXIS)
+    jtj = jtj * (1.0 + lam_ * jnp.eye(N_PARAMS, dtype=jtj.dtype))
+    delta = jnp.linalg.solve(jtj, jtr)
+    return delta, base, sse
+
+
 @functools.lru_cache(maxsize=None)
 def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
                     american: bool, dividends, eps: float,
@@ -206,14 +221,7 @@ def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
         jac, base = _local_jac(spec, solver, american, dividends, eps,
                                option_type, jacobian_mode,
                                ks, tv, s0, r_d, r_f)
-        resid = (mkt - base) * w
-        jac = jac * w[:, None]
-        jtj = jax.lax.psum(jac.T @ jac, AXIS)
-        jtr = jax.lax.psum(jac.T @ resid, AXIS)
-        sse = jax.lax.psum(resid @ resid, AXIS)
-        jtj = jtj * (1.0 + lam_ * jnp.eye(N_PARAMS, dtype=jtj.dtype))
-        delta = jnp.linalg.solve(jtj, jtr)
-        return delta, base, sse
+        return _normal_eq_local(jac, base, mkt, w, lam_)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -226,29 +234,40 @@ def _normal_eq_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
 
 @functools.lru_cache(maxsize=None)
 def _normal_eq_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
-                          american: bool, dividends,
-                          option_type: str = "call"):
+                          american: bool, dividends, eps: float,
+                          option_type: str = "call",
+                          jacobian_mode: str = "ad"):
     """Mixed-maturity distributed LM linear-algebra step: each shard runs
-    ONE fused forward-mode launch over its slice of the whole maturity
-    ladder (per-lane step counts — the distributed form of
-    calibrate_device's one-launch multi-maturity path), then the normal
-    equations reduce over ICI as usual. Fused engine only (the caller
-    guards use_fused with JAC_TANGENTS)."""
+    its slice of the whole maturity ladder as per-lane one-launch fused
+    pricing (the distributed form of calibrate_device's one-launch
+    multi-maturity path), then the normal equations reduce over ICI as
+    usual. jacobian_mode='ad' = ONE forward-mode launch per shard;
+    'fd' = 6 sequential bumped launches (reference parity, matching
+    calibrate_device's FD behavior on mixed ladders). Fused engine only
+    (the caller guards use_fused with JAC_TANGENTS)."""
     from heston_tpu.pallas import fused_do
 
     def local(ks, nst, mkt, w, tv, lam_, s0, r_d, r_f):
-        base, jac = fused_do.fused_theta_jacobian(
-            spec, solver, ks, s0, tv, r_d, r_f, american=american,
-            dividends=dividends, option_type=option_type,
-            n_steps_per=nst)
-        resid = (mkt - base) * w
-        jac = jac * w[:, None]
-        jtj = jax.lax.psum(jac.T @ jac, AXIS)
-        jtr = jax.lax.psum(jac.T @ resid, AXIS)
-        sse = jax.lax.psum(resid @ resid, AXIS)
-        jtj = jtj * (1.0 + lam_ * jnp.eye(N_PARAMS, dtype=jtj.dtype))
-        delta = jnp.linalg.solve(jtj, jtr)
-        return delta, base, sse
+        if jacobian_mode == "ad":
+            base, jac = fused_do.fused_theta_jacobian(
+                spec, solver, ks, s0, tv, r_d, r_f, american=american,
+                dividends=dividends, option_type=option_type,
+                n_steps_per=nst)
+        else:
+            # pallas_call has no batching rule for the bump vmap — run
+            # the 6 bumps as sequential in-graph per-lane launches
+            pmat = _bumped_param_matrix(tv, eps)       # (6, 5)
+            prices = jnp.stack([
+                fused_do.fused_price_batch(
+                    spec, solver, ks, s0, pmat[i][0], pmat[i][1],
+                    pmat[i][2], pmat[i][3], pmat[i][4], r_d, r_f,
+                    american=american, dividends=dividends,
+                    option_type=option_type, n_steps_per=nst)
+                for i in range(N_PARAMS + 1)
+            ])                                          # (6, B_local)
+            base = prices[0]
+            jac = ((prices[1:] - base[None, :]) / eps).T
+        return _normal_eq_local(jac, base, mkt, w, lam_)
 
     fn = shard_map(
         local, mesh=mesh,
@@ -293,11 +312,10 @@ def price_batch_sharded(
     if group_steps:
         from heston_tpu.pallas import fused_do
 
-        if solver.n_steps != max(g[2] for g in group_steps):
-            raise ValueError("solver.n_steps must be max(group n_steps)")
+        nst = _group_nsteps(group_steps, n, n_steps=solver.n_steps)
         if (solver.solver_engine == "pallas"
                 and fused_do.use_fused(spec, solver)):
-            nst_p, _ = _pad_to(_group_nsteps(group_steps, n), n_dev)
+            nst_p, _ = _pad_to(nst, n_dev)
             fn = _price_exec_mixed(mesh, spec, solver, american,
                                    dividends, option_type)
             return fn(shard_batch(padded, mesh),
@@ -354,20 +372,21 @@ def jacobian_normal_eq_sharded(
     if group_steps:
         from heston_tpu.pallas import fused_do
 
-        if solver.n_steps != max(g[2] for g in group_steps):
-            raise ValueError("solver.n_steps must be max(group n_steps)")
-        if not (solver.solver_engine == "pallas" and fused_do.use_fused(
-                spec, solver, n_tangents=fused_do.JAC_TANGENTS)):
+        nst = _group_nsteps(group_steps, n, n_steps=solver.n_steps)
+        mode = _auto_jacobian_mode(jacobian_mode)
+        # 'ad' holds JAC_TANGENTS tangent fields in VMEM; 'fd' runs 6
+        # bumped primal launches and only needs the primal working set
+        need = fused_do.JAC_TANGENTS if mode == "ad" else 0
+        if not (solver.solver_engine == "pallas"
+                and fused_do.use_fused(spec, solver, n_tangents=need)):
             raise ValueError(
                 "group_steps needs the fused engine (per-lane step "
                 "counts); price each maturity group separately via "
                 "calibrate(pricing_fns=sharded_pricing_fns(mesh)) "
                 "otherwise")
-        nst = jnp.concatenate([
-            jnp.full(e - a, g, jnp.int32) for a, e, g in group_steps])
         nst_p, _ = _pad_to(nst, n_dev)
         fn = _normal_eq_exec_mixed(mesh, spec, solver, american,
-                                   dividends, option_type)
+                                   dividends, eps, option_type, mode)
         delta, base, sse = fn(
             shard_batch(padded_k, mesh), shard_batch(nst_p, mesh),
             shard_batch(padded_m, mesh), shard_batch(valid, mesh),
@@ -414,22 +433,16 @@ def _risk_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
     """Mixed-maturity whole-book risk: each shard runs ONE fused launch
     over its slice of the book with per-lane step counts (the sharded
     form of batch_greeks(group_steps=...); fused engine only — the
-    caller guards use_fused)."""
+    caller guards use_fused). The epilogue IS batch_greeks' fused
+    branch (greeks.fused_book_risk), so the sharded and single-device
+    numbers cannot drift apart."""
     from heston_tpu.models import greeks
-    from heston_tpu.ops import operators
-    from heston_tpu.pallas import fused_do
 
     def local(ks, nst, tv, s0, r_d, r_f):
-        b_rate = operators.boundary_rate(r_d, r_f, option_type)
-        surf, lam, ops_b, vec_s_b, idx_s, idx_v = (
-            fused_do.fused_surface_batch(
-                spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
-                r_d, r_f, american=american, dividends=dividends,
-                option_type=option_type, n_steps_per=nst))
-        risk = functools.partial(greeks._surface_risk, spec, solver,
-                                 b_rate)
-        out = jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v,
-                             nst.astype(ks.dtype))
+        out = greeks.fused_book_risk(
+            spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
+            r_d, r_f, american=american, dividends=dividends,
+            option_type=option_type, nst=nst)
         return (out["price"], out["delta"], out["gamma"], out["theta"])
 
     fn = shard_map(
@@ -474,11 +487,8 @@ def batch_greeks_sharded(
     if group_steps:
         from heston_tpu.pallas import fused_do
 
-        if solver.n_steps != max(g[2] for g in group_steps):
-            raise ValueError("solver.n_steps must be max(group n_steps)")
+        nst = _group_nsteps(group_steps, n, n_steps=solver.n_steps)
         if fused_do.use_fused(spec, solver):
-            nst = jnp.concatenate([
-                jnp.full(e - a, g, jnp.int32) for a, e, g in group_steps])
             nst_p, _ = _pad_to(nst, n_dev)
             fn = _risk_exec_mixed(mesh, spec, solver, american, dividends,
                                   option_type)
@@ -533,12 +543,15 @@ def calibrate_sharded(
     Returns (theta_vec [5], info dict with iterations / final_error /
     converged / history)."""
     from heston_tpu.config import CalibrationConfig
-    from heston_tpu.models.calibration import clamp_params, lm_update
+    from heston_tpu.models.calibration import clamp_params
 
     cfg = cfg or CalibrationConfig()
-    ks = jnp.asarray(strikes)
-    market = np.asarray(market_prices)
-    theta_vec = np.asarray(init_vec, dtype=np.asarray(ks).dtype)
+    # float coercion: integer strike/init input must not truncate the
+    # parameter vector (host bookkeeping is f64; the device executables
+    # cast to the live jnp float dtype themselves)
+    ks = jnp.asarray(strikes, jnp.result_type(float))
+    market = np.asarray(market_prices, np.float64)
+    theta_vec = np.asarray(init_vec, np.float64)
     lam = cfg.lambda_init
     history = []
     converged = False

@@ -236,7 +236,7 @@ def test_sharded_mixed_maturity_normal_eq_one_launch(params, mesh):
     lam = 0.01
     delta, base, sse = jacobian_normal_eq_sharded(
         mesh, SPEC, solver, ks, market, 100.0, tv, params.r_d,
-        params.r_f, lam=lam, american=True,
+        params.r_f, lam=lam, american=True, jacobian_mode="ad",
         dividends=GOLDEN_DIVIDENDS, group_steps=groups)
     want_base, want_jac = fused_do.fused_theta_jacobian(
         SPEC, solver, ks, 100.0, tv, params.r_d, params.r_f,
@@ -330,3 +330,71 @@ def test_price_batch_sharded_mixed(params, mesh, engine):
             dividends=GOLDEN_DIVIDENDS)))
     np.testing.assert_allclose(np.array(got), np.concatenate(want),
                                rtol=0, atol=1e-12)
+
+
+def test_group_steps_validation_rejects_bad_tilings(params, mesh):
+    """Gapped / out-of-order / short group tuples fail loudly everywhere
+    (positional per-lane packing and slice-indexed fallbacks would
+    otherwise silently disagree)."""
+    from heston_tpu.models import greeks
+
+    ks = jnp.linspace(90.0, 110.0, 8)
+    tv = _theta(params)
+    for bad in (((0, 4, 5), (6, 8, 10)),      # gap
+                ((4, 8, 10), (0, 4, 5)),      # out of order
+                ((0, 4, 5), (4, 6, 10))):     # short cover
+        with pytest.raises(ValueError, match="group_steps"):
+            price_batch_sharded(mesh, SPEC, SOLVER, ks, 100.0, tv,
+                                params.r_d, params.r_f, group_steps=bad)
+        with pytest.raises(ValueError, match="group_steps"):
+            greeks.batch_greeks(
+                SPEC, SOLVER, ks, 100.0, params.kappa, params.eta,
+                params.sigma, params.rho, params.v0, params.r_d,
+                params.r_f, group_steps=bad)
+
+
+def test_sharded_mixed_normal_eq_fd_mode(params, mesh):
+    """jacobian_mode='fd' on the mixed ladder: 6 sequential bumped
+    per-lane launches per shard (reference-parity FD), matching the
+    single-device FD normal equations built from the same one-launch
+    pricer."""
+    import dataclasses
+
+    from heston_tpu.models import bs
+    from heston_tpu.models.calibration import _bumped_param_matrix
+    from heston_tpu.pallas import fused_do
+
+    solver = dataclasses.replace(SOLVER, solver_engine="pallas")
+    ks = jnp.concatenate([jnp.linspace(90.0, 110.0, 8)] * 2)
+    groups = ((0, 8, 5), (8, 16, 10))
+    nst = jnp.concatenate([jnp.full(8, 5), jnp.full(8, 10)])
+    market = jnp.concatenate([
+        bs.generate_market_data(100.0, 0.5, params.r_d, ks[:8]),
+        bs.generate_market_data(100.0, 1.0, params.r_d, ks[8:]),
+    ])
+    tv = _theta(params)
+    lam, eps = 0.01, 1e-6
+    delta, base, sse = jacobian_normal_eq_sharded(
+        mesh, SPEC, solver, ks, market, 100.0, tv, params.r_d,
+        params.r_f, lam=lam, eps=eps, jacobian_mode="fd",
+        group_steps=groups)
+    pmat = _bumped_param_matrix(tv, eps)
+    prices = np.stack([np.asarray(fused_do.fused_price_batch(
+        SPEC, solver, ks, 100.0, p_[0], p_[1], p_[2], p_[3], p_[4],
+        params.r_d, params.r_f, interpret=True, n_steps_per=nst))
+        for p_ in pmat])
+    want_base = prices[0]
+    J = ((prices[1:] - want_base[None, :]) / eps).T
+    resid = np.asarray(market) - want_base
+    jtj = J.T @ J * (1.0 + lam * np.eye(5))
+    want_delta = np.linalg.solve(jtj, J.T @ resid)
+    np.testing.assert_allclose(np.array(base), want_base, rtol=0,
+                               atol=1e-12)
+    # FD amplification: the per-shard padded batch shape reorders float
+    # ops by ~1e-12 in the bumped prices, and the 1e-6 bump divides that
+    # into ~1e-6 relative Jacobian noise — inherent to FD, not a defect
+    # (the 'ad' mode test above matches at 1e-8)
+    np.testing.assert_allclose(np.array(delta), want_delta, rtol=5e-5,
+                               atol=1e-10)
+    np.testing.assert_allclose(float(sse), float(resid @ resid),
+                               rtol=1e-12)
