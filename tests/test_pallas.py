@@ -461,3 +461,30 @@ def test_fused_mcs_scheme_matches_xla(params, kw):
         lambda k, kw=kw: fused_do.fused_price_batch(
             SPEC, solver, k, *args, interpret=True, **kw))(ks))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+def test_per_lane_early_exit_multi_tile_bitwise(params):
+    """A mixed book spanning >1 lane tile: short-maturity tiles bound
+    their time loop by their OWN max step count (per-tile early exit) —
+    still bitwise-equal to per-maturity-group launches. 140 options pad
+    to two 128-lane tiles; tile 0 is all n=3 lanes (exits at step 3),
+    tile 1 all n=6."""
+    import dataclasses
+
+    p = params
+    spec = GridSpec(m1=10, m2=6)
+    sol = SolverConfig(n_steps=6, theta=0.8, maturity=1.0,
+                       a2_variant="upwind")
+    ks = jnp.concatenate([jnp.linspace(80.0, 120.0, 128),
+                          jnp.linspace(85.0, 115.0, 12)])
+    nst = jnp.concatenate([jnp.full(128, 3), jnp.full(12, 6)])
+    got = np.array(fused_do.fused_price_batch(
+        spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+        p.r_d, p.r_f, american=True, interpret=True, n_steps_per=nst))
+    want = []
+    for (a, b, n) in ((0, 128, 3), (128, 140, 6)):
+        sg = dataclasses.replace(sol, n_steps=n, maturity=n * sol.delta_t)
+        want.append(np.array(fused_do.fused_price_batch(
+            spec, sg, ks[a:b], 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, american=True, interpret=True)))
+    np.testing.assert_array_equal(got, np.concatenate(want))
