@@ -488,3 +488,26 @@ def test_per_lane_early_exit_multi_tile_bitwise(params):
             spec, sg, ks[a:b], 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f, american=True, interpret=True)))
     np.testing.assert_array_equal(got, np.concatenate(want))
+
+
+@pytest.mark.parametrize("scheme", ["cs", "mcs"])
+def test_per_lane_steps_cs_mcs_match_per_group(params, scheme):
+    """Per-lane step counts compose with the Craig-Sneyd / modified-CS
+    correctors: one mixed-maturity launch == per-group launches,
+    bitwise (the corrector re-solves ride the same per-lane freeze)."""
+    import dataclasses
+
+    p = params
+    sol = dataclasses.replace(SOLVER, scheme=scheme)
+    ks = jnp.array([95.0, 105.0, 95.0, 105.0], dtype=jnp.float64)
+    nst = jnp.array([2, 2, 4, 4])
+    got = np.array(fused_do.fused_price_batch(
+        SPEC, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+        p.r_d, p.r_f, american=True, interpret=True, n_steps_per=nst))
+    want = []
+    for (a, b, n) in ((0, 2, 2), (2, 4, 4)):
+        sg = dataclasses.replace(sol, n_steps=n, maturity=n * sol.delta_t)
+        want.append(np.array(fused_do.fused_price_batch(
+            SPEC, sg, ks[a:b], 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, american=True, interpret=True)))
+    np.testing.assert_array_equal(got, np.concatenate(want))
