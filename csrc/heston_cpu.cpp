@@ -333,6 +333,10 @@ void ht_apply_dividend(double* u, const double* vec_s, double amount,
 //   [b, nv]:     bvm, bv0, bvp, a2 bands
 // Dividends: n_events entries (applied before step ev_step[e], ascending;
 // shared across the batch like the reference's schedule).
+// n_steps_per (nullable): per-option step counts for MIXED-maturity books
+// under the shared-dt convention T_o = n_o * delta_t (n_steps must be the
+// max) — option o runs steps 1..n_o and sees only events with
+// ev_step <= n_o, exactly like a dedicated n_o-step solve.
 void ht_do_solve_batch(
     int64_t b, int64_t nv, int64_t ns, int64_t n_steps, double delta_t,
     double theta, double b_rate,
@@ -344,7 +348,7 @@ void ht_do_solve_batch(
     const double* b1, const double* b2, int64_t american, const double* u0,
     int64_t n_events, const int64_t* ev_step, const double* ev_amount,
     const double* ev_pct, const double* vec_s, int64_t put,
-    double* u, double* lam) {
+    double* u, double* lam, const int64_t* n_steps_per) {
   const int64_t m = nv * ns;
 #pragma omp parallel
   {
@@ -352,6 +356,7 @@ void ht_do_solve_batch(
     ws.resize(nv, ns);
 #pragma omp for schedule(static)
     for (int64_t o = 0; o < b; ++o) {
+      const int64_t n_o = n_steps_per ? n_steps_per[o] : n_steps;
       const double* a0c_o = a0c + o * m;
       const double* ml_o = a1_ml + o * m;
       const double* md_o = a1_md + o * m;
@@ -366,7 +371,7 @@ void ht_do_solve_batch(
                  a2_u1 + o * nv, a2_u2 + o * nv);
       int64_t n_next = 1;
       int64_t e = 0;
-      while (e < n_events) {
+      while (e < n_events && ev_step[e] <= n_o) {
         const int64_t n_ev = ev_step[e];
         // steps n_next .. n_ev-1, then ALL re-maps due before step n_ev
         // (date order, like events_for_step), then step n_ev itself
@@ -387,7 +392,7 @@ void ht_do_solve_batch(
                      lam_o, ws);
         n_next = n_ev + 1;
       }
-      do_run_steps(n_next, n_steps + 1, nv, ns, delta_t, theta, b_rate,
+      do_run_steps(n_next, n_o + 1, nv, ns, delta_t, theta, b_rate,
                    a0c_o, bsm + o * ns, bs0 + o * ns, bsp + o * ns,
                    bvm + o * nv, bv0 + o * nv, bvp + o * nv,
                    ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,

@@ -55,7 +55,7 @@ def load() -> ctypes.CDLL:
         [_I, _I, _I, _I, ctypes.c_double, ctypes.c_double, ctypes.c_double]
         + [_D] * 17 + [_I, _D]
         + [_I, ctypes.POINTER(ctypes.c_int64), _D, _D, _D, _I]
-        + [_D, _D]
+        + [_D, _D, ctypes.POINTER(ctypes.c_int64)]
     )
     _lib = lib
     return lib
@@ -125,13 +125,17 @@ def _prep_exec(spec, solver, option_type: str):
 
 def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                     r_d, r_f, american: bool = False, dividends=None,
-                    option_type: str = "call") -> np.ndarray:
+                    option_type: str = "call", group_steps=()) -> np.ndarray:
     """Batched pricing on the CPU via the native OpenMP Douglas engine —
     the framework's analog of the reference's OpenMP performance-test
     build (ref: src/perfomance_test.cpp:507-534), whose CPU numbers back
     the README's GPU-vs-CPU 30x claim. Field assembly reuses the traced
     JAX operator build (tiny); the time loop runs one option per OpenMP
-    thread in C++ (csrc/heston_cpu.cpp::ht_do_solve_batch)."""
+    thread in C++ (csrc/heston_cpu.cpp::ht_do_solve_batch).
+
+    group_steps: optional static (start, end, n_steps) maturity-ladder
+    slices (shared-dt convention; solver.n_steps = max) — an
+    INDEPENDENT native oracle for the mixed-maturity device paths."""
     import jax
     import jax.numpy as jnp
 
@@ -156,14 +160,30 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         cpu_dev = None
     ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
            else contextlib.nullcontext())
+    import dataclasses
+
+    from heston_tpu.models.calibration import validate_group_steps
+
+    b = int(np.asarray(strikes).shape[0])
+    validate_group_steps(group_steps, b, n_steps=solver.n_steps)
+    groups = group_steps or ((0, b, solver.n_steps),)
     with ctx, jax.enable_x64():
         strikes = jnp.asarray(np.asarray(strikes), jnp.float64)
-        out = _prep_exec(spec, solver, option_type)(
-            strikes, jnp.float64(s0), jnp.float64(kappa), jnp.float64(eta),
-            jnp.float64(sigma), jnp.float64(rho), jnp.float64(v0),
-            jnp.float64(r_d), jnp.float64(r_f))
-    ops, u0, vec_s, idx_s, idx_v = jax.device_get(out)
-    b = int(strikes.shape[0])
+        scalars = (jnp.float64(s0), jnp.float64(kappa), jnp.float64(eta),
+                   jnp.float64(sigma), jnp.float64(rho), jnp.float64(v0),
+                   jnp.float64(r_d), jnp.float64(r_f))
+        # per-group assembly: each group's b1/b2 carry its OWN
+        # e^{-rate dt (n_g - 1)} scaling (prepare_instance uses the
+        # group solver), then the batch-major fields are stacked
+        parts = [
+            _prep_exec(spec, dataclasses.replace(
+                solver, n_steps=g, maturity=g * solver.delta_t),
+                option_type)(strikes[a:e], *scalars)
+            for a, e, g in groups]
+    parts = [jax.device_get(pt) for pt in parts]
+    out = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs), *parts)
+    ops, u0, vec_s, idx_s, idx_v = out
     nv, ns = spec.m2 + 1, spec.m1 + 1
 
     f = {name: _f64(getattr(ops, name)) for name in (
@@ -185,6 +205,9 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     ev_pct = _f64([e[2] for e in ev])
 
     b_rate = float(operators.boundary_rate(r_d, r_f, option_type))
+    nst = (np.ascontiguousarray(
+        np.concatenate([np.full(e - a, g) for a, e, g in groups]),
+        dtype=np.int64) if group_steps else None)
     lib.ht_do_solve_batch(
         b, nv, ns, solver.n_steps, solver.delta_t, solver.theta, b_rate,
         _ptr(f["a0_c"]), _ptr(f["bs_wm"]), _ptr(f["bs_w0"]),
@@ -196,6 +219,8 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         len(ev), ev_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _ptr(ev_amt), _ptr(ev_pct), _ptr(vec_s),
         1 if operators.is_put(option_type) else 0, _ptr(u), _ptr(lam),
+        (nst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+         if nst is not None else None),
     )
     iv = np.asarray(idx_v, dtype=np.int64)
     is_ = np.asarray(idx_s, dtype=np.int64)

@@ -113,3 +113,34 @@ def test_native_apply_dividend_matches(params):
             "put" if put else "call"))
         got = native.apply_dividend(u, vec_s, 5.0, 0.02, put=put)
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_native_mixed_maturity_oracle(params):
+    """The native C++ engine with per-option step counts is an
+    INDEPENDENT oracle for the device mixed-maturity path: same
+    American+dividend ladder, 1e-12 agreement with the fused per-lane
+    launch (which is itself bitwise-equal to per-group launches)."""
+    import dataclasses
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.pallas import fused_do
+
+    p = params
+    spec = GridSpec(m1=30, m2=15)
+    sol = SolverConfig(n_steps=10, a2_variant="upwind", theta=0.8,
+                       maturity=1.0)
+    ks = jnp.array([90.0, 100.0, 110.0, 95.0, 105.0])
+    groups = ((0, 3, 5), (3, 5, 10))
+    cpu = native.price_batch_cpu(
+        spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+        p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
+        group_steps=groups)
+    dev = np.array(fused_do.fused_price_batch(
+        spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+        p.r_d, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS,
+        interpret=True, n_steps_per=jnp.array([5, 5, 5, 10, 10])))
+    np.testing.assert_allclose(cpu, dev, rtol=0, atol=1e-12)
+    with pytest.raises(ValueError, match="group_steps"):
+        native.price_batch_cpu(
+            spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
+            p.r_d, p.r_f, group_steps=((0, 3, 5), (4, 5, 10)))
