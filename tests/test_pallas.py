@@ -481,13 +481,24 @@ def test_per_lane_early_exit_multi_tile_bitwise(params):
     got = np.array(fused_do.fused_price_batch(
         spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
         p.r_d, p.r_f, american=True, interpret=True, n_steps_per=nst))
-    want = []
+    tv = jnp.array(p.bumpable())
+    gb, gj = fused_do.fused_theta_jacobian(
+        spec, sol, ks, 100.0, tv, p.r_d, p.r_f, american=True,
+        interpret=True, n_steps_per=nst)
+    want, wb, wj = [], [], []
     for (a, b, n) in ((0, 128, 3), (128, 140, 6)):
         sg = dataclasses.replace(sol, n_steps=n, maturity=n * sol.delta_t)
         want.append(np.array(fused_do.fused_price_batch(
             spec, sg, ks[a:b], 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f, american=True, interpret=True)))
+        bb, jj = fused_do.fused_theta_jacobian(
+            spec, sg, ks[a:b], 100.0, tv, p.r_d, p.r_f, american=True,
+            interpret=True)
+        wb.append(np.array(bb))
+        wj.append(np.array(jj))
     np.testing.assert_array_equal(got, np.concatenate(want))
+    np.testing.assert_array_equal(np.array(gb), np.concatenate(wb))
+    np.testing.assert_array_equal(np.array(gj), np.concatenate(wj))
 
 
 @pytest.mark.parametrize("scheme", ["cs", "mcs"])
