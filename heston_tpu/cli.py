@@ -161,6 +161,8 @@ def main(argv=None):
                         "for a mixed-maturity book — priced in ONE fused "
                         "launch via per-lane step counts; steps per year "
                         "come from n-steps/maturity")
+    p.add_argument("--csv", default=None,
+                   help="also write the book risk report as CSV")
 
     p = sub.add_parser("surface", help="export a price surface CSV")
     _add_common(p)
@@ -383,6 +385,19 @@ def main(argv=None):
                                 "vega_v0"),
                                [float(v) for v in out["param_jacobian"][j]]))
             print(json.dumps(row))
+        if args.csv:
+            ordered = {k: np.asarray(out[k])[inv]
+                       for k in ("price", "delta", "gamma", "theta")}
+            if args.param_jacobian:
+                ordered["param_jacobian"] = np.asarray(
+                    out["param_jacobian"])[inv]
+            hio.export_book_risk(
+                args.csv, np.asarray(args.strikes, dtype=float), ordered,
+                metadata=dict(s0=args.spot, american=args.american,
+                              option_type=args.option_type,
+                              dividends=args.dividends),
+                maturities=mats)
+            print(json.dumps({"csv": args.csv}))
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)

@@ -51,6 +51,39 @@ def export_convergence(path, rows: Sequence[dict], reference_price: float):
     return path
 
 
+def export_book_risk(path, strikes, risk: dict, metadata=None,
+                     maturities=None):
+    """Write one row per option of a batch_greeks risk report: strike
+    [, maturity], price, delta, gamma, theta [, the five parameter
+    sensitivities when risk carries 'param_jacobian']. The production
+    book-risk artifact (no reference analog — the reference exports only
+    surfaces/convergence/fit CSVs)."""
+    path = Path(path)
+    strikes = np.asarray(strikes)
+    cols = ["strike"] + (["maturity"] if maturities is not None else [])
+    cols += ["price", "delta", "gamma", "theta"]
+    jac = risk.get("param_jacobian")
+    if jac is not None:
+        cols += ["d_kappa", "d_eta", "d_sigma", "d_rho", "vega_v0"]
+        jac = np.asarray(jac)
+    with path.open("w", newline="") as f:
+        w = csv.writer(f)
+        if metadata:
+            f.write("# " + ", ".join(f"{k}={v}" for k, v in metadata.items())
+                    + "\n")
+        w.writerow(cols)
+        for i, k in enumerate(strikes):
+            row = [k]
+            if maturities is not None:
+                row.append(np.asarray(maturities)[i])
+            row += [float(np.asarray(risk[c])[i])
+                    for c in ("price", "delta", "gamma", "theta")]
+            if jac is not None:
+                row += [float(v) for v in jac[i]]
+            w.writerow(row)
+    return path
+
+
 def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
                            iv_epsilon: float = 0.01, dividends=None,
                            option_type: str = "call"):

@@ -117,3 +117,25 @@ def test_cli_iv(capsys):
         rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
         for r in rows:
             assert abs(r["implied_vol"] - 0.2) < 1e-6, (ot, r)
+
+
+def test_cli_risk_csv_export(tmp_path, capsys):
+    csv_path = tmp_path / "risk.csv"
+    rc = cli.main(["risk", "--strikes", "100", "90", "110",
+                   "--maturities", "1.0", "0.5", "0.5",
+                   "--m1", "20", "--m2", "10", "--n-steps", "4",
+                   "--american", "--param-jacobian",
+                   "--csv", str(csv_path)])
+    assert rc == 0
+    lines = capsys.readouterr().out.splitlines()
+    rows = [json.loads(l) for l in lines[:-1]]
+    assert json.loads(lines[-1]) == {"csv": str(csv_path)}
+    import csv as csvmod
+    with open(csv_path) as f:
+        body = [l for l in f if not l.startswith("#")]
+    recs = list(csvmod.DictReader(body))
+    assert [float(r["strike"]) for r in recs] == [100.0, 90.0, 110.0]
+    assert [float(r["maturity"]) for r in recs] == [1.0, 0.5, 0.5]
+    for r, j in zip(recs, rows):
+        for key in ("price", "delta", "gamma", "theta", "vega_v0"):
+            assert abs(float(r[key]) - j[key]) < 1e-12, key
