@@ -530,6 +530,7 @@ def calibrate_sharded(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    checkpoint_path: Optional[str] = None,
 ):
     """Distributed Levenberg–Marquardt calibration: the whole (possibly
     mixed-maturity) chain stays sharded over the mesh for every pass —
@@ -540,10 +541,15 @@ def calibrate_sharded(
     logic as models.calibration.calibrate,
     ref: src/heston_calibration.cpp:26-512).
 
+    checkpoint_path: persist the LM state after every iteration and
+    resume a pre-existing file (same crash-recovery facility as the
+    single-device host driver).
+
     Returns (theta_vec [5], info dict with iterations / final_error /
     converged / history)."""
     from heston_tpu.config import CalibrationConfig
     from heston_tpu.models.calibration import clamp_params
+    from heston_tpu.utils.checkpoint import LMState
 
     cfg = cfg or CalibrationConfig()
     # float coercion: integer strike/init input must not truncate the
@@ -551,12 +557,15 @@ def calibrate_sharded(
     # cast to the live jnp float dtype themselves)
     ks = jnp.asarray(strikes, jnp.result_type(float))
     market = np.asarray(market_prices, np.float64)
-    theta_vec = np.asarray(init_vec, np.float64)
-    lam = cfg.lambda_init
-    history = []
-    converged = False
-    final_error = np.inf
-    iters = 0
+    state = LMState(np.asarray(init_vec, np.float64), cfg.lambda_init, 0,
+                    float("inf"), False, []).maybe_resume(checkpoint_path)
+    theta_vec = np.asarray(state.theta_vec, np.float64)
+    lam = state.lam
+    history = state.history
+    converged = state.converged
+    final_error = state.final_error
+    iters = state.iteration
+    start_iter = state.iteration
     fitted = np.zeros_like(market)
 
     def price(tv):
@@ -565,7 +574,9 @@ def calibrate_sharded(
             american=american, dividends=dividends,
             option_type=option_type, group_steps=group_steps))
 
-    for it in range(cfg.max_iter):
+    for it in range(start_iter, cfg.max_iter):
+        if converged:
+            break
         iters = it + 1
         delta, base, sse = jacobian_normal_eq_sharded(
             mesh, spec, solver, ks, jnp.asarray(market), s0,
@@ -585,6 +596,9 @@ def calibrate_sharded(
             history.append(dict(iter=iters, sse=current_error,
                                 delta_norm=delta_norm, lam=lam,
                                 accepted=True))
+            if checkpoint_path:
+                LMState(np.asarray(theta_vec), lam, iters, final_error,
+                        converged, history).save(checkpoint_path)
             break
         new_prices = price(new_vec)
         new_error = float((market - new_prices) @ (market - new_prices))
@@ -599,6 +613,9 @@ def calibrate_sharded(
         history.append(dict(iter=iters, sse=current_error,
                             delta_norm=delta_norm, lam=lam,
                             accepted=accepted))
+        if checkpoint_path:
+            LMState(np.asarray(theta_vec), lam, iters, final_error,
+                    converged, history).save(checkpoint_path)
     return jnp.asarray(theta_vec), dict(
         iterations=iters, final_error=final_error, converged=converged,
         fitted_prices=fitted, history=history)

@@ -58,3 +58,40 @@ def test_resume_reproduces_uninterrupted_run(tmp_path, params):
         np.array(full.params.bumpable()), rtol=1e-12)
     assert abs(resumed.final_error - full.final_error) < 1e-12
     assert resumed.iterations == full.iterations
+
+
+def test_calibrate_sharded_checkpoint_resume(tmp_path, params):
+    """calibrate_sharded persists LM state per iteration; a rerun from
+    the checkpoint continues (not restarts) and lands on the same final
+    state as an uninterrupted run."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from heston_tpu.config import CalibrationConfig, GridSpec, SolverConfig
+    from heston_tpu.models import bs
+    from heston_tpu.parallel import calibrate_sharded, make_mesh
+
+    spec = GridSpec(m1=16, m2=8)
+    solver = SolverConfig(n_steps=6, theta=0.8, maturity=1.0,
+                          a2_variant="upwind", solver_engine="pallas")
+    mesh = make_mesh()
+    ks = jnp.linspace(92.0, 108.0, 8)
+    market = bs.generate_market_data(100.0, 1.0, 0.025, ks)
+    init = jnp.array([1.0, 0.05, 0.4, -0.5, 0.05])
+    path = str(tmp_path / "lm.json")
+    cfg2 = CalibrationConfig(max_iter=2, tol=1e-12, jacobian_mode="ad")
+    cfg4 = CalibrationConfig(max_iter=4, tol=1e-12, jacobian_mode="ad")
+    calibrate_sharded(mesh, spec, solver, ks, market, 100.0, init,
+                      0.025, 0.0, cfg=cfg2, checkpoint_path=path)
+    tv_res, info_res = calibrate_sharded(
+        mesh, spec, solver, ks, market, 100.0, init, 0.025, 0.0,
+        cfg=cfg4, checkpoint_path=path)
+    tv_full, info_full = calibrate_sharded(
+        mesh, spec, solver, ks, market, 100.0, init, 0.025, 0.0,
+        cfg=cfg4)
+    assert info_res["iterations"] == info_full["iterations"] == 4
+    assert len(info_res["history"]) == len(info_full["history"])
+    np.testing.assert_allclose(np.asarray(tv_res), np.asarray(tv_full),
+                               rtol=1e-10, atol=1e-12)
