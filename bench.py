@@ -43,7 +43,38 @@ def main():
 
     enable_compilation_cache()
 
-    dev = jax.devices()[0]
+    import subprocess
+
+    try:
+        # watchdog: backend init HANGS inside a C call (not errors) when
+        # the axon tunnel is half-down, so an in-process SIGALRM never
+        # fires — probe device init in a SUBPROCESS with a hard timeout
+        # and convert a hang/failure into the parseable outage line.
+        # Costs one extra backend init (~10-20 s healthy) per bench run;
+        # HESTON_BENCH_NO_PROBE=1 skips it.
+        if os.environ.get("HESTON_BENCH_NO_PROBE", "0") != "1":
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=600, capture_output=True, text=True)
+            if probe.returncode != 0:
+                raise RuntimeError(
+                    f"device probe failed: {probe.stderr.strip()[-200:]}")
+        dev = jax.devices()[0]
+    except Exception as exc:  # pragma: no cover - environment safety net
+        # the axon TPU tunnel can be down (observed: RuntimeError
+        # "Unable to initialize backend 'axon': UNAVAILABLE"); emit ONE
+        # parseable JSON line naming the outage instead of producing no
+        # artifact at all
+        print(json.dumps({
+            "metric": f"american_dividend_batch{batch}_m1_50_m2_25_N20_"
+                      f"{dtype_name}_{engine}_unavailable",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": f"backend init failed: "
+                     f"{type(exc).__name__}: {exc}"[:300],
+        }))
+        return 1
     p = HestonParams()
     spec = GridSpec(m1=50, m2=25)
     solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,

@@ -354,7 +354,11 @@ void ht_do_solve_batch(
   {
     DoWorkspace ws;
     ws.resize(nv, ns);
-#pragma omp for schedule(static)
+// dynamic: mixed-maturity books are sorted by maturity, so static
+// chunking would hand the first threads all the short chains and the
+// last threads all the long ones; per-option solves are big enough
+// that the dynamic-dispatch overhead is noise for uniform books too
+#pragma omp for schedule(dynamic)
     for (int64_t o = 0; o < b; ++o) {
       const int64_t n_o = n_steps_per ? n_steps_per[o] : n_steps;
       const double* a0c_o = a0c + o * m;

@@ -611,7 +611,7 @@ def calibrate(
     iteration and a pre-existing file resumes the run (crash recovery;
     the reference has no such facility, SURVEY.md §5).
     """
-    from heston_tpu.utils.checkpoint import LMState
+    from heston_tpu.utils.checkpoint import LMState, problem_key
     if pricing_fns is not None:
         jac_fn, price_fn = pricing_fns[0], pricing_fns[1]
     else:
@@ -629,8 +629,16 @@ def calibrate(
         return dataclasses.replace(solver, n_steps=n, maturity=mat)
 
     market = np.asarray(targets.prices)
-    state = LMState.fresh(init, cfg.lambda_init).maybe_resume(
-        checkpoint_path)
+    # the key fingerprints the PROBLEM, not the LM hyperparameters:
+    # resuming with a larger max_iter (or looser tol) is the normal
+    # continuation pattern and must load cleanly
+    pkey = problem_key(targets.strikes, targets.prices,
+                       targets.maturities, targets.s0, targets.r_d,
+                       targets.r_f, targets.american,
+                       targets.option_type, spec, solver, spy)
+    state = LMState.fresh(init, cfg.lambda_init)
+    state.key = pkey
+    state = state.maybe_resume(checkpoint_path)
     theta_vec = state.theta_vec
     lam = state.lam
     history: List[Dict] = state.history
@@ -693,7 +701,8 @@ def calibrate(
                                 accepted=True))
             if checkpoint_path:
                 LMState(np.asarray(theta_vec), lam, iters, final_error,
-                        converged, history).save(checkpoint_path)
+                        converged, history, key=pkey
+                        ).save(checkpoint_path)
             break
 
         new_prices = eval_prices(new_vec)
@@ -712,7 +721,13 @@ def calibrate(
                             lam=lam, accepted=accepted))
         if checkpoint_path:
             LMState(np.asarray(theta_vec), lam, iters, final_error,
-                    converged, history).save(checkpoint_path)
+                    converged, history, key=pkey).save(checkpoint_path)
+
+    if iters == start_iter:
+        # resumed from a finished checkpoint (converged, or max_iter
+        # already reached): the loop body never ran, so price the final
+        # parameters instead of returning the zeros placeholder
+        fitted = eval_prices(theta_vec)
 
     calibrated = dataclasses.replace(
         init, kappa=float(theta_vec[0]), eta=float(theta_vec[1]),

@@ -82,7 +82,11 @@ def _local_prices(spec, solver, american, dividends, option_type,
 
 def _local_jac(spec, solver, american, dividends, eps, option_type,
                jacobian_mode, ks, tv, s0, r_d, r_f):
-    if solver.solver_engine == "pallas":
+    # the fused forward-mode launch is the 'ad' implementation, not an
+    # override: jacobian_mode='fd' must run FD bumps here too (reference
+    # parity, and one cfg => one Jacobian method whether or not the book
+    # carries group_steps)
+    if jacobian_mode == "ad" and solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do
 
         if fused_do.use_fused(spec, solver,
@@ -549,16 +553,29 @@ def calibrate_sharded(
     converged / history)."""
     from heston_tpu.config import CalibrationConfig
     from heston_tpu.models.calibration import clamp_params
-    from heston_tpu.utils.checkpoint import LMState
+    from heston_tpu.utils.checkpoint import LMState, problem_key
 
     cfg = cfg or CalibrationConfig()
+    if not jax.config.read("jax_enable_x64") and cfg.jacobian_mode == "fd":
+        # float32: a 1e-6 FD bump drowns in rounding noise and the LM
+        # stalls — auto-upgrade to the exact AD Jacobian, the same
+        # driver-level protection run_scenario applies for the host and
+        # device loops (scenarios.py)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, jacobian_mode="ad")
     # float coercion: integer strike/init input must not truncate the
     # parameter vector (host bookkeeping is f64; the device executables
     # cast to the live jnp float dtype themselves)
     ks = jnp.asarray(strikes, jnp.result_type(float))
     market = np.asarray(market_prices, np.float64)
-    state = LMState(np.asarray(init_vec, np.float64), cfg.lambda_init, 0,
-                    float("inf"), False, []).maybe_resume(checkpoint_path)
+    # fingerprints the PROBLEM, not the LM hyperparameters (resuming
+    # with a larger max_iter is the normal continuation pattern)
+    pkey = problem_key(ks, market, s0, r_d, r_f, american,
+                       option_type, spec, solver, group_steps)
+    state = LMState(np.asarray(init_vec, np.float64), cfg.lambda_init,
+                    0, float("inf"), False, [], key=pkey
+                    ).maybe_resume(checkpoint_path)
     theta_vec = np.asarray(state.theta_vec, np.float64)
     lam = state.lam
     history = state.history
@@ -598,7 +615,8 @@ def calibrate_sharded(
                                 accepted=True))
             if checkpoint_path:
                 LMState(np.asarray(theta_vec), lam, iters, final_error,
-                        converged, history).save(checkpoint_path)
+                        converged, history, key=pkey
+                        ).save(checkpoint_path)
             break
         new_prices = price(new_vec)
         new_error = float((market - new_prices) @ (market - new_prices))
@@ -610,12 +628,17 @@ def calibrate_sharded(
         else:
             lam = min(lam * cfg.lambda_up, cfg.lambda_max)
         final_error = min(new_error, current_error)
-        history.append(dict(iter=iters, sse=current_error,
+        history.append(dict(iter=iters, sse=current_error, new_sse=new_error,
                             delta_norm=delta_norm, lam=lam,
                             accepted=accepted))
         if checkpoint_path:
             LMState(np.asarray(theta_vec), lam, iters, final_error,
-                    converged, history).save(checkpoint_path)
+                    converged, history, key=pkey).save(checkpoint_path)
+    if iters == start_iter:
+        # resumed from a finished checkpoint (converged, or max_iter
+        # already reached): the loop body never ran, so price the final
+        # parameters instead of returning the zeros placeholder
+        fitted = price(theta_vec)
     return jnp.asarray(theta_vec), dict(
         iterations=iters, final_error=final_error, converged=converged,
         fitted_prices=fitted, history=history)

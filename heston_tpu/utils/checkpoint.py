@@ -19,6 +19,24 @@ import numpy as np
 from heston_tpu.config import HestonParams
 
 
+def problem_key(*parts) -> str:
+    """Stable fingerprint of a calibration problem (strikes, market,
+    cfg, group_steps, spec, solver, ...) — stored in the checkpoint so a
+    stale or foreign file cannot silently hijack a resumed run."""
+    import hashlib
+
+    def norm(x):
+        if isinstance(x, np.ndarray):
+            return x.tolist()
+        try:  # jnp arrays and scalars
+            return np.asarray(x).tolist()
+        except Exception:
+            return repr(x)
+
+    blob = repr([norm(p) for p in parts]).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 @dataclasses.dataclass
 class LMState:
     """Resumable Levenberg-Marquardt state."""
@@ -29,6 +47,7 @@ class LMState:
     final_error: float
     converged: bool
     history: list
+    key: str = ""                # problem fingerprint ("" = unchecked)
 
     def save(self, path) -> Path:
         path = Path(path)
@@ -39,6 +58,7 @@ class LMState:
             final_error=self.final_error,
             converged=self.converged,
             history=self.history,
+            key=self.key,
         )
         tmp = path.with_suffix(".tmp")
         tmp.write_text(json.dumps(payload))
@@ -55,6 +75,7 @@ class LMState:
             final_error=float(d["final_error"]),
             converged=bool(d["converged"]),
             history=d["history"],
+            key=str(d.get("key", "")),
         )
 
     @classmethod
@@ -64,7 +85,16 @@ class LMState:
                    history=[])
 
     def maybe_resume(self, path: Optional[str]) -> "LMState":
-        """Return the stored state if `path` exists, else self."""
+        """Return the stored state if `path` exists, else self. When both
+        self and the stored state carry a problem fingerprint, a mismatch
+        raises instead of silently resuming a DIFFERENT calibration
+        (stale path reuse)."""
         if path and Path(path).exists():
-            return self.load(path)
+            stored = self.load(path)
+            if self.key and stored.key and stored.key != self.key:
+                raise ValueError(
+                    f"checkpoint at {path} belongs to a different "
+                    f"calibration problem (fingerprint {stored.key} != "
+                    f"{self.key}); delete it or use a fresh path")
+            return stored
         return self

@@ -60,12 +60,17 @@ def export_book_risk(path, strikes, risk: dict, metadata=None,
     surfaces/convergence/fit CSVs)."""
     path = Path(path)
     strikes = np.asarray(strikes)
+    # fetch each column ONCE up front: converting per row would cost one
+    # full device->host transfer per row per column for jnp inputs
+    # (~29 ms each through this machine's TPU tunnel)
+    risk = {k: np.asarray(v) for k, v in risk.items()}
+    if maturities is not None:
+        maturities = np.asarray(maturities)
     cols = ["strike"] + (["maturity"] if maturities is not None else [])
     cols += ["price", "delta", "gamma", "theta"]
     jac = risk.get("param_jacobian")
     if jac is not None:
         cols += ["d_kappa", "d_eta", "d_sigma", "d_rho", "vega_v0"]
-        jac = np.asarray(jac)
     with path.open("w", newline="") as f:
         w = csv.writer(f)
         if metadata:
@@ -75,8 +80,8 @@ def export_book_risk(path, strikes, risk: dict, metadata=None,
         for i, k in enumerate(strikes):
             row = [k]
             if maturities is not None:
-                row.append(np.asarray(maturities)[i])
-            row += [float(np.asarray(risk[c])[i])
+                row.append(maturities[i])
+            row += [float(risk[c][i])
                     for c in ("price", "delta", "gamma", "theta")]
             if jac is not None:
                 row += [float(v) for v in jac[i]]

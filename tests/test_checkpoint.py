@@ -95,3 +95,29 @@ def test_calibrate_sharded_checkpoint_resume(tmp_path, params):
     assert len(info_res["history"]) == len(info_full["history"])
     np.testing.assert_allclose(np.asarray(tv_res), np.asarray(tv_full),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_checkpoint_rejects_foreign_problem(tmp_path, params):
+    """A checkpoint written for one chain must not silently hijack a
+    calibration of a DIFFERENT chain at the same path."""
+    import jax.numpy as jnp
+    import pytest
+
+    from heston_tpu.config import CalibrationConfig, GridSpec, SolverConfig
+    from heston_tpu.models import bs
+    from heston_tpu.parallel import calibrate_sharded, make_mesh
+
+    spec = GridSpec(m1=12, m2=8)
+    solver = SolverConfig(n_steps=4, theta=0.8, maturity=1.0,
+                          a2_variant="upwind")
+    mesh = make_mesh()
+    ks = jnp.linspace(92.0, 108.0, 8)
+    market = bs.generate_market_data(100.0, 1.0, 0.025, ks)
+    init = jnp.array([1.0, 0.05, 0.4, -0.5, 0.05])
+    path = str(tmp_path / "lm.json")
+    cfg = CalibrationConfig(max_iter=1, tol=1e-12, jacobian_mode="ad")
+    calibrate_sharded(mesh, spec, solver, ks, market, 100.0, init,
+                      0.025, 0.0, cfg=cfg, checkpoint_path=path)
+    with pytest.raises(ValueError, match="different"):
+        calibrate_sharded(mesh, spec, solver, ks + 5.0, market, 100.0,
+                          init, 0.025, 0.0, cfg=cfg, checkpoint_path=path)

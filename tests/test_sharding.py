@@ -104,7 +104,8 @@ def test_sharded_fused_ad_jacobian_matches_single_device(params, mesh):
     tv = _theta(params)
     jac_fn, price_fn = sharded_pricing_fns(mesh)
     j_sh, b_sh = jac_fn(SPEC, solver_p, strikes, 100.0, tv,
-                        params.r_d, params.r_f, american=True)
+                        params.r_d, params.r_f, american=True,
+                        jacobian_mode="ad")
     b, j = fused_do.fused_theta_jacobian(
         SPEC, solver_p, strikes, 100.0, tv, params.r_d, params.r_f,
         american=True, interpret=True)
