@@ -254,6 +254,88 @@ def lm_update(jac: Array, residual: Array, lam) -> Array:
     return jnp.linalg.solve(jtj, jtr)
 
 
+def lm_host_loop(market, cfg: CalibrationConfig, state, eval_step,
+                 eval_prices, checkpoint_path=None, pkey: str = "",
+                 verbose: bool = False):
+    """THE damped accept/reject Levenberg–Marquardt loop (clamps,
+    Marquardt damping schedule, convergence tests, per-iteration
+    checkpointing, resume-finished repricing) shared by the host driver
+    (`calibrate`) and the distributed driver
+    (`parallel.calibrate_sharded`) so their trajectories and checkpoint
+    schemas cannot drift apart
+    (ref: src/heston_calibration.cpp:206-417).
+
+    eval_step(theta_vec, lam) -> (delta [5] np, base_prices [n] np,
+    current_error float): one Jacobian pass + damped normal-equation
+    solve, however the caller distributes it.
+    eval_prices(theta_vec) -> [n] np: trial pricing.
+
+    `state` is a checkpoint.LMState (fresh or resumed). Returns
+    (theta_vec, lam, iters, final_error, converged, history, fitted)."""
+    from heston_tpu.utils.checkpoint import LMState
+
+    market = np.asarray(market)
+    theta_vec = np.asarray(state.theta_vec)
+    lam = state.lam
+    history = state.history
+    converged = state.converged
+    final_error = state.final_error
+    iters = start_iter = state.iteration
+    fitted = np.zeros_like(market)
+
+    for it in range(start_iter, cfg.max_iter):
+        if converged:
+            break
+        iters = it + 1
+        delta, base, current_error = eval_step(theta_vec, lam)
+        fitted = np.asarray(base)
+        delta = np.asarray(delta)
+        new_vec = clamp_params(theta_vec + delta, cfg)
+        delta_norm = float(np.linalg.norm(delta))
+
+        if verbose:
+            print(f"iter {iters}: sse={current_error:.6e} "
+                  f"|delta|={delta_norm:.3e} lambda={lam:.1e}")
+
+        if delta_norm < cfg.tol or current_error < cfg.tol:
+            theta_vec = new_vec
+            converged = True
+            final_error = current_error
+            history.append(dict(iter=iters, sse=current_error,
+                                delta_norm=delta_norm, lam=lam,
+                                accepted=True))
+            if checkpoint_path:
+                LMState(np.asarray(theta_vec), lam, iters, final_error,
+                        converged, history, key=pkey
+                        ).save(checkpoint_path)
+            break
+
+        new_prices = eval_prices(new_vec)
+        new_resid = market - new_prices
+        new_error = float(new_resid @ new_resid)
+        accepted = new_error < current_error
+        if accepted:
+            theta_vec = new_vec
+            fitted = new_prices
+            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
+        else:
+            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
+        final_error = min(new_error, current_error)
+        history.append(dict(iter=iters, sse=current_error,
+                            new_sse=new_error, delta_norm=delta_norm,
+                            lam=lam, accepted=accepted))
+        if checkpoint_path:
+            LMState(np.asarray(theta_vec), lam, iters, final_error,
+                    converged, history, key=pkey).save(checkpoint_path)
+
+    if iters == start_iter:
+        # resumed from a finished checkpoint (converged, or max_iter
+        # already reached): the loop body never ran, so price the final
+        # parameters instead of returning the zeros placeholder
+        fitted = eval_prices(theta_vec)
+    return theta_vec, lam, iters, final_error, converged, history, fitted
+
+
 def validate_group_steps(group_steps, n: int, n_steps=None) -> None:
     """Check (start, end, n_steps) maturity-group slices tile [0, n)
     contiguously IN ORDER. Every group_steps consumer indexes the book
@@ -639,14 +721,6 @@ def calibrate(
     state = LMState.fresh(init, cfg.lambda_init)
     state.key = pkey
     state = state.maybe_resume(checkpoint_path)
-    theta_vec = state.theta_vec
-    lam = state.lam
-    history: List[Dict] = state.history
-    converged = state.converged
-    final_error = state.final_error
-    iters = state.iteration
-    start_iter = state.iteration
-    fitted = np.zeros_like(market)
 
     def eval_jacobian(tv):
         J = np.zeros((len(market), N_PARAMS))
@@ -674,60 +748,18 @@ def calibrate(
             ))
         return P
 
-    for it in range(start_iter, cfg.max_iter):
-        if converged:
-            break
-        iters = it + 1
-        J, base = eval_jacobian(theta_vec)
-        fitted = base
+    def eval_step(tv, lam_):
+        J, base = eval_jacobian(tv)
         residual = market - base
         current_error = float(residual @ residual)
-
         delta = np.asarray(lm_update(jnp.asarray(J), jnp.asarray(residual),
-                                     lam))
-        new_vec = clamp_params(theta_vec + delta, cfg)
-        delta_norm = float(np.linalg.norm(delta))
+                                     lam_))
+        return delta, base, current_error
 
-        if verbose:
-            print(f"iter {iters}: sse={current_error:.6e} "
-                  f"|delta|={delta_norm:.3e} lambda={lam:.1e}")
-
-        if delta_norm < cfg.tol or current_error < cfg.tol:
-            theta_vec = new_vec
-            converged = True
-            final_error = current_error
-            history.append(dict(iter=iters, sse=current_error,
-                                delta_norm=delta_norm, lam=lam,
-                                accepted=True))
-            if checkpoint_path:
-                LMState(np.asarray(theta_vec), lam, iters, final_error,
-                        converged, history, key=pkey
-                        ).save(checkpoint_path)
-            break
-
-        new_prices = eval_prices(new_vec)
-        new_resid = market - new_prices
-        new_error = float(new_resid @ new_resid)
-        accepted = new_error < current_error
-        if accepted:
-            theta_vec = new_vec
-            fitted = new_prices
-            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
-        else:
-            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
-        final_error = min(new_error, current_error)
-        history.append(dict(iter=iters, sse=current_error,
-                            new_sse=new_error, delta_norm=delta_norm,
-                            lam=lam, accepted=accepted))
-        if checkpoint_path:
-            LMState(np.asarray(theta_vec), lam, iters, final_error,
-                    converged, history, key=pkey).save(checkpoint_path)
-
-    if iters == start_iter:
-        # resumed from a finished checkpoint (converged, or max_iter
-        # already reached): the loop body never ran, so price the final
-        # parameters instead of returning the zeros placeholder
-        fitted = eval_prices(theta_vec)
+    (theta_vec, lam, iters, final_error, converged, history, fitted
+     ) = lm_host_loop(market, cfg, state, eval_step, eval_prices,
+                      checkpoint_path=checkpoint_path, pkey=pkey,
+                      verbose=verbose)
 
     calibrated = dataclasses.replace(
         init, kappa=float(theta_vec[0]), eta=float(theta_vec[1]),

@@ -576,14 +576,6 @@ def calibrate_sharded(
     state = LMState(np.asarray(init_vec, np.float64), cfg.lambda_init,
                     0, float("inf"), False, [], key=pkey
                     ).maybe_resume(checkpoint_path)
-    theta_vec = np.asarray(state.theta_vec, np.float64)
-    lam = state.lam
-    history = state.history
-    converged = state.converged
-    final_error = state.final_error
-    iters = state.iteration
-    start_iter = state.iteration
-    fitted = np.zeros_like(market)
 
     def price(tv):
         return np.asarray(price_batch_sharded(
@@ -591,54 +583,22 @@ def calibrate_sharded(
             american=american, dividends=dividends,
             option_type=option_type, group_steps=group_steps))
 
-    for it in range(start_iter, cfg.max_iter):
-        if converged:
-            break
-        iters = it + 1
+    def eval_step(tv, lam_):
         delta, base, sse = jacobian_normal_eq_sharded(
             mesh, spec, solver, ks, jnp.asarray(market), s0,
-            jnp.asarray(theta_vec), r_d, r_f, lam=lam, eps=cfg.eps,
+            jnp.asarray(tv), r_d, r_f, lam=lam_, eps=cfg.eps,
             american=american, dividends=dividends,
             option_type=option_type, jacobian_mode=cfg.jacobian_mode,
             group_steps=group_steps)
-        fitted = np.asarray(base)
-        current_error = float(sse)
-        delta = np.asarray(delta)
-        new_vec = clamp_params(theta_vec + delta, cfg)
-        delta_norm = float(np.linalg.norm(delta))
-        if delta_norm < cfg.tol or current_error < cfg.tol:
-            theta_vec = new_vec
-            converged = True
-            final_error = current_error
-            history.append(dict(iter=iters, sse=current_error,
-                                delta_norm=delta_norm, lam=lam,
-                                accepted=True))
-            if checkpoint_path:
-                LMState(np.asarray(theta_vec), lam, iters, final_error,
-                        converged, history, key=pkey
-                        ).save(checkpoint_path)
-            break
-        new_prices = price(new_vec)
-        new_error = float((market - new_prices) @ (market - new_prices))
-        accepted = new_error < current_error
-        if accepted:
-            theta_vec = new_vec
-            fitted = new_prices
-            lam = max(lam * cfg.lambda_down, cfg.lambda_min)
-        else:
-            lam = min(lam * cfg.lambda_up, cfg.lambda_max)
-        final_error = min(new_error, current_error)
-        history.append(dict(iter=iters, sse=current_error, new_sse=new_error,
-                            delta_norm=delta_norm, lam=lam,
-                            accepted=accepted))
-        if checkpoint_path:
-            LMState(np.asarray(theta_vec), lam, iters, final_error,
-                    converged, history, key=pkey).save(checkpoint_path)
-    if iters == start_iter:
-        # resumed from a finished checkpoint (converged, or max_iter
-        # already reached): the loop body never ran, so price the final
-        # parameters instead of returning the zeros placeholder
-        fitted = price(theta_vec)
+        return np.asarray(delta), np.asarray(base), float(sse)
+
+    # the accept/reject loop, damping schedule, checkpointing and
+    # resume-finished repricing are THE shared implementation —
+    # calibration.lm_host_loop — so the two drivers cannot drift
+    (theta_vec, lam, iters, final_error, converged, history, fitted
+     ) = calibration.lm_host_loop(
+        market, cfg, state, eval_step, price,
+        checkpoint_path=checkpoint_path, pkey=pkey)
     return jnp.asarray(theta_vec), dict(
         iterations=iters, final_error=final_error, converged=converged,
         fitted_prices=fitted, history=history)
