@@ -235,5 +235,8 @@ def run_scenario(
         hio.export_calibration_fit(
             csv_path, result, scenario.s0, max(scenario.maturities),
             scenario.r_d, dividends=scenario.dividends,
-            option_type=scenario.option_type)
+            option_type=scenario.option_type,
+            # multi-maturity: each point's IV inverts at its own maturity
+            maturities=(targets.maturities
+                        if len(scenario.maturities) > 1 else None))
     return result, wall

@@ -91,7 +91,7 @@ def export_book_risk(path, strikes, risk: dict, metadata=None,
 
 def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
                            iv_epsilon: float = 0.01, dividends=None,
-                           option_type: str = "call"):
+                           option_type: str = "call", maturities=None):
     """Write strike / market / fitted / IV-difference rows plus a metadata
     header with initial & final parameters
     (ref: src/heston_calibration.cpp:468-511).
@@ -101,7 +101,13 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
     dividend calibration exports (S_adjusted fed to reverse_BS,
     ref: src/heston_calibration.cpp:1500-1529, src/bs.hpp:131-160) —
     inverting against the raw spot would price the IVs off the wrong
-    forward."""
+    forward.
+
+    `maturities` (optional [n]): per-point maturities of a multi-maturity
+    chain — each point's IV inverts at its OWN maturity (and its own
+    escrowed spot), the reference's per-point reverse_BS convention
+    (ref: src/heston_calibration.cpp:2800-2860). Without it every point
+    uses the scalar `t`."""
     from heston_tpu.models import bs  # lazy: jax import
 
     import jax.numpy as jnp
@@ -110,29 +116,35 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
     strikes = np.asarray(result.strikes)
     market = np.asarray(result.market_prices)
     fitted = np.asarray(result.fitted_prices)
+    mats = (np.full(len(strikes), float(t)) if maturities is None
+            else np.asarray(maturities, dtype=float))
 
-    s_iv = s0
-    if dividends is not None and len(dividends) > 0:
-        s_iv = float(bs.escrowed_spot(
-            s0, t, r_d, dividends.dates, dividends.amounts,
-            dividends.percentages))
-    mkt_c = jnp.asarray(market)
-    fit_c = jnp.asarray(fitted)
-    if bs.is_put(option_type):
-        # put chains (framework extension): convert to parity-equivalent
-        # call prices against the same (adjusted) spot so the call-based
-        # Newton inversion applies. Exact for European puts; for AMERICAN
-        # puts this is the standard European-BS quoting of American
-        # prices (the early-exercise premium inflates both columns
-        # identically, so the IV-difference fit metric stays meaningful)
-        mkt_c = bs.put_to_call_parity(mkt_c, s_iv, jnp.asarray(strikes),
-                                      r_d, t)
-        fit_c = bs.put_to_call_parity(fit_c, s_iv, jnp.asarray(strikes),
-                                      r_d, t)
-    iv_mkt = np.asarray(bs.implied_vol_chain(
-        mkt_c, s_iv, jnp.asarray(strikes), r_d, t))
-    iv_fit = np.asarray(bs.implied_vol_chain(
-        fit_c, s_iv, jnp.asarray(strikes), r_d, t))
+    iv_mkt = np.zeros(len(strikes))
+    iv_fit = np.zeros(len(strikes))
+    for tm in sorted(set(mats.tolist())):
+        idx = mats == tm
+        s_iv = s0
+        if dividends is not None and len(dividends) > 0:
+            s_iv = float(bs.escrowed_spot(
+                s0, tm, r_d, dividends.dates, dividends.amounts,
+                dividends.percentages))
+        ks_g = jnp.asarray(strikes[idx])
+        mkt_c = jnp.asarray(market[idx])
+        fit_c = jnp.asarray(fitted[idx])
+        if bs.is_put(option_type):
+            # put chains (framework extension): convert to
+            # parity-equivalent call prices against the same (adjusted)
+            # spot so the call-based Newton inversion applies. Exact for
+            # European puts; for AMERICAN puts this is the standard
+            # European-BS quoting of American prices (the early-exercise
+            # premium inflates both columns identically, so the
+            # IV-difference fit metric stays meaningful)
+            mkt_c = bs.put_to_call_parity(mkt_c, s_iv, ks_g, r_d, tm)
+            fit_c = bs.put_to_call_parity(fit_c, s_iv, ks_g, r_d, tm)
+        iv_mkt[idx] = np.asarray(bs.implied_vol_chain(
+            mkt_c, s_iv, ks_g, r_d, tm))
+        iv_fit[idx] = np.asarray(bs.implied_vol_chain(
+            fit_c, s_iv, ks_g, r_d, tm))
 
     init = result.initial_params
     fin = result.params
@@ -149,9 +161,18 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
     with path.open("w", newline="") as f:
         f.write("# " + ", ".join(f"{k}={v}" for k, v in meta.items()) + "\n")
         w = csv.writer(f)
-        w.writerow(["Strike", "MarketPrice", "FittedPrice", "IVDifference"])
-        for k, m, fit, a, b_ in zip(strikes, market, fitted, iv_mkt, iv_fit):
-            w.writerow([k, m, fit, abs(a - b_)])
+        if maturities is not None:
+            w.writerow(["Strike", "Maturity", "MarketPrice", "FittedPrice",
+                        "IVDifference"])
+            for k, tm, m, fit, a, b_ in zip(strikes, mats, market, fitted,
+                                            iv_mkt, iv_fit):
+                w.writerow([k, tm, m, fit, abs(a - b_)])
+        else:
+            w.writerow(["Strike", "MarketPrice", "FittedPrice",
+                        "IVDifference"])
+            for k, m, fit, a, b_ in zip(strikes, market, fitted, iv_mkt,
+                                        iv_fit):
+                w.writerow([k, m, fit, abs(a - b_)])
     return path
 
 

@@ -97,3 +97,45 @@ def test_export_benchmark(tmp_path):
     assert len(lines) == 2
     vals = lines[1].split(",")
     assert abs(float(vals[-1]) - 500 / 0.011) < 1.0
+
+
+def test_export_calibration_fit_multi_maturity_iv(tmp_path, params):
+    """Per-point maturities: a flat-0.2-vol BS chain over two maturities
+    must show ~zero IV difference for EVERY point when each inverts at
+    its own maturity (inverting everything at max T, the old behavior,
+    skews the short-maturity IVs by >1e-2)."""
+    import dataclasses
+
+    from heston_tpu.models import bs, calibration as calib
+
+    strikes = np.linspace(90.0, 110.0, 6)
+    mats = np.array([0.25, 0.25, 0.25, 1.0, 1.0, 1.0])
+    market = np.concatenate([
+        np.asarray(bs.generate_market_data(
+            100.0, 0.25, params.r_d, jnp.asarray(strikes[:3]))),
+        np.asarray(bs.generate_market_data(
+            100.0, 1.0, params.r_d, jnp.asarray(strikes[3:]))),
+    ])
+    result = calib.CalibrationResult(
+        params=params, initial_params=params, final_error=0.0,
+        iterations=1, converged=True, fitted_prices=market.copy(),
+        market_prices=market, strikes=strikes, history=[],
+        total_pde_solves=0)
+    path = hio.export_calibration_fit(
+        tmp_path / "fit.csv", result, 100.0, 1.0, params.r_d,
+        maturities=mats)
+    body = [l for l in path.read_text().splitlines()
+            if not l.startswith("#")]
+    header = body[0].split(",")
+    assert header[:2] == ["Strike", "Maturity"]
+    rows = [l.split(",") for l in body[1:]]
+    assert [float(r[1]) for r in rows] == mats.tolist()
+    # identical market/fitted prices => IV difference ~0 at every point
+    assert all(abs(float(r[4])) < 1e-9 for r in rows)
+    # and the per-point market IV really is ~0.2 at the point's OWN
+    # maturity (the old single-T inversion cannot achieve this for the
+    # short-maturity half)
+    iv_wrong_t = np.asarray(bs.implied_vol_chain(
+        jnp.asarray(market[:3]), 100.0, jnp.asarray(strikes[:3]),
+        params.r_d, 1.0))
+    assert np.max(np.abs(iv_wrong_t - 0.2)) > 1e-2
