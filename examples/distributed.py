@@ -2,9 +2,12 @@
 run whole-book risk, and calibrate a mixed-maturity chain with the
 fully-distributed LM driver.
 
-Runs anywhere: on a TPU pod slice the mesh spans the real chips; on a
-CPU-only host this script self-provisions 8 virtual devices so the
-sharding semantics (and the collective layout) are identical.
+By default the script self-provisions 8 virtual CPU devices so the
+sharding semantics (and the collective layout) are identical to a real
+pod slice without touching an accelerator — and without hanging when a
+TPU plugin's backend is unreachable (this machine's axon tunnel hangs
+backend init inside a C call when down, docs/DESIGN.md §5.8). Set
+HESTON_EXAMPLE_BACKEND=tpu to span the real chips instead.
 
     python examples/distributed.py
 """
@@ -21,6 +24,11 @@ os.environ["XLA_FLAGS"] = (
 )
 
 import jax
+
+if os.environ.get("HESTON_EXAMPLE_BACKEND", "cpu") != "tpu":
+    # in-process config, not the JAX_PLATFORMS env var — the env route
+    # still initializes (and can hang on) an unreachable TPU plugin
+    jax.config.update("jax_platforms", "cpu")
 
 if jax.default_backend() == "cpu":
     jax.config.update("jax_enable_x64", True)

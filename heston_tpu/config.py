@@ -134,8 +134,9 @@ class SolverConfig:
     # with the 1/2 mixed-term corrector, ref src/solver.hpp:678) or "mcs"
     # (modified Craig-Sneyd; the reference's version is marked broken at
     # src/solver.hpp:915 — ours implements the textbook in 't Hout-Foulon
-    # form). American exercise and dividends are supported for "do" only,
-    # matching the reference.
+    # form). All three compose with American exercise, dividend
+    # schedules and mixed-maturity books on every engine (the reference
+    # ships American/dividend steppers for DO only).
     scheme: str = "do"
 
     @property

@@ -552,7 +552,6 @@ def calibrate_sharded(
     Returns (theta_vec [5], info dict with iterations / final_error /
     converged / history)."""
     from heston_tpu.config import CalibrationConfig
-    from heston_tpu.models.calibration import clamp_params
     from heston_tpu.utils.checkpoint import LMState, problem_key
 
     cfg = cfg or CalibrationConfig()

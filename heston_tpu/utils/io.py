@@ -161,18 +161,17 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
     with path.open("w", newline="") as f:
         f.write("# " + ", ".join(f"{k}={v}" for k, v in meta.items()) + "\n")
         w = csv.writer(f)
+        # single-maturity schema stays byte-identical to the reference's
+        # exporter; multi-maturity splices one Maturity column in
+        header = ["Strike", "MarketPrice", "FittedPrice", "IVDifference"]
         if maturities is not None:
-            w.writerow(["Strike", "Maturity", "MarketPrice", "FittedPrice",
-                        "IVDifference"])
-            for k, tm, m, fit, a, b_ in zip(strikes, mats, market, fitted,
-                                            iv_mkt, iv_fit):
-                w.writerow([k, tm, m, fit, abs(a - b_)])
-        else:
-            w.writerow(["Strike", "MarketPrice", "FittedPrice",
-                        "IVDifference"])
-            for k, m, fit, a, b_ in zip(strikes, market, fitted, iv_mkt,
-                                        iv_fit):
-                w.writerow([k, m, fit, abs(a - b_)])
+            header.insert(1, "Maturity")
+        w.writerow(header)
+        for i, k in enumerate(strikes):
+            row = [k, market[i], fitted[i], abs(iv_mkt[i] - iv_fit[i])]
+            if maturities is not None:
+                row.insert(1, mats[i])
+            w.writerow(row)
     return path
 
 

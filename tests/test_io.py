@@ -110,15 +110,26 @@ def test_export_calibration_fit_multi_maturity_iv(tmp_path, params):
 
     strikes = np.linspace(90.0, 110.0, 6)
     mats = np.array([0.25, 0.25, 0.25, 1.0, 1.0, 1.0])
-    market = np.concatenate([
-        np.asarray(bs.generate_market_data(
-            100.0, 0.25, params.r_d, jnp.asarray(strikes[:3]))),
-        np.asarray(bs.generate_market_data(
-            100.0, 1.0, params.r_d, jnp.asarray(strikes[3:]))),
-    ])
+
+    def chain(vol):
+        return np.concatenate([
+            np.asarray(bs.generate_market_data(
+                100.0, 0.25, params.r_d, jnp.asarray(strikes[:3]),
+                vol=vol)),
+            np.asarray(bs.generate_market_data(
+                100.0, 1.0, params.r_d, jnp.asarray(strikes[3:]),
+                vol=vol)),
+        ])
+
+    # market at flat vol 0.2, fitted at flat 0.25: the IVDifference
+    # column must read ~0.05 at EVERY point — only true when each point
+    # inverts at its own maturity (a single-T inversion distorts the
+    # short-maturity half's difference, so identical-price fixtures
+    # could not catch that regression)
+    market = chain(0.2)
     result = calib.CalibrationResult(
         params=params, initial_params=params, final_error=0.0,
-        iterations=1, converged=True, fitted_prices=market.copy(),
+        iterations=1, converged=True, fitted_prices=chain(0.25),
         market_prices=market, strikes=strikes, history=[],
         total_pde_solves=0)
     path = hio.export_calibration_fit(
@@ -130,12 +141,5 @@ def test_export_calibration_fit_multi_maturity_iv(tmp_path, params):
     assert header[:2] == ["Strike", "Maturity"]
     rows = [l.split(",") for l in body[1:]]
     assert [float(r[1]) for r in rows] == mats.tolist()
-    # identical market/fitted prices => IV difference ~0 at every point
-    assert all(abs(float(r[4])) < 1e-9 for r in rows)
-    # and the per-point market IV really is ~0.2 at the point's OWN
-    # maturity (the old single-T inversion cannot achieve this for the
-    # short-maturity half)
-    iv_wrong_t = np.asarray(bs.implied_vol_chain(
-        jnp.asarray(market[:3]), 100.0, jnp.asarray(strikes[:3]),
-        params.r_d, 1.0))
-    assert np.max(np.abs(iv_wrong_t - 0.2)) > 1e-2
+    for r in rows:
+        assert abs(float(r[4]) - 0.05) < 1e-6, r
