@@ -399,3 +399,28 @@ def test_sharded_mixed_normal_eq_fd_mode(params, mesh):
                                atol=1e-10)
     np.testing.assert_allclose(float(sse), float(resid @ resid),
                                rtol=1e-12)
+
+
+def test_sharded_fd_mode_honored_with_pallas_engine(params, mesh):
+    """jacobian_mode='fd' + engine='pallas' must run FD bumps (one cfg =
+    one Jacobian method), equal to the single-device FD Jacobian — the
+    fused forward-mode launch is the 'ad' implementation, not an
+    override (it previously force-dispatched whenever it fit VMEM)."""
+    import dataclasses
+
+    from heston_tpu.parallel import sharded_pricing_fns
+
+    solver_p = dataclasses.replace(SOLVER, solver_engine="pallas")
+    strikes = jnp.linspace(90.0, 110.0, 8)
+    tv = _theta(params)
+    jac_fn, _ = sharded_pricing_fns(mesh)
+    jac, base = jac_fn(SPEC, solver_p, strikes, 100.0, tv,
+                       params.r_d, params.r_f, jacobian_mode="fd")
+    want_jac, want_base = calib.jacobian_and_prices(
+        SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f)
+    np.testing.assert_allclose(np.array(base), np.array(want_base),
+                               rtol=0, atol=1e-10)
+    # FD noise floor: engine difference of ~1e-12 in the bumped prices
+    # divides by the 1e-6 bump
+    np.testing.assert_allclose(np.array(jac), np.array(want_jac),
+                               rtol=5e-5, atol=1e-8)
