@@ -42,7 +42,8 @@ def _add_common(p):
     p.add_argument("--n-steps", type=int, default=20)
     p.add_argument("--theta", type=float, default=0.8)
     p.add_argument("--maturity", type=float, default=1.0)
-    p.add_argument("--scheme", default="do", choices=["do", "cs", "mcs"])
+    p.add_argument("--scheme", default="do",
+                   choices=["do", "cs", "mcs", "hv"])
     p.add_argument("--a2-variant", default="upwind",
                    choices=["upwind", "central"])
     p.add_argument("--spot", type=float, default=100.0)

@@ -131,12 +131,16 @@ class SolverConfig:
     # (fused TPU kernel).
     solver_engine: str = "scan"
     # Time scheme: "do" (Douglas, ref src/solver.hpp:19), "cs" (Craig-Sneyd
-    # with the 1/2 mixed-term corrector, ref src/solver.hpp:678) or "mcs"
+    # with the 1/2 mixed-term corrector, ref src/solver.hpp:678), "mcs"
     # (modified Craig-Sneyd; the reference's version is marked broken at
     # src/solver.hpp:915 — ours implements the textbook in 't Hout-Foulon
-    # form). All three compose with American exercise, dividend
-    # schedules and mixed-maturity books on every engine (the reference
-    # ships American/dividend steppers for DO only).
+    # form) or "hv" (Hundsdorfer-Verwer — framework extension beyond the
+    # reference's three; the scheme in 't Hout & Foulon 2010 recommend
+    # for Heston. Order 2 in time for any theta; theta = 1/2 + sqrt(3)/6
+    # ~ 0.7887 is the standard unconditionally-stable choice). All four
+    # compose with American exercise, dividend schedules and
+    # mixed-maturity books on every engine (the reference ships
+    # American/dividend steppers for DO only).
     scheme: str = "do"
 
     @property

@@ -157,7 +157,10 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
     CS  (ref: src/solver.hpp:678-778): adds a 1/2*dt mixed-derivative
         corrector and re-runs both implicit solves.
     MCS: textbook in 't Hout-Foulon modified Craig-Sneyd (the reference's
-        MCS is marked broken, src/solver.hpp:915)."""
+        MCS is marked broken, src/solver.hpp:915).
+    HV:  Hundsdorfer-Verwer (framework extension beyond the reference) —
+        full-operator 1/2-weight corrector with the second-stage
+        implicit corrections anchored at Y2."""
     ops = inst.ops
     dt = solver.delta_t
     theta = solver.theta
@@ -200,6 +203,25 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
         full_old = a0r + a1r + a2r + ops.b * e_nm1
         y0_tilde = y0_hat + (0.5 - theta) * dt * (full_new - full_old)
         u_bar = stage_solves(y0_tilde)
+    elif solver.scheme == "hv":
+        # Hundsdorfer-Verwer (in 't Hout & Foulon 2010; framework
+        # extension — the reference ships DO/CS/MCS only): full-operator
+        # corrector with weight 1/2, and second-stage implicit
+        # corrections anchored at Y2 instead of U —
+        #   y0~ = y0 + 1/2 dt (F(y2, t_n) - F(u, t_{n-1}))
+        #   y1~ = y0~ + theta dt (F1(y1~, t_n) - F1(y2, t_n))
+        #   u'  = y1~ + theta dt (F2(u', t_n) - F2(y2, t_n))
+        # so the t_n boundary terms cancel inside both corrections.
+        a0_y2 = operators.a0_multiply(ops, y2)
+        a1_y2 = operators.a1_multiply(ops, y2)
+        a2_y2 = operators.a2_multiply(ops, y2)
+        full_new = a0_y2 + a1_y2 + a2_y2 + ops.b * e_n
+        full_old = a0r + a1r + a2r + ops.b * e_nm1
+        y0_tilde = y0 + 0.5 * dt * (full_new - full_old)
+        y1t = banded.tridiag_solve(
+            inst.a1_fac, y0_tilde - theta * dt * a1_y2, engine)
+        u_bar = banded.penta_solve(
+            inst.a2_fac, y1t - theta * dt * a2_y2, engine)
     elif solver.scheme == "do":
         u_bar = y2
     else:

@@ -103,11 +103,15 @@ _FIELDS_RESIDENT = 15
 _CS_EXTRA_FIELDS = 2
 # modified Craig-Sneyd: additionally the full L(z2) field
 _MCS_EXTRA_FIELDS = 3
+# Hundsdorfer-Verwer: like MCS (L(z2) + staged rhs) — the corrector's w2
+# increment replaces (not adds to) the live set of the final update
+_HV_EXTRA_FIELDS = 3
 
 
 def _scheme_extra_fields(scheme: str) -> int:
     """Scheme-dependent extra resident VMEM fields (see fits_vmem)."""
-    return {"cs": _CS_EXTRA_FIELDS, "mcs": _MCS_EXTRA_FIELDS}.get(scheme, 0)
+    return {"cs": _CS_EXTRA_FIELDS, "mcs": _MCS_EXTRA_FIELDS,
+            "hv": _HV_EXTRA_FIELDS}.get(scheme, 0)
 
 
 @functools.lru_cache(maxsize=None)
@@ -168,24 +172,29 @@ def _scheme_tangent_extra_fields(scheme: str, n_tangents: int) -> int:
     """Scheme + forward-mode resident VMEM fields: the CS/MCS tangent
     phase keeps the predictor increments (z2p) AND the corrector's
     stage-1 increment (z1c) live across the whole tangent loop — two
-    fields beyond the primal corrector's."""
+    fields beyond the primal corrector's. HV additionally keeps the
+    corrector's stage-2 increment (w2c, the anchor of its tangent
+    penta solve)."""
     extra = _scheme_extra_fields(scheme)
     if n_tangents and scheme in ("cs", "mcs"):
         extra += 2
+    elif n_tangents and scheme == "hv":
+        extra += 3
     return extra
 
 
 def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     """THE dispatch predicate for every fused-kernel call site
     (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
-    LM): the kernel implements the Douglas, Craig-Sneyd and modified
-    Craig-Sneyd schemes — forward-mode tangents included for all three
+    LM): the kernel implements the Douglas, Craig-Sneyd, modified
+    Craig-Sneyd and Hundsdorfer-Verwer schemes — forward-mode tangents
+    included for all four
     — requires the pallas engine, and its working set (tangent
     surfaces, the CS corrector's extra live fields, the live dtype
     width) must fit VMEM. Call sites must not re-derive any part of
     this condition (a missed scheme check here once produced a
     DO-Jacobian / CS-residual mismatch in calibrate_device)."""
-    if solver.scheme not in ("do", "cs", "mcs"):
+    if solver.scheme not in ("do", "cs", "mcs", "hv"):
         return False
     extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
     return (solver.solver_engine == "pallas"
@@ -309,9 +318,9 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     td = theta * delta_t
     K = n_tangents
     b1_rows = _b1_colrows(m1, m2)
-    if scheme not in ("do", "cs", "mcs"):
-        raise ValueError(f"fused kernel implements 'do'/'cs'/'mcs' only, "
-                         f"got {scheme!r}")
+    if scheme not in ("do", "cs", "mcs", "hv"):
+        raise ValueError(f"fused kernel implements 'do'/'cs'/'mcs'/'hv' "
+                         f"only, got {scheme!r}")
 
     def kernel(*refs):
         (n0_ref, n1_ref, rf_ref,
@@ -657,10 +666,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 z1 + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
             penta_solve()
             z2 = jnp.swapaxes(e_ref[:], 0, 1)
-            # predictor-stage increments, needed by the CS/MCS tangent
+            # predictor-stage increments, needed by the CS/MCS/HV tangent
             # phase (for scheme="do" they alias z1/z2; z1c is the
-            # corrector's stage-1 increment)
-            z1p, z2p, z1c = z1, z2, None
+            # corrector's stage-1 increment; w2c is HV's stage-2
+            # increment relative to y2)
+            z1p, z2p, z1c, w2c = z1, z2, None, None
 
             if scheme == "cs":
                 # Craig-Sneyd corrector (ref: src/solver.hpp:678-778):
@@ -719,6 +729,34 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     * b2r[:, None, :], 0, 1)
                 penta_solve()
                 z2 = jnp.swapaxes(e_ref[:], 0, 1)
+            elif scheme == "hv":
+                # Hundsdorfer-Verwer (framework extension; in 't Hout &
+                # Foulon 2010) in delta form with the corrector increment
+                # taken RELATIVE TO y2 = u + z2 (w = y~ - y2), so the
+                # second-stage t_n boundary terms cancel:
+                #   T1 w1 = dt*(L u [+lam]) + (dt*e0 + khv)*(b1 + b2)
+                #           + 0.5*dt*L z2 - z2
+                #   T2 w2 = w1;   u' = u + (z2 + w2)
+                a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
+                    ds_of(z2), bvm, bvp)
+                lz2 = (a0z2 + a1mul(z2)
+                       + a2mul(z2, l2b, l1b, u1b, u2b, react_v2))
+                lu2 = ((sfac[:, None, :] * vfac[None, :, :])
+                       * dv_of(ds_of(u), bvm, bvp)
+                       + a1mul(u) + a2mul(u, l2b, l1b, u1b, u2b, react_v2))
+                if american:
+                    lu2 = lu2 + lam_c
+                khv = 0.5 * dt * (e1 - e0)
+                d_ref[:] = (dt * lu2 + (0.5 * dt) * lz2 - z2
+                            + ((dt * e0 + khv) * b1v) * b1_mask[:, :, None]
+                            + (dt * e0 + khv) * bottom2d[:, :, None]
+                            * b2r[:, None, :])
+                tri_solve()
+                z1c = d_ref[:]
+                e_ref[:] = jnp.swapaxes(z1c, 0, 1)
+                penta_solve()
+                w2c = jnp.swapaxes(e_ref[:], 0, 1)
+                z2 = z2 + w2c
 
             # ---- compensated state update: the ONE u-scale add per step
             # (the delta form's whole point) still rounds at eps*|u| ~
@@ -812,23 +850,35 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                                                        bvm, bvp)
                     if scheme == "cs":
                         crhs = trhs + (0.5 * dt) * da0z2
-                    else:   # mcs
-                        # d/dtheta of td*A0(z2p) + (1/2-theta)*dt*L(z2p)
-                        # (the boundary terms are parameter-independent)
+                    else:   # mcs / hv share d(L z2p)
+                        # full d/dtheta of L(z2p) (the boundary terms
+                        # are parameter-independent)
                         dlz2 = (da0z2 + mt_exp(z2p)
                                 + a2mul(z2p, dal2, dal1, dau1, dau2)
                                 + a1mul(dz2p)
                                 + a2mul(dz2p, l2b, l1b, u1b, u2b,
                                         react_v2))
-                        crhs = (trhs + td * da0z2
-                                + ((0.5 - theta) * dt) * dlz2)
+                        if scheme == "mcs":
+                            # d/dtheta of td*A0(z2p)
+                            #   + (1/2-theta)*dt*L(z2p)
+                            crhs = (trhs + td * da0z2
+                                    + ((0.5 - theta) * dt) * dlz2)
+                        else:   # hv: d/dtheta of 0.5*dt*L(z2p) - z2p
+                            crhs = trhs - dz2p + (0.5 * dt) * dlz2
                     d_ref[:] = crhs + td * mt_exp(z1c)
                     tri_solve()
+                    # stage-2 tangent anchors at the corrector's OWN
+                    # penta solution: z2 (relative to u) for CS/MCS,
+                    # w2c (relative to y2) for HV
+                    a2anchor = w2c if scheme == "hv" else z2
                     e_ref[:] = jnp.swapaxes(
                         d_ref[:]
-                        + td * a2mul(z2, dal2, dal1, dau1, dau2), 0, 1)
+                        + td * a2mul(a2anchor, dal2, dal1, dau1, dau2),
+                        0, 1)
                     penta_solve()
-                    dubar = du + jnp.swapaxes(e_ref[:], 0, 1)
+                    dw = jnp.swapaxes(e_ref[:], 0, 1)
+                    # HV's total increment tangent is d(z2p) + d(w2)
+                    dubar = du + (dz2p + dw if scheme == "hv" else dw)
                 else:
                     dubar = du + dz2p
 

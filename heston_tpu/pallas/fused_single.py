@@ -51,7 +51,7 @@ from heston_tpu.pallas import fused_do
 def use_single(spec, solver, batch: int, dividends=None,
                n_tangents: int = 0) -> bool:
     """Dispatch predicate for the latency kernel: one option, pallas
-    engine, DO/CS/MCS scheme, no dividend schedule, no tangent surfaces
+    engine, DO/CS/MCS/HV scheme, no dividend schedule, no tangent surfaces
     (Jacobian passes are batched by construction and belong on the
     throughput kernel). The working set is tiny at reference grids
     (~30 [nv, ns] fields ~ 1 MiB at the golden grid) but the PCR cascade
@@ -60,7 +60,7 @@ def use_single(spec, solver, batch: int, dividends=None,
     device-derived VMEM budget as the batched kernel."""
     if not (batch == 1
             and solver.solver_engine == "pallas"
-            and solver.scheme in ("do", "cs", "mcs")
+            and solver.scheme in ("do", "cs", "mcs", "hv")
             and (dividends is None or len(dividends) == 0)
             and n_tangents == 0):
         return False
@@ -115,9 +115,9 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     td = theta * delta_t
     levels = _pcr_levels(ns)
     b1_rows = fused_do._b1_colrows(m1, m2)
-    if scheme not in ("do", "cs", "mcs"):
-        raise ValueError(f"single kernel implements 'do'/'cs'/'mcs', got "
-                         f"{scheme!r}")
+    if scheme not in ("do", "cs", "mcs", "hv"):
+        raise ValueError(f"single kernel implements 'do'/'cs'/'mcs'/'hv', "
+                         f"got {scheme!r}")
 
     def kernel(*refs):
         (n0_ref, n1_ref, rf_ref, u_ref) = refs[:4]
@@ -335,6 +335,27 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 e_ref[:] = d_ref[:] + kb2b * bottom2d * b2r
                 penta_solve()
                 z2 = e_ref[:]
+            elif scheme == "hv":
+                # Hundsdorfer-Verwer (framework extension; in 't Hout &
+                # Foulon 2010) in delta form with the corrector increment
+                # taken RELATIVE TO y2 = u + z2 (w = y~ - y2), so the
+                # second-stage t_n boundary terms cancel:
+                #   T1 w1 = dt*(L u [+lam]) + (dt*e0 + khv)*(b1 + b2)
+                #           + 0.5*dt*L z2 - z2
+                #   T2 w2 = w1;   u' = u + (z2 + w2)
+                a0z2 = c_a0 * dv_of(ds_of(z2))
+                lz2 = a0z2 + a1mul(z2) + a2mul(z2)
+                lu2 = c_a0 * dv_of(ds_of(u)) + a1mul(u) + a2mul(u)
+                if american:
+                    lu2 = lu2 + lam_c
+                khv = 0.5 * dt * (e1 - e0)
+                d_ref[:] = (dt * lu2 + (0.5 * dt) * lz2 - z2
+                            + ((dt * e0 + khv) * b1v) * b1_mask
+                            + (dt * e0 + khv) * bottom2d * b2r)
+                tri_solve()
+                e_ref[:] = d_ref[:]
+                penta_solve()
+                z2 = z2 + e_ref[:]
 
             # compensated state update (see fused_do._make_kernel.step):
             # the single u-scale add per step is 2Sum-captured into a

@@ -204,6 +204,36 @@ def mcs_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b,
     return u
 
 
+def hv_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b,
+                    b1, b2, u0):
+    """Hundsdorfer-Verwer loop with dense solves (in 't Hout & Foulon
+    2010, scheme (2.5); framework extension — no reference analog). The
+    second-stage corrections are anchored at Y2, so their t_n boundary
+    terms cancel: lhs_j y~_j = y~_{j-1} - theta dt A_j y2."""
+    m = (m1 + 1) * (m2 + 1)
+    I = np.eye(m)
+    lhs1 = I - theta * delta_t * A1
+    lhs2 = I - theta * delta_t * A2
+    u = u0.copy()
+    for n in range(1, n_steps + 1):
+        e0 = np.exp(r_f * delta_t * (n - 1))
+        e1 = np.exp(r_f * delta_t * n)
+        a0r, a1r, a2r = A0 @ u, A1 @ u, A2 @ u
+        y0 = u + delta_t * (a0r + a1r + a2r + b * e0)
+        y1 = np.linalg.solve(
+            lhs1, y0 + theta * delta_t * (b1 * e1 - (a1r + b1 * e0)))
+        y2 = np.linalg.solve(
+            lhs2, y1 + theta * delta_t * (b2 * e1 - (a2r + b2 * e0)))
+        a1_y2 = A1 @ y2
+        a2_y2 = A2 @ y2
+        full_new = A0 @ y2 + a1_y2 + a2_y2 + b * e1
+        full_old = a0r + a1r + a2r + b * e0
+        y0t = y0 + 0.5 * delta_t * (full_new - full_old)
+        y1t = np.linalg.solve(lhs1, y0t - theta * delta_t * a1_y2)
+        u = np.linalg.solve(lhs2, y1t - theta * delta_t * a2_y2)
+    return u
+
+
 def do_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b, b1,
                     b2, u0, american=False):
     """Full DO time loop with dense solves (ref: src/solver.hpp:19-95,

@@ -30,15 +30,17 @@ def test_timestep_first_order_douglas():
 
 
 @pytest.mark.slow
-def test_mcs_time_error_much_smaller_than_do():
-    """The modified Craig-Sneyd scheme is second order in time for any
-    theta, so its N=20 time error is an order of magnitude below DO's
-    (measured: DO 1.9e-2, CS 2.3e-2, MCS 1.3e-3). CS's corrector only
-    targets the mixed term and at theta=0.8 does not beat DO."""
+def test_mcs_hv_time_error_much_smaller_than_do():
+    """The modified Craig-Sneyd and Hundsdorfer-Verwer schemes are second
+    order in time for any theta, so their N=20 time error is an order of
+    magnitude below DO's (measured: DO 1.9e-2, CS 2.3e-2, MCS 1.3e-3).
+    CS's corrector only targets the mixed term and at theta=0.8 does not
+    beat DO."""
     e = {}
-    for scheme in ("do", "cs", "mcs"):
+    for scheme in ("do", "cs", "mcs", "hv"):
         rows = benchmarks.run_timestep_study(n_values=(20, 640),
                                              scheme=scheme)
         e[scheme] = abs(rows[0]["price"] - rows[-1]["price"])
     assert e["mcs"] < 0.2 * e["do"]
+    assert e["hv"] < 0.2 * e["do"]
     assert e["cs"] < 2.0 * e["do"]

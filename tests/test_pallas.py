@@ -103,15 +103,16 @@ def test_fused_theta_jacobian_matches_xla_ad(params, kw):
     np.testing.assert_allclose(np.array(jac), want_jac, rtol=0, atol=1e-9)
 
 
-@pytest.mark.parametrize("scheme", ["cs", "mcs"])
+@pytest.mark.parametrize("scheme", ["cs", "mcs", "hv"])
 @pytest.mark.parametrize("kw", [dict(), dict(american=True)])
 def test_fused_theta_jacobian_cs_mcs_matches_xla_ad(params, scheme, kw):
-    """Forward-mode AD through the fused CRAIG-SNEYD / modified-CS
-    kernels == jax.jacfwd through the XLA CS/MCS steppers in f64: the
-    corrector tangent re-runs both staged tangent solves against the
-    corrector's primal increments (z1c, final z2) with the
-    dA0(z2p)/dL(z2p) product-rule terms (ref: src/solver.hpp:678-778 is
-    the primal corrector being differentiated)."""
+    """Forward-mode AD through the fused CRAIG-SNEYD / modified-CS /
+    Hundsdorfer-Verwer kernels == jax.jacfwd through the XLA steppers
+    of the same scheme in f64: the corrector tangent re-runs both
+    staged tangent solves against the corrector's primal increments
+    (z1c, final z2 — w2c for HV) with the dA0(z2p)/dL(z2p) product-rule
+    terms (ref: src/solver.hpp:678-778 is the primal CS corrector being
+    differentiated; HV is a framework extension)."""
     import dataclasses
 
     p = params
@@ -354,16 +355,16 @@ def test_fused_cs_scheme_matches_xla(params, kw):
 
 
 def test_use_fused_cs_mcs_tangent_budget():
-    """CS/MCS forward-mode kernels are dispatchable, and their VMEM gate
-    charges the corrector's extra live tangent-phase fields (z2p, z1c)
-    on top of the scheme's primal extras."""
+    """CS/MCS/HV forward-mode kernels are dispatchable, and their VMEM
+    gate charges the corrector's extra live tangent-phase fields (z2p,
+    z1c — plus w2c for HV) on top of the scheme's primal extras."""
     spec = GridSpec(m1=50, m2=25)
-    for scheme in ("cs", "mcs"):
+    for scheme, tg_extra in (("cs", 2), ("mcs", 2), ("hv", 3)):
         sol = SolverConfig(n_steps=4, scheme=scheme,
                            solver_engine="pallas")
         assert fused_do.use_fused(spec, sol, n_tangents=4)
         extra = fused_do._scheme_tangent_extra_fields(scheme, 4)
-        assert extra == fused_do._scheme_extra_fields(scheme) + 2
+        assert extra == fused_do._scheme_extra_fields(scheme) + tg_extra
         assert fused_do._scheme_tangent_extra_fields(scheme, 0) == \
             fused_do._scheme_extra_fields(scheme)
     assert fused_do._scheme_tangent_extra_fields("do", 4) == 0
@@ -376,6 +377,7 @@ def test_use_fused_cs_mcs_tangent_budget():
     dict(american=True, option_type="put"),
     dict(scheme="cs"),
     dict(scheme="mcs"),
+    dict(scheme="hv"),
 ])
 def test_single_option_kernel_matches_xla(params, kw):
     """The latency kernel (2-D [nv, ns] layout + log-depth PCR along s,
@@ -463,6 +465,39 @@ def test_fused_mcs_scheme_matches_xla(params, kw):
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+    dict(option_type="put"),
+])
+def test_fused_hv_scheme_matches_xla(params, kw):
+    """Fused Hundsdorfer-Verwer (framework extension — in-kernel
+    corrector: T1 w1 = predictor rhs at the HV boundary coefficients
+    + 0.5*dt*L(z2) - z2, T2 w2 = w1, relative to y2) equals the XLA HV
+    path at solver roundoff in f64, and price_batch dispatches it to
+    the fused kernel."""
+    import dataclasses
+
+    p = params
+    solver = dataclasses.replace(SOLVER, scheme="hv",
+                                 solver_engine="pallas")
+    assert fused_do.use_fused(SPEC, solver)
+    ks = jnp.linspace(80.0, 120.0, 6, dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    xla_solver = dataclasses.replace(solver, solver_engine="scan")
+    want = np.array(douglas.price_batch(SPEC, xla_solver, ks, *args, **kw))
+    got = np.array(jax.jit(
+        lambda k, kw=kw: fused_do.fused_price_batch(
+            SPEC, solver, k, *args, interpret=True, **kw))(ks))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+    via_dispatch = np.array(jax.jit(
+        lambda k, kw=kw: douglas.price_batch(
+            SPEC, solver, k, *args, **kw))(ks))
+    np.testing.assert_allclose(via_dispatch, want, rtol=0, atol=1e-11)
+
+
 def test_per_lane_early_exit_multi_tile_bitwise(params):
     """A mixed book spanning >1 lane tile: short-maturity tiles bound
     their time loop by their OWN max step count (per-tile early exit) —
@@ -501,11 +536,12 @@ def test_per_lane_early_exit_multi_tile_bitwise(params):
     np.testing.assert_array_equal(np.array(gj), np.concatenate(wj))
 
 
-@pytest.mark.parametrize("scheme", ["cs", "mcs"])
+@pytest.mark.parametrize("scheme", ["cs", "mcs", "hv"])
 def test_per_lane_steps_cs_mcs_match_per_group(params, scheme):
-    """Per-lane step counts compose with the Craig-Sneyd / modified-CS
-    correctors: one mixed-maturity launch == per-group launches,
-    bitwise (the corrector re-solves ride the same per-lane freeze)."""
+    """Per-lane step counts compose with the Craig-Sneyd / modified-CS /
+    Hundsdorfer-Verwer correctors: one mixed-maturity launch ==
+    per-group launches, bitwise (the corrector re-solves ride the same
+    per-lane freeze)."""
     import dataclasses
 
     p = params

@@ -315,9 +315,10 @@ def test_device_lm_matches_host_lm_puts():
     assert int(info["iterations"]) == res.iterations
 
 
-@pytest.mark.parametrize("scheme", ["cs", "mcs"])
+@pytest.mark.parametrize("scheme", ["cs", "mcs", "hv"])
 def test_put_schemes_converge_to_cf(scheme):
-    """Puts under the Craig-Sneyd / modified-CS steppers converge to the
+    """Puts under the Craig-Sneyd / modified-CS / Hundsdorfer-Verwer
+    steppers converge to the
     CF put like the Douglas path does (the scheme machinery is
     payoff-agnostic, but the put boundary treatment rides through each
     scheme's corrector stages — worth pinning)."""

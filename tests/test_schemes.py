@@ -20,6 +20,7 @@ from oracle_dense import (
     dense_a0,
     dense_a1,
     dense_a2,
+    hv_scheme_dense,
     mcs_scheme_dense,
 )
 
@@ -41,7 +42,8 @@ def dense_setup(params):
 
 
 @pytest.mark.parametrize("scheme,dense_fn",
-                         [("cs", cs_scheme_dense), ("mcs", mcs_scheme_dense)])
+                         [("cs", cs_scheme_dense), ("mcs", mcs_scheme_dense),
+                          ("hv", hv_scheme_dense)])
 def test_scheme_matches_dense(params, dense_setup, scheme, dense_fn):
     p, a0, a1, a2, b1, b2, u0, dt = dense_setup
     want = dense_fn(M1, M2, N, dt, 0.8, p.r_f, a0, a1, a2,
@@ -64,7 +66,7 @@ def test_cs_mcs_converge_to_golden(params):
     golden = 8.8943383103218502
     spec = GridSpec(m1=100, m2=75)
     diffs = {}
-    for scheme in ("do", "cs", "mcs"):
+    for scheme in ("do", "cs", "mcs", "hv"):
         solver = SolverConfig(n_steps=50, theta=0.8, maturity=1.0,
                               a2_variant="central", scheme=scheme)
         price = float(douglas.price_option(
@@ -73,6 +75,7 @@ def test_cs_mcs_converge_to_golden(params):
         diffs[scheme] = abs(price - golden)
     assert diffs["cs"] < 2e-2
     assert diffs["mcs"] < 2e-2
+    assert diffs["hv"] < 2e-2
 
 
 def test_scheme_guard_for_exotics(params):
@@ -115,7 +118,7 @@ def test_pallas_engine_respects_scheme(params):
     spec = GridSpec(m1=20, m2=10)
     ks = jnp.array([95.0, 105.0])
     args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
-    for scheme, atol in (("cs", 1e-11), ("mcs", 1e-11)):
+    for scheme, atol in (("cs", 1e-11), ("mcs", 1e-11), ("hv", 1e-11)):
         want = np.array(douglas.price_batch(
             spec, SolverConfig(n_steps=4, scheme=scheme), ks, *args))
         got = np.array(douglas.price_batch(
