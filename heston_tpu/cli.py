@@ -206,7 +206,7 @@ def main(argv=None):
         strikes = jnp.asarray(args.strikes)
         divs = _parse_dividends(args.dividends)
         # route through price_batch_params so the standard dispatch gate
-        # applies (DO/CS/MCS fused kernel, VMEM fit, XLA fallback)
+        # applies (DO/CS/MCS/HV fused kernel, VMEM fit, XLA fallback)
         engine = "pallas" if args.engine == "pallas" else "scan"
         prices = douglas.price_batch_params(
             spec, dataclasses.replace(solver, solver_engine=engine),

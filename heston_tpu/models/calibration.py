@@ -496,7 +496,7 @@ def calibrate_device(
                     # launch per maturity group carries the tangent
                     # surfaces alongside the primal (v0 rides as a
                     # surface stencil, not a tangent). use_fused guards the
-                    # scheme (DO/CS/MCS — trial pricing dispatches on
+                    # scheme (DO/CS/MCS/HV — trial pricing dispatches on
                     # the same predicate, so Jacobian and residuals always
                     # come from the SAME discretization) and the tangent-
                     # inclusive VMEM working set.

@@ -94,7 +94,7 @@ def _local_jac(spec, solver, american, dividends, eps, option_type,
             # exact forward-mode AD through the fused kernel, one launch
             # per shard (the distributed analog of
             # calibrate_device(jacobian_mode='ad')); use_fused guards the
-            # scheme (DO/CS/MCS) and the tangent-inclusive VMEM working set
+            # scheme (DO/CS/MCS/HV) and the tangent-inclusive VMEM working set
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, ks, s0, jnp.asarray(tv), r_d, r_f,
                 american=american, dividends=dividends,
