@@ -180,6 +180,7 @@ def run_timestep_study(
     params: HestonParams = HestonParams(),
     a2_variant: str = "central",
     scheme: str = "do",
+    rannacher_steps: int = 0,
     csv_path: Optional[str] = None,
 ):
     """Timestep refinement sweep at fixed spatial resolution."""
@@ -187,7 +188,8 @@ def run_timestep_study(
     rows = []
     for n in n_values:
         solver = SolverConfig(n_steps=n, a2_variant=a2_variant,
-                              scheme=scheme)
+                              scheme=scheme,
+                              rannacher_steps=rannacher_steps)
         fn = jax.jit(lambda k: douglas.price_option(
             spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
             p.r_d, p.r_f))

@@ -46,6 +46,9 @@ def _add_common(p):
                    choices=["do", "cs", "mcs", "hv"])
     p.add_argument("--a2-variant", default="upwind",
                    choices=["upwind", "central"])
+    p.add_argument("--rannacher-steps", type=int, default=0,
+                   help="replace the first R steps by 2R half-dt "
+                        "theta=1 start-up sub-steps (payoff damping)")
     p.add_argument("--spot", type=float, default=100.0)
     p.add_argument("--kappa", type=float, default=1.5)
     p.add_argument("--eta", type=float, default=0.04)
@@ -63,7 +66,8 @@ def _configs(args):
     spec = GridSpec(m1=args.m1, m2=args.m2)
     solver = SolverConfig(n_steps=args.n_steps, theta=args.theta,
                           maturity=args.maturity, scheme=args.scheme,
-                          a2_variant=args.a2_variant)
+                          a2_variant=args.a2_variant,
+                          rannacher_steps=args.rannacher_steps)
     params = HestonParams(kappa=args.kappa, eta=args.eta, sigma=args.sigma,
                           rho=args.rho, v0=args.v0, r_d=args.r_d,
                           r_f=args.r_f)
@@ -249,8 +253,9 @@ def main(argv=None):
         if args.mode == "spatial":
             rows = benchmarks.run_convergence_study(csv_path=args.csv)
         else:
-            rows = benchmarks.run_timestep_study(csv_path=args.csv,
-                                                 scheme=args.scheme)
+            rows = benchmarks.run_timestep_study(
+                csv_path=args.csv, scheme=args.scheme,
+                rannacher_steps=args.rannacher_steps)
         for r in rows:
             print(json.dumps(r))
 

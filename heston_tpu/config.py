@@ -142,10 +142,32 @@ class SolverConfig:
     # mixed-maturity books on every engine (the reference ships
     # American/dividend steppers for DO only).
     scheme: str = "do"
+    # Rannacher start-up damping (framework extension — no reference
+    # analog): replace each of the first `rannacher_steps` time steps by
+    # TWO half-dt fully-implicit (theta = 1) Douglas sub-steps. The
+    # nonsmooth payoff excites the weakly-damped high-frequency modes of
+    # the second-order schemes (and of theta ~ 1/2 generally); a few
+    # strongly-damping start-up steps restore clean convergence orders
+    # and smooth greeks near the strike (Rannacher 1984; in 't Hout &
+    # Wyns 2016 apply the same device to ADI on Heston). 0 disables;
+    # values above n_steps damp the whole horizon (clamped — mixed-
+    # maturity groups re-derive solvers with smaller n_steps).
+    # Composes with every scheme, American exercise and dividend
+    # schedules on the XLA engines; the fused TPU kernels currently
+    # decline (use_fused/use_single) and price_batch falls back to XLA.
+    rannacher_steps: int = 0
 
     @property
     def delta_t(self) -> float:
         return self.maturity / self.n_steps
+
+    def damping_solver(self) -> "SolverConfig":
+        """The start-up phase's solver view: Douglas at theta = 1 with
+        2x the step count (so `delta_t` halves and sub-step k's boundary
+        factors e^{rate*(dt/2)*k} land on the right absolute times)."""
+        return dataclasses.replace(
+            self, scheme="do", theta=1.0, n_steps=2 * self.n_steps,
+            rannacher_steps=0)
 
 
 @dataclasses.dataclass(frozen=True)

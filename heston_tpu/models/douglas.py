@@ -48,6 +48,18 @@ from heston_tpu.ops.grid import Grid, find_node, make_grid
 Array = jnp.ndarray
 
 
+class DampOps(NamedTuple):
+    """Operator/factorization set for the Rannacher start-up phase:
+    implicit bands at theta = 1, dt/2; boundary vectors SHARED with the
+    main phase (their baked e^{-rate*dt*(N-1)} factor is the main
+    solver's convention — the damp sub-steps then scale by
+    e^{rate*(dt/2)*k}, which lands on the same absolute times)."""
+
+    ops: operators.HestonOperators
+    a1_fac: banded.TridiagFactor
+    a2_fac: banded.PentaFactor
+
+
 class PreparedInstance(NamedTuple):
     """Everything one option instance needs to run the DO time loop."""
 
@@ -58,6 +70,7 @@ class PreparedInstance(NamedTuple):
     u0: Array        # payoff surface max(+-(s - K), 0), (m2+1, m1+1)
     idx_s: Array     # spot node index (int32 scalar)
     idx_v: Array     # variance node index (int32 scalar)
+    damp: Optional[DampOps] = None   # rannacher_steps > 0 only
 
 
 def prepare_instance(
@@ -95,6 +108,28 @@ def prepare_instance(
     a2_fac = banded.penta_factor(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2
     )
+    damp = None
+    if solver.rannacher_steps:
+        if solver.rannacher_steps < 0:
+            raise ValueError(
+                f"rannacher_steps must be >= 0; got "
+                f"{solver.rannacher_steps}")
+        # implicit bands at theta=1, dt/2; explicit bands are identical
+        # and the boundary vectors keep the MAIN phase's baked
+        # e^{-rate*dt*(N-1)} factor (see DampOps)
+        ops_d = operators.build_operators(
+            grid, kappa, eta, sigma, rho, r_d, r_f,
+            1.0, solver.delta_t / 2.0, solver.n_steps,
+            solver.a2_variant, option_type, strike,
+        )._replace(b1=ops.b1, b2=ops.b2, b=ops.b)
+        damp = DampOps(
+            ops=ops_d,
+            a1_fac=banded.tridiag_factor(ops_d.a1_iml, ops_d.a1_imd,
+                                         ops_d.a1_imu),
+            a2_fac=banded.penta_factor(ops_d.a2_il2, ops_d.a2_il1,
+                                       ops_d.a2_id, ops_d.a2_iu1,
+                                       ops_d.a2_iu2),
+        )
     u0 = jnp.maximum(
         operators.intrinsic_value(grid.vec_s[None, :], strike, option_type),
         0.0) * jnp.ones(
@@ -108,6 +143,7 @@ def prepare_instance(
         u0=u0,
         idx_s=find_node(grid.vec_s, s0),
         idx_v=find_node(grid.vec_v, v0),
+        damp=damp,
     )
 
 
@@ -235,6 +271,72 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
     return u_bar, lam
 
 
+def _phase_plan(solver: SolverConfig, dividends):
+    """Static execution plan for the time loop: a list of
+    ('run', phase, n0, n1) half-open step ranges and ('div', amount, pct)
+    surface re-maps, in order. Pure bookkeeping — unit-tested directly
+    (tests/test_rannacher.py) because the dividend/damping interleaving
+    conventions live here.
+
+    phase 'main' runs steps at solver.delta_t with the configured
+    scheme; phase 'damp' runs the Rannacher start-up sub-steps (theta=1
+    Douglas at delta_t/2, see SolverConfig.rannacher_steps) with
+    phase-local indices k = 1..2R. A dividend belonging to main step n
+    (window [n*dt, (n+1)*dt), DividendSchedule.events_for_step) with
+    n <= R fires before damp sub-step 2n-1 — the re-map happens at the
+    SAME absolute tau = (n-1)*dt as in the undamped run.
+
+    rannacher_steps > n_steps damps the whole horizon (clamped; a mixed-
+    maturity book's short groups re-derive solvers with smaller n_steps,
+    so a global R must not be an error for them)."""
+    R = min(solver.rannacher_steps, solver.n_steps)
+    N = solver.n_steps
+    have_div = dividends is not None and len(dividends) > 0
+    acts = []
+
+    def emit_phase(phase, k_lo, k_hi, event_points):
+        # event_points: [(k, [(amount, pct), ...])] with k the
+        # phase-local index whose step the events precede, ascending
+        n_next = k_lo
+        for k, events in event_points:
+            acts.append(("run", phase, n_next, k))
+            for amount, pct in events:
+                acts.append(("div", amount, pct))
+            n_next = k
+        acts.append(("run", phase, n_next, k_hi + 1))
+
+    def events_in(lo, hi, to_local):
+        pts = []
+        if have_div:
+            for n in range(lo, hi + 1):
+                e = dividends.events_for_step(n, solver.delta_t)
+                if e:
+                    pts.append((to_local(n), e))
+        return pts
+
+    if R:
+        emit_phase("damp", 1, 2 * R, events_in(1, R, lambda n: 2 * n - 1))
+    emit_phase("main", R + 1, N, events_in(R + 1, N, lambda n: n))
+    return acts
+
+
+def _phase_views(inst: PreparedInstance, solver: SolverConfig):
+    """(inst, solver) pairs keyed by phase name for the plan executor."""
+    views = {"main": (inst, solver)}
+    if solver.rannacher_steps:
+        if inst.damp is None:
+            raise ValueError(
+                "solver.rannacher_steps > 0 but the PreparedInstance has "
+                "no damping operators — it was prepared with a different "
+                "solver; rebuild it via prepare_instance(spec, solver, ...)")
+        views["damp"] = (
+            inst._replace(ops=inst.damp.ops, a1_fac=inst.damp.a1_fac,
+                          a2_fac=inst.damp.a2_fac),
+            solver.damping_solver(),
+        )
+    return views
+
+
 def run_time_loop(
     inst: PreparedInstance,
     solver: SolverConfig,
@@ -244,7 +346,8 @@ def run_time_loop(
     option_type: str = "call",
     with_lambda: bool = False,
 ):
-    """Run all N DO steps (with dividend re-maps between segments);
+    """Run all N DO steps (with dividend re-maps between segments, and
+    the Rannacher start-up sub-steps when solver.rannacher_steps > 0);
     returns the terminal surface, or (u, lambda) when with_lambda=True.
 
     `b_rate` scales the boundary vectors through time (r_f for calls —
@@ -254,12 +357,15 @@ def run_time_loop(
     (dU/dtau = L U + b + lambda)."""
     u = inst.u0
     lam = jnp.zeros_like(u)
+    views = _phase_views(inst, solver)
 
-    def body(n, carry):
-        uu, ll = carry
-        return _do_step(n, uu, ll, inst, solver, b_rate, american)
+    def run_range(phase, n0, n1, carry):
+        inst_p, solver_p = views[phase]
 
-    def run_range(n0, n1, carry):
+        def body(n, c):
+            return _do_step(n, c[0], c[1], inst_p, solver_p, b_rate,
+                            american)
+
         if n1 <= n0:
             return carry
         if n1 - n0 == 1:
@@ -267,20 +373,14 @@ def run_time_loop(
         return lax.fori_loop(n0, n1, body, carry)
 
     carry = (u, lam)
-    n_next = 1
-    if dividends is not None and len(dividends) > 0:
-        for n in range(1, solver.n_steps + 1):
-            events = dividends.events_for_step(n, solver.delta_t)
-            if not events:
-                continue
-            carry = run_range(n_next, n, carry)
-            uu, ll = carry
-            for amount, pct in events:
-                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct,
-                                    option_type)
-            carry = run_range(n, n + 1, (uu, ll))
-            n_next = n + 1
-    carry = run_range(n_next, solver.n_steps + 1, carry)
+    for act in _phase_plan(solver, dividends):
+        if act[0] == "run":
+            _, phase, n0, n1 = act
+            carry = run_range(phase, n0, n1, carry)
+        else:
+            _, amount, pct = act
+            carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
+                                    pct, option_type), carry[1])
     if with_lambda:
         return carry
     return carry[0]
@@ -298,44 +398,45 @@ def solve_with_tracking(
     lambda-multiplier surface) after every step — the TPU equivalent of the
     reference's *_with_..._tracking steppers used for plots
     (ref: src/solver.hpp:1086-1621). Returns (surfaces [N+1, nv, ns],
-    lambdas [N+1, nv, ns]); index 0 is the payoff."""
+    lambdas [N+1, nv, ns]); index 0 is the payoff. With Rannacher
+    damping the [N+1] contract is kept: the damped window records the
+    surface at the full-dt boundaries (every SECOND sub-step)."""
+    import numpy as np
+
     u = inst.u0
     lam = jnp.zeros_like(u)
+    views = _phase_views(inst, solver)
 
-    def scan_range(n0, n1, carry):
+    def scan_range(phase, n0, n1, carry):
+        inst_p, solver_p = views[phase]
+
         def body(carry_, n):
-            out = _do_step(n, carry_[0], carry_[1], inst, solver, b_rate,
-                           american)
+            out = _do_step(n, carry_[0], carry_[1], inst_p, solver_p,
+                           b_rate, american)
             return out, out
         ns_ = jnp.arange(n0, n1)
         carry, hist = lax.scan(body, carry, ns_)
+        if phase == "damp":
+            # keep only the full-dt boundaries (even sub-steps)
+            keep = (np.arange(n0, n1) % 2) == 0
+            hist = (hist[0][keep], hist[1][keep])
         return carry, hist
 
     chunks_u = [u[None]]
     chunks_lam = [lam[None]]
     carry = (u, lam)
-    n_next = 1
-    if dividends is not None and len(dividends) > 0:
-        for n in range(1, solver.n_steps + 1):
-            events = dividends.events_for_step(n, solver.delta_t)
-            if not events:
+    for act in _phase_plan(solver, dividends):
+        if act[0] == "run":
+            _, phase, n0, n1 = act
+            if n1 <= n0:
                 continue
-            if n > n_next:
-                carry, hist = scan_range(n_next, n, carry)
-                chunks_u.append(hist[0])
-                chunks_lam.append(hist[1])
-            uu, ll = carry
-            for amount, pct in events:
-                uu = apply_dividend(uu, inst.grid.vec_s, amount, pct,
-                                    option_type)
-            carry, hist = scan_range(n, n + 1, (uu, ll))
+            carry, hist = scan_range(phase, n0, n1, carry)
             chunks_u.append(hist[0])
             chunks_lam.append(hist[1])
-            n_next = n + 1
-    if n_next <= solver.n_steps:
-        carry, hist = scan_range(n_next, solver.n_steps + 1, carry)
-        chunks_u.append(hist[0])
-        chunks_lam.append(hist[1])
+        else:
+            _, amount, pct = act
+            carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
+                                    pct, option_type), carry[1])
     return jnp.concatenate(chunks_u), jnp.concatenate(chunks_lam)
 
 

@@ -193,8 +193,16 @@ def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     surfaces, the CS corrector's extra live fields, the live dtype
     width) must fit VMEM. Call sites must not re-derive any part of
     this condition (a missed scheme check here once produced a
-    DO-Jacobian / CS-residual mismatch in calibrate_device)."""
+    DO-Jacobian / CS-residual mismatch in calibrate_device).
+
+    Rannacher start-up damping (solver.rannacher_steps > 0, a framework
+    extension) is XLA-only for now: the kernel's in-VMEM factorizations
+    are built once per launch, and the damped window needs a second
+    (theta=1, dt/2) set plus a mid-loop re-factorization — declined here
+    so every call site falls back to the XLA path coherently."""
     if solver.scheme not in ("do", "cs", "mcs", "hv"):
+        return False
+    if solver.rannacher_steps:
         return False
     extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
     return (solver.solver_engine == "pallas"

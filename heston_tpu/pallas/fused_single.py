@@ -61,6 +61,7 @@ def use_single(spec, solver, batch: int, dividends=None,
     if not (batch == 1
             and solver.solver_engine == "pallas"
             and solver.scheme in ("do", "cs", "mcs", "hv")
+            and not solver.rannacher_steps   # XLA-only (see use_fused)
             and (dividends is None or len(dividends) == 0)
             and n_tangents == 0):
         return False

@@ -148,6 +148,12 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         raise ValueError(
             f"the native CPU engine implements the Douglas scheme only "
             f"(got scheme={solver.scheme!r})")
+    if solver.rannacher_steps:
+        # ht_do_solve_batch runs plain theta-weighted steps; silently
+        # dropping the damped start-up would de-sync it from the JAX
+        # engines it serves as an oracle for
+        raise ValueError("the native CPU engine does not implement "
+                         "Rannacher start-up damping (rannacher_steps > 0)")
     lib = load()
     # pin the (tiny) traced field assembly to the host CPU backend (on the
     # TPU-tunnel machine every device->host fetch costs a fixed ~29 ms

@@ -234,6 +234,46 @@ def hv_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b,
     return u
 
 
+def rannacher_dense_loop(m1, m2, n_steps, rannacher_steps, delta_t, theta,
+                         r_f, A0, A1, A2, b, b1, b2, u0, american=False):
+    """Rannacher start-up oracle (framework extension; no reference
+    analog): each of the first R steps is replaced by TWO half-dt
+    fully-implicit (theta=1) Douglas sub-steps, then the remaining DO
+    steps run at `theta`. Boundary e-factors use ABSOLUTE times (the
+    b vectors keep the main convention's baked e^{-rate*dt*(N-1)})."""
+    m = (m1 + 1) * (m2 + 1)
+    I = np.eye(m)
+    u = u0.copy()
+    lam = np.zeros(m)
+
+    def step(u, lam, dt, th, t0, t1):
+        e0 = np.exp(r_f * t0)
+        e1 = np.exp(r_f * t1)
+        a0r, a1r, a2r = A0 @ u, A1 @ u, A2 @ u
+        y0 = u + dt * (a0r + a1r + a2r + b * e0)
+        if american:
+            y0 = y0 + dt * lam
+        y1 = np.linalg.solve(I - th * dt * A1,
+                             y0 + th * dt * (b1 * e1 - (a1r + b1 * e0)))
+        u_bar = np.linalg.solve(I - th * dt * A2,
+                                y1 + th * dt * (b2 * e1 - (a2r + b2 * e0)))
+        if american:
+            u_new = np.maximum(u_bar - dt * lam, u0)
+            lam = np.maximum(0.0, lam + (u0 - u_bar) / dt)
+            lam[m1:: m1 + 1] = 0.0
+            return u_new, lam
+        return u_bar, lam
+
+    R = min(rannacher_steps, n_steps)
+    for k in range(1, 2 * R + 1):
+        u, lam = step(u, lam, delta_t / 2, 1.0,
+                      (k - 1) * delta_t / 2, k * delta_t / 2)
+    for n in range(R + 1, n_steps + 1):
+        u, lam = step(u, lam, delta_t, theta,
+                      (n - 1) * delta_t, n * delta_t)
+    return u
+
+
 def do_scheme_dense(m1, m2, n_steps, delta_t, theta, r_f, A0, A1, A2, b, b1,
                     b2, u0, american=False):
     """Full DO time loop with dense solves (ref: src/solver.hpp:19-95,
