@@ -114,14 +114,24 @@ def prepare_instance(
             raise ValueError(
                 f"rannacher_steps must be >= 0; got "
                 f"{solver.rannacher_steps}")
-        # implicit bands at theta=1, dt/2; explicit bands are identical
-        # and the boundary vectors keep the MAIN phase's baked
-        # e^{-rate*dt*(N-1)} factor (see DampOps)
-        ops_d = operators.build_operators(
-            grid, kappa, eta, sigma, rho, r_d, r_f,
-            1.0, solver.delta_t / 2.0, solver.n_steps,
-            solver.a2_variant, option_type, strike,
-        )._replace(b1=ops.b1, b2=ops.b2, b=ops.b)
+        # The damp set differs from the main ops ONLY in the implicit
+        # bands' theta*dt scalar (1.0 * dt/2 instead of theta*dt):
+        # derive them from the already-built explicit bands — exactly
+        # build_operators' own `I - td*A` assembly — instead of
+        # re-running the whole operator build. Explicit bands, A0 and
+        # the boundary vectors (whose baked e^{-rate*dt*(N-1)} factor is
+        # the MAIN phase's convention, see DampOps) are shared.
+        td_d = solver.delta_t / 2.0
+        ops_d = ops._replace(
+            a1_iml=-td_d * ops.a1_ml,
+            a1_imd=1.0 - td_d * ops.a1_md,
+            a1_imu=-td_d * ops.a1_mu,
+            a2_il2=-td_d * ops.a2_l2,
+            a2_il1=-td_d * ops.a2_l1,
+            a2_id=1.0 - td_d * ops.a2_d,
+            a2_iu1=-td_d * ops.a2_u1,
+            a2_iu2=-td_d * ops.a2_u2,
+        )
         damp = DampOps(
             ops=ops_d,
             a1_fac=banded.tridiag_factor(ops_d.a1_iml, ops_d.a1_imd,

@@ -1122,6 +1122,16 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     every field to batch-last tiles. `nsteps`: optional per-option step
     counts (mixed-maturity books) — they scale each option's boundary
     data through its OWN e^{-rate dt (n_i - 1)} factor."""
+    if solver.rannacher_steps:
+        # the kernels have no damped start-up phase; running the plain
+        # loop would silently drop the requested damping. price_batch &
+        # co. gate via use_fused and fall back to XLA — this guards the
+        # DIRECT fused entry points (bench/sweep callers).
+        raise ValueError(
+            "the fused TPU kernels do not implement Rannacher start-up "
+            "damping (rannacher_steps > 0) — use an XLA engine "
+            "(solver_engine='scan'/'pcr') or price_batch, which falls "
+            "back automatically")
     put = operators.is_put(option_type)
     if nsteps is None:
         nsteps = jnp.full(strikes.shape, solver.n_steps,

@@ -198,6 +198,23 @@ def test_tracking_keeps_full_dt_contract(params):
                                rtol=0, atol=1e-12)
 
 
+def test_direct_fused_entries_reject_damping(params):
+    """Callers that bypass use_fused (bench/sweep call
+    fused_price_batch directly) must get a loud error, not a silently
+    undamped run — same contract as the native CPU engine."""
+    p = params
+    spec = GridSpec(m1=10, m2=8)
+    solver = SolverConfig(n_steps=4, rannacher_steps=1,
+                          solver_engine="pallas")
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    with pytest.raises(ValueError, match="Rannacher"):
+        fused_do.fused_price_batch(spec, solver, jnp.array([100.0]), *args,
+                                   interpret=True)
+    with pytest.raises(ValueError, match="Rannacher"):
+        fused_single.fused_price_single(spec, solver, 100.0, *args,
+                                        interpret=True)
+
+
 def test_greeks_and_jacobian_compose_with_damping(params):
     """Book risk and both calibration Jacobians ride the damped loop
     (XLA path): greeks are financially sane and the exact-AD Jacobian —
