@@ -224,10 +224,18 @@ def _selftest(spec, solver, p, dtype):
         ("cs", dict(scheme="cs")),
         ("mcs", dict(scheme="mcs")),
         ("hv", dict(scheme="hv")),
+        # fused Rannacher window = extra launches of the same kernel at
+        # (theta=1, dt/2); interpret-equality is not enough (see
+        # docstring) so both the plain and the dividend-chunked damped
+        # paths get a real-Mosaic check
+        ("rann", dict(rannacher_steps=2)),
+        ("rann_amer_div", dict(rannacher_steps=2, american=True,
+                               dividends=GOLDEN_DIVIDENDS)),
     ]:
         kw = dict(kw)
-        sol = (dataclasses.replace(solver, scheme=kw.pop("scheme"))
-               if "scheme" in kw else solver)
+        rep = {k: kw.pop(k) for k in ("scheme", "rannacher_steps")
+               if k in kw}
+        sol = dataclasses.replace(solver, **rep) if rep else solver
         xsol = dataclasses.replace(sol, solver_engine="scan")
         fused = np.array(jax.jit(lambda k, kw=kw, sol=sol:
                                  fused_do.fused_price_batch(
@@ -240,6 +248,20 @@ def _selftest(spec, solver, p, dtype):
                     p.rho, p.v0, p.r_d, p.r_f, **kw)
             )(jnp.asarray(ks, jnp.float64)))
         rmses[tag] = float(np.sqrt(np.mean((fused - want) ** 2)))
+    # latency-kernel damped window (fused_single two-phase run): route
+    # through price_batch's batch==1 dispatch so the real entry path is
+    # what executes on-chip
+    sol1 = dataclasses.replace(solver, rannacher_steps=2)
+    xsol1 = dataclasses.replace(sol1, solver_engine="scan")
+    k1 = np.array([100.0])
+    got1 = np.array(jax.jit(lambda k: douglas.price_batch(
+        spec, sol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+        p.v0, p.r_d, p.r_f))(jnp.asarray(k1, dtype)))
+    with jax.enable_x64():
+        want1 = np.array(jax.jit(lambda k: douglas.price_batch(
+            spec, xsol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f))(jnp.asarray(k1, jnp.float64)))
+    rmses["single_rann"] = float(np.sqrt(np.mean((got1 - want1) ** 2)))
     rmses["jac"] = _selftest_jac(spec, solver, p, dtype)
     rmses["jac_cs"] = _selftest_jac(
         spec, dataclasses.replace(solver, scheme="cs"), p, dtype)

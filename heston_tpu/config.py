@@ -152,9 +152,10 @@ class SolverConfig:
     # Wyns 2016 apply the same device to ADI on Heston). 0 disables;
     # values above n_steps damp the whole horizon (clamped — mixed-
     # maturity groups re-derive solvers with smaller n_steps).
-    # Composes with every scheme, American exercise and dividend
-    # schedules on the XLA engines; the fused TPU kernels currently
-    # decline (use_fused/use_single) and price_batch falls back to XLA.
+    # Composes with every scheme, American exercise, dividend schedules
+    # and mixed-maturity books on EVERY engine (the fused kernels run
+    # the damped window as extra launches of the same kernel at static
+    # theta=1, dt/2 constants; the native CPU oracle raises).
     rannacher_steps: int = 0
 
     @property

@@ -195,14 +195,11 @@ def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     this condition (a missed scheme check here once produced a
     DO-Jacobian / CS-residual mismatch in calibrate_device).
 
-    Rannacher start-up damping (solver.rannacher_steps > 0, a framework
-    extension) is XLA-only for now: the kernel's in-VMEM factorizations
-    are built once per launch, and the damped window needs a second
-    (theta=1, dt/2) set plus a mid-loop re-factorization — declined here
-    so every call site falls back to the XLA path coherently."""
+    Rannacher start-up damping (solver.rannacher_steps > 0) runs fused
+    too: the damp window is its own launches of the same kernel at
+    static (theta=1, delta_t/2) — see _run_chunks — so it needs no
+    extra VMEM beyond the main scheme's."""
     if solver.scheme not in ("do", "cs", "mcs", "hv"):
-        return False
-    if solver.rannacher_steps:
         return False
     extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
     return (solver.solver_engine == "pallas"
@@ -1122,16 +1119,6 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     every field to batch-last tiles. `nsteps`: optional per-option step
     counts (mixed-maturity books) — they scale each option's boundary
     data through its OWN e^{-rate dt (n_i - 1)} factor."""
-    if solver.rannacher_steps:
-        # the kernels have no damped start-up phase; running the plain
-        # loop would silently drop the requested damping. price_batch &
-        # co. gate via use_fused and fall back to XLA — this guards the
-        # DIRECT fused entry points (bench/sweep callers).
-        raise ValueError(
-            "the fused TPU kernels do not implement Rannacher start-up "
-            "damping (rannacher_steps > 0) — use an XLA engine "
-            "(solver_engine='scan'/'pcr') or price_batch, which falls "
-            "back automatically")
     put = operators.is_put(option_type)
     if nsteps is None:
         nsteps = jnp.full(strikes.shape, solver.n_steps,
@@ -1277,21 +1264,31 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call",
 MAX_EVENTS_PER_LAUNCH = 8  # compact fields: 4 x [ns, TILE] per event
 
 
-def _chunk_dividend_plan(solver, dividends):
+def _chunk_dividend_plan(solver, dividends, n_lo=1, n_hi=None,
+                         to_local=None, local_end=None):
     """Split the static schedule into launch chunks of
     <= MAX_EVENTS_PER_LAUNCH events. Returns a list of
     (plan_tuple, [(step, amount, pct)...]) where plan covers a
-    contiguous step range."""
-    items = []      # (step, [(step, amount, pct), ...]) in order
-    for n in range(1, solver.n_steps + 1):
-        ev = [(n, a, p)
+    contiguous step range.
+
+    `n_lo..n_hi` (inclusive, MAIN step indexing) select the phase
+    window; `to_local` maps a main step to the phase-local index the
+    kernel's time loop runs on (the Rannacher damp phase runs sub-steps
+    k = 2n-1, 2n per main step n), and `local_end` is the phase-local
+    exclusive loop end. Defaults reproduce the single-phase plan."""
+    n_hi = solver.n_steps if n_hi is None else n_hi
+    to_local = (lambda n: n) if to_local is None else to_local
+    local_end = (n_hi + 1) if local_end is None else local_end
+    items = []      # (local_step, [(local_step, amount, pct), ...])
+    for n in range(n_lo, n_hi + 1):
+        ev = [(to_local(n), a, p)
               for (a, p) in dividends.events_for_step(n, solver.delta_t)]
         if ev:
-            items.append((n, ev))
+            items.append((to_local(n), ev))
     chunks = []
     cur_plan = []
     cur_events = []
-    seg_start = 1
+    seg_start = to_local(n_lo)
     for step_n, ev in items:
         if len(cur_events) + len(ev) > MAX_EVENTS_PER_LAUNCH and cur_events:
             cur_plan.append((seg_start, step_n, 0))
@@ -1301,7 +1298,7 @@ def _chunk_dividend_plan(solver, dividends):
         cur_plan.append((seg_start, step_n, len(ev)))
         cur_events.extend(ev)
         seg_start = step_n
-    cur_plan.append((seg_start, solver.n_steps + 1, 0))
+    cur_plan.append((seg_start, local_end, 0))
     chunks.append((tuple(cur_plan), cur_events))
     return chunks
 
@@ -1388,9 +1385,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     put = operators.is_put(option_type)
     K = len(tangents)
     per_lane = "nst" in fields
-    inv = [fields[k] for k in _INV_KEYS]
-    if per_lane:
-        inv = inv + [fields["nst"]]
+    inv_base = [fields[k] for k in _INV_KEYS]
     rfa = jnp.asarray([fields["rf_val"]], dtype)
     u = fields["u"]
     lam = fields["lam"]
@@ -1409,38 +1404,82 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     def state_args():
         return ([u, lam] if american else [u]) + dus + dlams
 
-    if dividends is not None and len(dividends) > 0:
-        n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
-        n1a = jnp.asarray([0], jnp.int32)
-        nst_per = fields["nst"][0] if per_lane else None
-        for plan, events in _chunk_dividend_plan(solver, dividends):
-            rmf = _build_remap_fields(vec_s, events, dtype, option_type,
-                                      nsteps=nst_per)
-            r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
-            chunk_call = _segment_call(
-                spec.m1, spec.m2, solver.theta, solver.delta_t, american,
-                dtype.name, interpret, unroll, plan, len(events),
-                n_tiles, tile, K, put, per_lane_steps=per_lane,
-                scheme=solver.scheme)
+    # Phase list: the optional Rannacher start-up window (theta=1
+    # Douglas at delta_t/2, sub-steps k = 2n-1, 2n per damped main step
+    # n — see models.douglas._phase_plan for the convention and
+    # docs/DESIGN.md §9) followed by the main phase. The damp phase is
+    # launches of the SAME kernel at different static constants: the
+    # implicit bands are derived in-kernel from theta*delta_t, and the
+    # boundary fields stay the main phase's (their baked
+    # e^{-rate*dt*(N-1)} + the damp kernel's e^{rate*(dt/2)*k} land on
+    # the same absolute times). State (u, lam, tangents) crosses
+    # launches through the aliased outputs as it already does for
+    # dividend chunking.
+    R = (min(solver.rannacher_steps, solver.n_steps)
+         if solver.rannacher_steps else 0)
+    phases = []
+    if R:
+        nst_damp = None
+        if per_lane:
+            # lane i damps min(n_i, R) of its own steps -> 2*min(n_i, R)
+            # sub-steps; the freeze and remap-identity comparisons in
+            # damp-local indices are then EXACTLY equivalent to the
+            # main-index comparisons of a per-group damped run
+            nst_damp = 2 * jnp.minimum(
+                fields["nst"], jnp.asarray(R, fields["nst"].dtype))
+        phases.append(dict(theta=1.0, delta_t=solver.delta_t / 2.0,
+                           scheme="do", n_lo=1, n_hi=R,
+                           to_local=lambda n: 2 * n - 1,
+                           local_lo=1, local_end=2 * R + 1, nst=nst_damp))
+    phases.append(dict(theta=solver.theta, delta_t=solver.delta_t,
+                       scheme=solver.scheme, n_lo=R + 1,
+                       n_hi=solver.n_steps, to_local=lambda n: n,
+                       local_lo=R + 1, local_end=solver.n_steps + 1,
+                       nst=fields["nst"] if per_lane else None))
+
+    for ph in phases:
+        if ph["local_end"] <= ph["local_lo"]:
+            continue
+        inv = inv_base + ([ph["nst"]] if per_lane else [])
+        phase_events = (
+            dividends is not None and len(dividends) > 0
+            and any(dividends.events_for_step(n, solver.delta_t)
+                    for n in range(ph["n_lo"], ph["n_hi"] + 1)))
+        if phase_events:
+            n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
+            n1a = jnp.asarray([0], jnp.int32)
+            nst_per = ph["nst"][0] if per_lane else None
+            for plan, events in _chunk_dividend_plan(
+                    solver, dividends, n_lo=ph["n_lo"], n_hi=ph["n_hi"],
+                    to_local=ph["to_local"], local_end=ph["local_end"]):
+                rmf = _build_remap_fields(vec_s, events, dtype,
+                                          option_type, nsteps=nst_per)
+                r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
+                chunk_call = _segment_call(
+                    spec.m1, spec.m2, ph["theta"], ph["delta_t"],
+                    american, dtype.name, interpret, unroll, plan,
+                    len(events), n_tiles, tile, K, put,
+                    per_lane_steps=per_lane, scheme=ph["scheme"])
+                sa = state_args()
+                outs = chunk_call(n0a, n1a, rfa, sa[0],
+                                  *( [sa[1]] if american else [] ), *inv,
+                                  *r_args, *sa[(2 if american else 1):],
+                                  *tg)
+                u, lam, dus, dlams = unpack_outs(outs)
+        else:
+            call = _segment_call(spec.m1, spec.m2, ph["theta"],
+                                 ph["delta_t"], american, dtype.name,
+                                 interpret, unroll, n_tiles=n_tiles,
+                                 tile=tile, n_tangents=K, put=put,
+                                 per_lane_steps=per_lane,
+                                 scheme=ph["scheme"])
+            n0a = jnp.asarray([ph["local_lo"]], jnp.int32)
+            n1a = jnp.asarray([ph["local_end"]], jnp.int32)
             sa = state_args()
-            outs = chunk_call(n0a, n1a, rfa, sa[0],
-                              *( [sa[1]] if american else [] ), *inv,
-                              *r_args, *sa[(2 if american else 1):], *tg)
+            outs = call(n0a, n1a, rfa, sa[0],
+                        *( [sa[1]] if american else [] ), *inv,
+                        *sa[(2 if american else 1):], *tg)
             u, lam, dus, dlams = unpack_outs(outs)
-    else:
-        call = _segment_call(spec.m1, spec.m2, solver.theta,
-                             solver.delta_t, american, dtype.name,
-                             interpret, unroll, n_tiles=n_tiles, tile=tile,
-                             n_tangents=K, put=put,
-                             per_lane_steps=per_lane,
-                             scheme=solver.scheme)
-        n0a = jnp.asarray([1], jnp.int32)
-        n1a = jnp.asarray([solver.n_steps + 1], jnp.int32)
-        sa = state_args()
-        outs = call(n0a, n1a, rfa, sa[0],
-                    *( [sa[1]] if american else [] ), *inv,
-                    *sa[(2 if american else 1):], *tg)
-        u, lam, dus, dlams = unpack_outs(outs)
     if not american:
         # the kernel carries no multiplier state for European books; hand
         # back the zero field so consumers (fused_surface_batch) always

@@ -61,7 +61,6 @@ def use_single(spec, solver, batch: int, dividends=None,
     if not (batch == 1
             and solver.solver_engine == "pallas"
             and solver.scheme in ("do", "cs", "mcs", "hv")
-            and not solver.rannacher_steps   # XLA-only (see use_fused)
             and (dividends is None or len(dividends) == 0)
             and n_tangents == 0):
         return False
@@ -471,27 +470,41 @@ def fused_price_single(
         return x.reshape(-1, 1).astype(dtype)
 
     u2 = u0[0]                                   # [nv, ns]
-    args = [
-        jnp.asarray([1], jnp.int32),
-        jnp.asarray([solver.n_steps + 1], jnp.int32),
-        jnp.asarray([operators.boundary_rate(r_d, r_f, option_type)],
-                    dtype),
-        u2,
-    ]
-    if american:
-        args.append(jnp.zeros_like(u2))
-    args += [srow(x[0]) for x in a1pq]
-    args += [vcol(vfull[0]), srow(scol[0]), vcol(vrow[0])]
-    args += [srow(ops.bs_wm[0]), srow(ops.bs_w0[0]), srow(ops.bs_wp[0])]
-    args += [vcol(ops.bv_wm[0]), vcol(ops.bv_w0[0]), vcol(ops.bv_wp[0])]
-    args += [vcol(ops.a2_l2[0]), vcol(ops.a2_l1[0]), vcol(ops.a2_d[0]),
-             vcol(ops.a2_u1[0]), vcol(ops.a2_u2[0])]
-    args += [b1val.reshape(1, 1).astype(dtype), srow(b2row[0]),
-             srow(vec_s[0]), ks.reshape(1, 1).astype(dtype)]
+    lam2 = jnp.zeros_like(u2) if american else None
+    rfa = jnp.asarray([operators.boundary_rate(r_d, r_f, option_type)],
+                      dtype)
+    inv = [srow(x[0]) for x in a1pq]
+    inv += [vcol(vfull[0]), srow(scol[0]), vcol(vrow[0])]
+    inv += [srow(ops.bs_wm[0]), srow(ops.bs_w0[0]), srow(ops.bs_wp[0])]
+    inv += [vcol(ops.bv_wm[0]), vcol(ops.bv_w0[0]), vcol(ops.bv_wp[0])]
+    inv += [vcol(ops.a2_l2[0]), vcol(ops.a2_l1[0]), vcol(ops.a2_d[0]),
+            vcol(ops.a2_u1[0]), vcol(ops.a2_u2[0])]
+    inv += [b1val.reshape(1, 1).astype(dtype), srow(b2row[0]),
+            srow(vec_s[0]), ks.reshape(1, 1).astype(dtype)]
 
-    call = _single_call(spec.m1, spec.m2, solver.theta, solver.delta_t,
-                        american, put, dtype.name, interpret,
-                        solver.scheme)
-    outs = call(*args)
-    u_fin = outs[0]
-    return u_fin[idx_v[0], idx_s[0]]
+    # Rannacher start-up window as its own launch at static
+    # (theta=1, delta_t/2) — same two-phase structure as the batched
+    # engine (fused_do._run_chunks); the boundary fields stay the main
+    # phase's so the damp sub-steps' e^{rate*(dt/2)*k} scaling lands on
+    # the same absolute times
+    R = (min(solver.rannacher_steps, solver.n_steps)
+         if solver.rannacher_steps else 0)
+    phases = []
+    if R:
+        phases.append((1.0, solver.delta_t / 2.0, "do", 1, 2 * R + 1))
+    if R < solver.n_steps:
+        phases.append((solver.theta, solver.delta_t, solver.scheme,
+                       R + 1, solver.n_steps + 1))
+    for theta_p, dt_p, scheme_p, n_lo, n_end in phases:
+        call = _single_call(spec.m1, spec.m2, theta_p, dt_p,
+                            american, put, dtype.name, interpret,
+                            scheme_p)
+        args = [jnp.asarray([n_lo], jnp.int32),
+                jnp.asarray([n_end], jnp.int32), rfa, u2]
+        if american:
+            args.append(lam2)
+        outs = call(*args, *inv)
+        u2 = outs[0]
+        if american:
+            lam2 = outs[1]
+    return u2[idx_v[0], idx_s[0]]

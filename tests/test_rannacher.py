@@ -10,6 +10,7 @@ tau as the undamped run)."""
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -125,24 +126,122 @@ def test_native_engine_rejects_rannacher(params):
             p.r_d, p.r_f)
 
 
-def test_pallas_engine_falls_back_bitwise(params):
-    """use_fused/use_single decline damped solvers, and the pallas
-    entry point returns the XLA path's result bitwise (same code)."""
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(american=True),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+    dict(option_type="put"),
+    dict(scheme="hv"),
+])
+def test_fused_damped_matches_xla(params, kw):
+    """The fused engine runs the Rannacher window as its own launches of
+    the same kernel at (theta=1, dt/2) — equal to the XLA damped path at
+    solver roundoff in f64 for every variant. n_steps=20 with
+    GOLDEN_DIVIDENDS puts event 0.2 at step 4 > R=2 (main window);
+    rann=6 pulls it INSIDE the damped window (sub-step 7)."""
     p = params
-    spec = GridSpec(m1=20, m2=10)
+    kw = dict(kw)
+    scheme = kw.pop("scheme", "do")
+    for rann in (2, 6):
+        solver = SolverConfig(n_steps=20, scheme=scheme,
+                              rannacher_steps=rann,
+                              solver_engine="pallas")
+        spec = GridSpec(m1=20, m2=10)
+        assert fused_do.use_fused(spec, solver)
+        ks = jnp.linspace(85.0, 115.0, 4, dtype=jnp.float64)
+        args = tuple(jnp.float64(a) for a in (
+            100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+        want = np.array(douglas.price_batch(
+            spec, dataclasses.replace(solver, solver_engine="scan"),
+            ks, *args, **kw))
+        got = np.array(jax.jit(
+            lambda k, kw=kw: fused_do.fused_price_batch(
+                spec, solver, k, *args, interpret=True, **kw))(ks))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+def test_fused_damped_jacobian_matches_xla_ad(params):
+    """Forward-mode AD through the fused kernels with a damped window:
+    the tangent state crosses the damp->main launch boundary like the
+    primal; equal to jax.jacfwd of the XLA damped path in f64."""
+    import jax
+
+    p = params
+    spec = GridSpec(m1=16, m2=8)
     solver = SolverConfig(n_steps=6, rannacher_steps=2,
                           solver_engine="pallas")
-    assert not fused_do.use_fused(spec, solver)
-    assert not fused_do.use_fused(spec, solver, n_tangents=4)
-    assert not fused_single.use_single(spec, solver, 1)
-    ks = jnp.array([95.0, 105.0])
-    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
-    got = np.array(douglas.price_batch(spec, solver, ks, *args,
-                                       american=True))
-    want = np.array(douglas.price_batch(
-        spec, dataclasses.replace(solver, solver_engine="scan"), ks, *args,
-        american=True))
-    np.testing.assert_array_equal(got, want)
+    ks = jnp.linspace(90.0, 110.0, 3, dtype=jnp.float64)
+    tv = jnp.array([p.kappa, p.eta, p.sigma, p.rho, p.v0], jnp.float64)
+
+    base, jac = jax.jit(lambda t: fused_do.fused_theta_jacobian(
+        spec, solver, ks, 100.0, t, p.r_d, p.r_f, american=True,
+        interpret=True))(tv)
+    xla = dataclasses.replace(solver, solver_engine="scan")
+
+    def prices(t):
+        return douglas.price_batch(spec, xla, ks, 100.0, t[0], t[1],
+                                   t[2], t[3], t[4], p.r_d, p.r_f,
+                                   american=True)
+
+    want = np.array(prices(tv))
+    # the fused Jacobian's v0 column is the surface stencil; compare the
+    # four AD columns to jacfwd and the prices exactly
+    want_jac = np.array(jax.jacfwd(prices)(tv))
+    np.testing.assert_allclose(np.array(base), want, rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.array(jac)[:, :4], want_jac[:, :4],
+                               rtol=0, atol=1e-9)
+
+
+def test_single_kernel_damped_matches_xla(params):
+    """The latency kernel's two-phase damped run == the XLA damped path
+    (batch==1 dispatch included)."""
+    p = params
+    spec = GridSpec(m1=20, m2=10)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    for kw in (dict(), dict(american=True), dict(scheme="mcs")):
+        kw = dict(kw)
+        scheme = kw.pop("scheme", "do")
+        solver = SolverConfig(n_steps=6, scheme=scheme, rannacher_steps=2,
+                              solver_engine="pallas")
+        assert fused_single.use_single(spec, solver, 1)
+        want = float(douglas.price_batch(
+            spec, dataclasses.replace(solver, solver_engine="scan"),
+            jnp.array([100.0], jnp.float64), *args, **kw)[0])
+        got = float(jax.jit(
+            lambda kw=kw: fused_single.fused_price_single(
+                spec, solver, jnp.float64(100.0), *args,
+                interpret=True, **kw))())
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+
+
+def test_per_lane_damped_matches_per_group(params):
+    """One damped mixed-maturity launch == per-group damped launches,
+    bitwise: lane i damps 2*min(n_i, R) sub-steps, whose freeze /
+    remap-identity comparisons are exactly the per-group ones."""
+    p = params
+    spec = GridSpec(m1=16, m2=8)
+    dt = 0.05
+    groups = ((0, 3, 4), (3, 6, 10))    # n=4 < R+? and n=10
+    rann = 6                            # > short group's n: clamps there
+    ks = jnp.linspace(85.0, 115.0, 6, dtype=jnp.float64)
+    args = tuple(jnp.float64(a) for a in (
+        100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
+    nst = jnp.concatenate([jnp.full(e - a, n, jnp.int32)
+                           for a, e, n in groups])
+    solver = SolverConfig(n_steps=10, maturity=10 * dt,
+                          rannacher_steps=rann, solver_engine="pallas")
+    kw = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+    got = np.array(jax.jit(lambda k: fused_do.fused_price_batch(
+        spec, solver, k, *args, interpret=True, n_steps_per=nst,
+        **kw))(ks))
+    want = []
+    for a, e, n in groups:
+        sol_g = dataclasses.replace(solver, n_steps=n, maturity=n * dt)
+        want.append(np.array(jax.jit(
+            lambda k, sol_g=sol_g: fused_do.fused_price_batch(
+                spec, sol_g, k, *args, interpret=True, **kw))(ks[a:e])))
+    np.testing.assert_array_equal(got, np.concatenate(want))
 
 
 def test_damped_price_stays_near_undamped_and_golden(params):
@@ -196,23 +295,6 @@ def test_tracking_keeps_full_dt_contract(params):
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.array(lambdas[-1]), np.array(want_lam),
                                rtol=0, atol=1e-12)
-
-
-def test_direct_fused_entries_reject_damping(params):
-    """Callers that bypass use_fused (bench/sweep call
-    fused_price_batch directly) must get a loud error, not a silently
-    undamped run — same contract as the native CPU engine."""
-    p = params
-    spec = GridSpec(m1=10, m2=8)
-    solver = SolverConfig(n_steps=4, rannacher_steps=1,
-                          solver_engine="pallas")
-    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
-    with pytest.raises(ValueError, match="Rannacher"):
-        fused_do.fused_price_batch(spec, solver, jnp.array([100.0]), *args,
-                                   interpret=True)
-    with pytest.raises(ValueError, match="Rannacher"):
-        fused_single.fused_price_single(spec, solver, 100.0, *args,
-                                        interpret=True)
 
 
 def test_greeks_and_jacobian_compose_with_damping(params):
