@@ -141,9 +141,10 @@ def main(argv=None):
     p.add_argument("--mc-steps", type=int, default=None,
                    help="Euler steps (default: 350/yr European, 50 LSMC)")
     p.add_argument("--scheme-mc", default="auto",
-                   choices=["auto", "truncation", "reflection"],
+                   choices=["auto", "truncation", "reflection", "qe"],
                    help="variance scheme; auto = Feller-driven dispatch "
-                        "(ref MC_hes.cpp:18-20)")
+                        "(ref MC_hes.cpp:18-20); qe = Andersen "
+                        "Quadratic-Exponential (low bias at coarse steps)")
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic variates (halves the CI width per "
                         "path budget)")

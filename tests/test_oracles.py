@@ -187,3 +187,95 @@ def test_lsmc_american_dividend_golden(params):
     assert float(h) <= 0.014, float(h)    # r2 CI was +-0.028
     assert abs(float(p) - 5.285130942409008) < 2.0 * float(h) + 0.02, (
         float(p), float(h))
+
+
+def test_mc_qe_low_bias_at_coarse_steps(params):
+    """Andersen QE (framework extension): at 16 steps/year — where Euler
+    carries visible discretization bias — QE prices to within its own MC
+    noise of the closed-form CF oracle."""
+    from heston_tpu.models import heston_cf, mc
+
+    p = params
+    truth = float(heston_cf.call_price(
+        100.0, 100.0, p.v0, p.kappa, p.eta, p.sigma, p.rho, p.r_d, 1.0))
+    qe, h = mc.price_european_call_mc(
+        jax.random.PRNGKey(11), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=200_000,
+        n_steps=16, scheme="qe", antithetic=True)
+    assert abs(float(qe) - truth) <= 3.0 * float(h) + 0.01, (
+        float(qe), truth, float(h))
+    assert 0.0 < float(h) < 0.1
+
+
+def test_mc_qe_beats_euler_bias(params):
+    """Same budget (4 steps/year, shared seed): |QE - CF| << |Euler - CF|.
+    Measured at this seed/path count: Euler err +0.067 (~3.5x its MC
+    half-width 0.019), QE err +0.0005 — the 0.02 margin makes the
+    comparison a stable regression pin, not a statistical race."""
+    from heston_tpu.models import heston_cf, mc
+
+    p = params
+    truth = float(heston_cf.call_price(
+        100.0, 100.0, p.v0, p.kappa, p.eta, p.sigma, p.rho, p.r_d, 1.0))
+    common = dict(num_paths=400_000, n_steps=4, antithetic=True)
+    qe, _ = mc.price_european_call_mc(
+        jax.random.PRNGKey(13), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, scheme="qe", **common)
+    eu, _ = mc.price_european_call_mc(
+        jax.random.PRNGKey(13), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, scheme="truncation",
+        **common)
+    assert abs(float(qe) - truth) + 0.02 < abs(float(eu) - truth), (
+        float(qe), float(eu), truth)
+
+
+def test_mc_qe_dividends_and_puts(params):
+    """QE composes with the on-path dividend jumps and put payoffs:
+    QE + GOLDEN_DIVIDENDS at 32 steps hits the European-dividend golden
+    the Euler path needs 400 steps for, and the QE put obeys put-call
+    parity against the QE call within joint MC noise."""
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.models import mc
+
+    p = params
+    c, hc = mc.price_european_call_mc(
+        jax.random.PRNGKey(4), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=200_000,
+        n_steps=32, scheme="qe", dividends=GOLDEN_DIVIDENDS,
+        antithetic=True)
+    assert abs(float(c) - 3.839290124997349) < 3.0 * float(hc) + 0.01, (
+        float(c), float(hc))
+    # parity on the SAME paths (same key): C - P = e^{-r_f T} S0 - K e^{-r_d T}
+    pput, hp = mc.price_european_call_mc(
+        jax.random.PRNGKey(6), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=200_000,
+        n_steps=32, scheme="qe", option_type="put", antithetic=True)
+    call2, hc2 = mc.price_european_call_mc(
+        jax.random.PRNGKey(6), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=200_000,
+        n_steps=32, scheme="qe", antithetic=True)
+    fwd = 100.0 * np.exp(-p.r_f) - 100.0 * np.exp(-p.r_d)
+    assert abs((float(call2) - float(pput)) - fwd) <= float(hc2) + float(hp)
+
+
+def test_lsmc_qe_american_put_matches_pde(params):
+    """LSMC on QE panels: the American put agrees with the PDE LCP at
+    LSMC's coarse exercise grid (QE removes the Euler transition bias,
+    leaving only policy bias)."""
+    from heston_tpu.config import GridSpec, SolverConfig
+    from heston_tpu.models import douglas, mc
+
+    p = params
+    spec = GridSpec(m1=100, m2=75)
+    solver = SolverConfig(n_steps=40)
+    pde = float(douglas.price_batch(
+        spec, solver, jnp.array([100.0]), 100.0, p.kappa, p.eta,
+        p.sigma, p.rho, p.v0, p.r_d, p.r_f, american=True,
+        option_type="put")[0])
+    lsmc, h = mc.price_american_lsmc(
+        jax.random.PRNGKey(9), 100.0, p.v0, 100.0, p.r_d, p.r_f,
+        p.kappa, p.eta, p.sigma, p.rho, 1.0, num_paths=120_000,
+        n_steps=50, scheme="qe", antithetic=True)
+    # LSMC's policy is suboptimal -> slightly low-biased
+    assert pde - (4.0 * float(h) + 0.05) <= float(lsmc) <= pde + 2.0 * float(h), (
+        float(lsmc), pde, float(h))
