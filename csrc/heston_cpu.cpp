@@ -179,15 +179,21 @@ void apply_dividend_cpu(double* u, const double* vec_s, double amount,
   }
 }
 
+// Scheme selectors (mirror heston_tpu.models.douglas._do_step; the math
+// is the in 't Hout-Foulon ADI family, so formulas match by necessity).
+enum Scheme : int64_t { kDo = 0, kCs = 1, kMcs = 2, kHv = 3 };
+
 struct DoWorkspace {
-  std::vector<double> a0r, a1r, a2r, y0, y1, tmp;
+  std::vector<double> a0r, a1r, a2r, y0, y1, y2, tmp;
+  std::vector<double> a0y, a1y, a2y;                  // operator(Y2) fields
   std::vector<double> iml, imd, imu;                  // A1 implicit bands
   std::vector<double> il2, il1, idg, iu1, iu2;        // A2 implicit bands
   std::vector<double> ex_l2, ex_l1, ex_d, ex_u1, ex_u2;  // A2 explicit
   std::vector<double> col_rhs, col_x, row;
   void resize(int64_t nv, int64_t ns) {
     const int64_t m = nv * ns;
-    for (auto* v : {&a0r, &a1r, &a2r, &y0, &y1, &tmp, &iml, &imd, &imu})
+    for (auto* v : {&a0r, &a1r, &a2r, &y0, &y1, &y2, &tmp, &a0y, &a1y,
+                    &a2y, &iml, &imd, &imu})
       v->resize(m);
     for (auto* v : {&il2, &il1, &idg, &iu1, &iu2, &ex_l2, &ex_l1, &ex_d,
                     &ex_u1, &ex_u2, &col_rhs, &col_x})
@@ -220,10 +226,19 @@ struct DoWorkspace {
   }
 };
 
-// Steps n = n_begin..n_end-1 (1-based, exclusive end) of the Douglas loop
+// Steps n = n_begin..n_end-1 (1-based, exclusive end) of the ADI loop
 // for one option; factorable implicit bands are pre-derived in ws.
+// `scheme` selects the corrector (Scheme enum), replicating
+// heston_tpu.models.douglas._do_step:
+//   DO : predictor + A1/A2 implicit stages
+//   CS : + 1/2 dt mixed-derivative corrector, both stages re-run
+//   MCS: + theta dt A0 corrector and (1/2-theta) dt full-operator
+//        corrector, both stages re-run
+//   HV : + 1/2 dt full-operator corrector with the implicit stages
+//        anchored at Y2 (t_n boundary terms cancel)
 void do_run_steps(int64_t n_begin, int64_t n_end, int64_t nv, int64_t ns,
-                  double delta_t, double theta, double b_rate,
+                  double delta_t, double theta, int64_t scheme,
+                  double b_rate,
                   const double* a0c, const double* bsm, const double* bs0,
                   const double* bsp, const double* bvm, const double* bv0,
                   const double* bvp, const double* a1_ml,
@@ -240,10 +255,7 @@ void do_run_steps(int64_t n_begin, int64_t n_end, int64_t nv, int64_t ns,
     a0_multiply(a0c, bsm, bs0, bsp, bvm, bv0, bvp, u, ws.tmp.data(),
                 ws.a0r.data(), nv, ns);
     a1_multiply(a1_ml, a1_md, a1_mu, u, ws.a1r.data(), nv, ns);
-    // explicit A2 bands recovered from the implicit ones:
-    // a2 = (1 - i_d)/td on the diagonal, -i_band/td off-diagonal — but the
-    // caller hands EXPLICIT bands via the factor prep below, so apply them
-    // directly from ws (set in the batch driver before the loop).
+    // explicit A2 bands are stashed in ws by prepare().
     a2_multiply(ws.ex_l2.data(), ws.ex_l1.data(), ws.ex_d.data(),
                 ws.ex_u1.data(), ws.ex_u2.data(), u, ws.a2r.data(), nv, ns);
 
@@ -251,47 +263,114 @@ void do_run_steps(int64_t n_begin, int64_t n_end, int64_t nv, int64_t ns,
       double y = u[k] + delta_t * (ws.a0r[k] + ws.a1r[k] + ws.a2r[k]
                                    + (b1[k] + b2[k]) * e0);
       if (american) y += delta_t * lam[k];
-      y += td * (b1[k] * e1 - (ws.a1r[k] + b1[k] * e0));
       ws.y0[k] = y;
     }
-    for (int64_t j = 0; j < nv; ++j) {
-      ht_tridiag_solve(ws.iml.data() + j * ns, ws.imd.data() + j * ns,
-                       ws.imu.data() + j * ns, ws.y0.data() + j * ns,
-                       ws.y1.data() + j * ns, ns);
+
+    // the two implicit stages (rhs boundary increments match the
+    // theta-weighted t_{n-1} -> t_n substitution), x -> out
+    const auto stage_solves = [&](const double* x, double* out) {
+      for (int64_t k = 0; k < m; ++k) {
+        ws.tmp[k] = x[k] + td * (b1[k] * e1 - (ws.a1r[k] + b1[k] * e0));
+      }
+      for (int64_t j = 0; j < nv; ++j) {
+        ht_tridiag_solve(ws.iml.data() + j * ns, ws.imd.data() + j * ns,
+                         ws.imu.data() + j * ns, ws.tmp.data() + j * ns,
+                         ws.y1.data() + j * ns, ns);
+      }
+      for (int64_t k = 0; k < m; ++k) {
+        ws.y1[k] += td * (b2[k] * e1 - (ws.a2r[k] + b2[k] * e0));
+      }
+      for (int64_t i = 0; i < ns; ++i) {
+        for (int64_t j = 0; j < nv; ++j) ws.col_rhs[j] = ws.y1[j * ns + i];
+        ht_penta_solve(ws.il2.data(), ws.il1.data(), ws.idg.data(),
+                       ws.iu1.data(), ws.iu2.data(), ws.col_rhs.data(),
+                       ws.col_x.data(), nv);
+        for (int64_t j = 0; j < nv; ++j) out[j * ns + i] = ws.col_x[j];
+      }
+    };
+
+    stage_solves(ws.y0.data(), ws.y2.data());
+
+    if (scheme != kDo) {
+      a0_multiply(a0c, bsm, bs0, bsp, bvm, bv0, bvp, ws.y2.data(),
+                  ws.tmp.data(), ws.a0y.data(), nv, ns);
     }
-    for (int64_t k = 0; k < m; ++k) {
-      ws.y1[k] += td * (b2[k] * e1 - (ws.a2r[k] + b2[k] * e0));
+    if (scheme == kCs) {
+      for (int64_t k = 0; k < m; ++k) {
+        ws.y0[k] += 0.5 * delta_t * (ws.a0y[k] - ws.a0r[k]);
+      }
+      stage_solves(ws.y0.data(), ws.y2.data());
+    } else if (scheme == kMcs || scheme == kHv) {
+      a1_multiply(a1_ml, a1_md, a1_mu, ws.y2.data(), ws.a1y.data(), nv,
+                  ns);
+      a2_multiply(ws.ex_l2.data(), ws.ex_l1.data(), ws.ex_d.data(),
+                  ws.ex_u1.data(), ws.ex_u2.data(), ws.y2.data(),
+                  ws.a2y.data(), nv, ns);
+      const double w = (scheme == kMcs) ? (0.5 - theta) : 0.5;
+      for (int64_t k = 0; k < m; ++k) {
+        const double full_new =
+            ws.a0y[k] + ws.a1y[k] + ws.a2y[k] + (b1[k] + b2[k]) * e1;
+        const double full_old =
+            ws.a0r[k] + ws.a1r[k] + ws.a2r[k] + (b1[k] + b2[k]) * e0;
+        double y = ws.y0[k];
+        if (scheme == kMcs) y += td * (ws.a0y[k] - ws.a0r[k]);
+        ws.y0[k] = y + w * delta_t * (full_new - full_old);
+      }
+      if (scheme == kMcs) {
+        stage_solves(ws.y0.data(), ws.y2.data());
+      } else {  // HV: implicit corrections anchored at Y2
+        for (int64_t k = 0; k < m; ++k) {
+          ws.tmp[k] = ws.y0[k] - td * ws.a1y[k];
+        }
+        for (int64_t j = 0; j < nv; ++j) {
+          ht_tridiag_solve(ws.iml.data() + j * ns, ws.imd.data() + j * ns,
+                           ws.imu.data() + j * ns, ws.tmp.data() + j * ns,
+                           ws.y1.data() + j * ns, ns);
+        }
+        for (int64_t k = 0; k < m; ++k) {
+          ws.y1[k] -= td * ws.a2y[k];
+        }
+        for (int64_t i = 0; i < ns; ++i) {
+          for (int64_t j = 0; j < nv; ++j)
+            ws.col_rhs[j] = ws.y1[j * ns + i];
+          ht_penta_solve(ws.il2.data(), ws.il1.data(), ws.idg.data(),
+                         ws.iu1.data(), ws.iu2.data(), ws.col_rhs.data(),
+                         ws.col_x.data(), nv);
+          for (int64_t j = 0; j < nv; ++j) ws.y2[j * ns + i] = ws.col_x[j];
+        }
+      }
     }
-    for (int64_t i = 0; i < ns; ++i) {
-      for (int64_t j = 0; j < nv; ++j) ws.col_rhs[j] = ws.y1[j * ns + i];
-      ht_penta_solve(ws.il2.data(), ws.il1.data(), ws.idg.data(),
-                     ws.iu1.data(), ws.iu2.data(), ws.col_rhs.data(),
-                     ws.col_x.data(), nv);
-      for (int64_t j = 0; j < nv; ++j) u[j * ns + i] = ws.col_x[j];
-    }
+
     if (american) {
       for (int64_t k = 0; k < m; ++k) {
-        const double u_bar = u[k];
+        const double u_bar = ws.y2[k];
         u[k] = std::max(u_bar - delta_t * lam[k], u0[k]);
         lam[k] = std::max(0.0, lam[k] + (u0[k] - u_bar) / delta_t);
         if (k % ns == ns - 1) lam[k] = 0.0;  // s_max column
       }
+    } else {
+      std::memcpy(u, ws.y2.data(), m * sizeof(double));
     }
   }
 }
 
 }  // namespace
 
-// Complete Douglas ADI time loop (one option instance) on CPU.
+// Complete ADI time loop (one option instance) on CPU.
 // All band arrays are the EXPLICIT operators; the implicit systems
-// (I - theta*dt*A) are formed and factored internally.
+// (I - theta*dt*A) are formed and factored internally. `scheme` is the
+// Scheme enum (0 DO / 1 CS / 2 MCS / 3 HV); `rannacher_steps` = R runs
+// the first min(R, n_steps) main steps as 2R theta=1 Douglas sub-steps
+// at delta_t/2 (implicit bands re-derived internally; boundary vectors
+// shared — sub-step k's e^{b_rate*(dt/2)*(k-1)} lands on the same
+// absolute times, matching heston_tpu.models.douglas._phase_plan).
 // Returns the full terminal surface in u (in/out, initialized to payoff).
 // lam must be zero-initialized scratch of the same size (used when
 // american != 0).
 void ht_do_solve(
     // dimensions / stepping
     int64_t nv, int64_t ns, int64_t n_steps, double delta_t, double theta,
-    double r_f,
+    int64_t scheme, int64_t rannacher_steps, double r_f,
     // A0 separable data
     const double* a0c, const double* bsm, const double* bs0,
     const double* bsp, const double* bvm, const double* bv0,
@@ -309,11 +388,22 @@ void ht_do_solve(
     double* u, double* lam) {
   DoWorkspace ws;
   ws.resize(nv, ns);
+  const int64_t r =
+      std::min(rannacher_steps, n_steps) < 0
+          ? 0
+          : std::min(rannacher_steps, n_steps);
+  if (r > 0) {
+    ws.prepare(nv, ns, delta_t / 2.0, a1_ml, a1_md, a1_mu, a2_l2, a2_l1,
+               a2_d, a2_u1, a2_u2);
+    do_run_steps(1, 2 * r + 1, nv, ns, delta_t / 2.0, 1.0, kDo, r_f, a0c,
+                 bsm, bs0, bsp, bvm, bv0, bvp, a1_ml, a1_md, a1_mu, b1, b2,
+                 american, u0, u, lam, ws);
+  }
   ws.prepare(nv, ns, theta * delta_t, a1_ml, a1_md, a1_mu, a2_l2, a2_l1,
              a2_d, a2_u1, a2_u2);
-  do_run_steps(1, n_steps + 1, nv, ns, delta_t, theta, r_f, a0c, bsm, bs0,
-               bsp, bvm, bv0, bvp, a1_ml, a1_md, a1_mu, b1, b2, american,
-               u0, u, lam, ws);
+  do_run_steps(r + 1, n_steps + 1, nv, ns, delta_t, theta, scheme, r_f,
+               a0c, bsm, bs0, bsp, bvm, bv0, bvp, a1_ml, a1_md, a1_mu, b1,
+               b2, american, u0, u, lam, ws);
 }
 
 // Standalone dividend re-map (oracle for apply_dividend parity tests).
@@ -339,7 +429,7 @@ void ht_apply_dividend(double* u, const double* vec_s, double amount,
 // ev_step <= n_o, exactly like a dedicated n_o-step solve.
 void ht_do_solve_batch(
     int64_t b, int64_t nv, int64_t ns, int64_t n_steps, double delta_t,
-    double theta, double b_rate,
+    double theta, int64_t scheme, int64_t rannacher_steps, double b_rate,
     const double* a0c, const double* bsm, const double* bs0,
     const double* bsp, const double* bvm, const double* bv0,
     const double* bvp, const double* a1_ml, const double* a1_md,
@@ -370,37 +460,58 @@ void ht_do_solve_batch(
       const double* u0_o = u0 + o * m;
       double* u_o = u + o * m;
       double* lam_o = lam + o * m;
-      ws.prepare(nv, ns, theta * delta_t, ml_o, md_o, mu_o,
-                 a2_l2 + o * nv, a2_l1 + o * nv, a2_d + o * nv,
-                 a2_u1 + o * nv, a2_u2 + o * nv);
-      int64_t n_next = 1;
+      // Phase table: the optional Rannacher start-up window (theta=1
+      // Douglas at delta_t/2, sub-steps k = 2n-1, 2n per damped main
+      // step n) then the main scheme. Per-option clamp r_o =
+      // min(rannacher_steps, n_o) keeps mixed-maturity books equal to
+      // per-group damped runs (the per-lane fused-kernel convention).
+      // A dividend of main step n fires before local step
+      // loc_a*n + loc_b — the same absolute tau in both phases.
+      const int64_t r_o =
+          rannacher_steps <= 0
+              ? 0
+              : std::min(rannacher_steps, n_o);
+      struct Phase {
+        int64_t lo, hi;       // main-step range (inclusive)
+        int64_t loc_a, loc_b; // local = loc_a*n + loc_b
+        int64_t local_end;    // exclusive phase-local loop end
+        double dt, th;
+        int64_t sch;
+      };
+      const Phase phases[2] = {
+          {1, r_o, 2, -1, 2 * r_o + 1, delta_t / 2.0, 1.0, kDo},
+          {r_o + 1, n_o, 1, 0, n_o + 1, delta_t, theta, scheme},
+      };
       int64_t e = 0;
-      while (e < n_events && ev_step[e] <= n_o) {
-        const int64_t n_ev = ev_step[e];
-        // steps n_next .. n_ev-1, then ALL re-maps due before step n_ev
-        // (date order, like events_for_step), then step n_ev itself
-        do_run_steps(n_next, n_ev, nv, ns, delta_t, theta, b_rate, a0c_o,
-                     bsm + o * ns, bs0 + o * ns, bsp + o * ns,
-                     bvm + o * nv, bv0 + o * nv, bvp + o * nv,
-                     ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
-                     lam_o, ws);
-        while (e < n_events && ev_step[e] == n_ev) {
-          apply_dividend_cpu(u_o, vec_s + o * ns, ev_amount[e], ev_pct[e],
-                             put, nv, ns, ws.row.data());
-          ++e;
+      for (const Phase& ph : phases) {
+        if (ph.hi < ph.lo) continue;
+        ws.prepare(nv, ns, ph.th * ph.dt, ml_o, md_o, mu_o,
+                   a2_l2 + o * nv, a2_l1 + o * nv, a2_d + o * nv,
+                   a2_u1 + o * nv, a2_u2 + o * nv);
+        int64_t n_next = ph.loc_a * ph.lo + ph.loc_b;
+        while (e < n_events && ev_step[e] <= ph.hi) {
+          const int64_t kl = ph.loc_a * ev_step[e] + ph.loc_b;
+          // steps n_next .. kl-1, then ALL re-maps due before local
+          // step kl (date order, like events_for_step)
+          do_run_steps(n_next, kl, nv, ns, ph.dt, ph.th, ph.sch, b_rate,
+                       a0c_o, bsm + o * ns, bs0 + o * ns, bsp + o * ns,
+                       bvm + o * nv, bv0 + o * nv, bvp + o * nv,
+                       ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
+                       lam_o, ws);
+          const int64_t n_ev = ev_step[e];
+          while (e < n_events && ev_step[e] == n_ev) {
+            apply_dividend_cpu(u_o, vec_s + o * ns, ev_amount[e],
+                               ev_pct[e], put, nv, ns, ws.row.data());
+            ++e;
+          }
+          n_next = kl;
         }
-        do_run_steps(n_ev, n_ev + 1, nv, ns, delta_t, theta, b_rate, a0c_o,
-                     bsm + o * ns, bs0 + o * ns, bsp + o * ns,
-                     bvm + o * nv, bv0 + o * nv, bvp + o * nv,
-                     ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
-                     lam_o, ws);
-        n_next = n_ev + 1;
+        do_run_steps(n_next, ph.local_end, nv, ns, ph.dt, ph.th, ph.sch,
+                     b_rate, a0c_o, bsm + o * ns, bs0 + o * ns,
+                     bsp + o * ns, bvm + o * nv, bv0 + o * nv,
+                     bvp + o * nv, ml_o, md_o, mu_o, b1_o, b2_o, american,
+                     u0_o, u_o, lam_o, ws);
       }
-      do_run_steps(n_next, n_o + 1, nv, ns, delta_t, theta, b_rate,
-                   a0c_o, bsm + o * ns, bs0 + o * ns, bsp + o * ns,
-                   bvm + o * nv, bv0 + o * nv, bvp + o * nv,
-                   ml_o, md_o, mu_o, b1_o, b2_o, american, u0_o, u_o,
-                   lam_o, ws);
     }
   }
 }

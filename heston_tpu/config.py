@@ -155,7 +155,8 @@ class SolverConfig:
     # Composes with every scheme, American exercise, dividend schedules
     # and mixed-maturity books on EVERY engine (the fused kernels run
     # the damped window as extra launches of the same kernel at static
-    # theta=1, dt/2 constants; the native CPU oracle raises).
+    # theta=1, dt/2 constants; the native C++ engine runs the same
+    # phase plan).
     rannacher_steps: int = 0
 
     @property

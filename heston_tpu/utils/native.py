@@ -45,20 +45,35 @@ def load() -> ctypes.CDLL:
     lib.ht_tridiag_solve.argtypes = [_D, _D, _D, _D, _D, _I]
     lib.ht_penta_solve.argtypes = [_D, _D, _D, _D, _D, _D, _D, _I]
     lib.ht_do_solve.argtypes = (
-        [_I, _I, _I, ctypes.c_double, ctypes.c_double, ctypes.c_double]
+        [_I, _I, _I, ctypes.c_double, ctypes.c_double, _I, _I,
+         ctypes.c_double]
         + [_D] * 17 + [_I, _D, _D, _D]
     )
     lib.ht_omp_threads.restype = ctypes.c_int64
     lib.ht_apply_dividend.argtypes = [
         _D, _D, ctypes.c_double, ctypes.c_double, _I, _I, _I]
     lib.ht_do_solve_batch.argtypes = (
-        [_I, _I, _I, _I, ctypes.c_double, ctypes.c_double, ctypes.c_double]
+        [_I, _I, _I, _I, ctypes.c_double, ctypes.c_double, _I, _I,
+         ctypes.c_double]
         + [_D] * 17 + [_I, _D]
         + [_I, ctypes.POINTER(ctypes.c_int64), _D, _D, _D, _I]
         + [_D, _D, ctypes.POINTER(ctypes.c_int64)]
     )
     _lib = lib
     return lib
+
+
+# Scheme enum shared with csrc/heston_cpu.cpp (enum Scheme).
+_SCHEME_IDS = {"do": 0, "cs": 1, "mcs": 2, "hv": 3}
+
+
+def _scheme_id(scheme: str) -> int:
+    try:
+        return _SCHEME_IDS[scheme]
+    except KeyError:
+        raise ValueError(
+            f"the native CPU engine does not implement scheme "
+            f"{scheme!r} (supported: {sorted(_SCHEME_IDS)})") from None
 
 
 def _ptr(a: np.ndarray):
@@ -126,12 +141,15 @@ def _prep_exec(spec, solver, option_type: str):
 def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                     r_d, r_f, american: bool = False, dividends=None,
                     option_type: str = "call", group_steps=()) -> np.ndarray:
-    """Batched pricing on the CPU via the native OpenMP Douglas engine —
+    """Batched pricing on the CPU via the native OpenMP ADI engine —
     the framework's analog of the reference's OpenMP performance-test
     build (ref: src/perfomance_test.cpp:507-534), whose CPU numbers back
     the README's GPU-vs-CPU 30x claim. Field assembly reuses the traced
     JAX operator build (tiny); the time loop runs one option per OpenMP
-    thread in C++ (csrc/heston_cpu.cpp::ht_do_solve_batch).
+    thread in C++ (csrc/heston_cpu.cpp::ht_do_solve_batch). All four
+    schemes (do/cs/mcs/hv) and Rannacher start-up damping run natively
+    — the C++ loop is a full independent oracle for every JAX engine
+    configuration (~1e-14 agreement in f64).
 
     group_steps: optional static (start, end, n_steps) maturity-ladder
     slices (shared-dt convention; solver.n_steps = max) — an
@@ -141,19 +159,7 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
 
     from heston_tpu.ops import operators
 
-    if solver.scheme != "do":
-        # do_run_steps implements the Douglas step only (no CS/MCS
-        # correctors) — pricing a different scheme than requested must be
-        # an error, not a silent substitution
-        raise ValueError(
-            f"the native CPU engine implements the Douglas scheme only "
-            f"(got scheme={solver.scheme!r})")
-    if solver.rannacher_steps:
-        # ht_do_solve_batch runs plain theta-weighted steps; silently
-        # dropping the damped start-up would de-sync it from the JAX
-        # engines it serves as an oracle for
-        raise ValueError("the native CPU engine does not implement "
-                         "Rannacher start-up damping (rannacher_steps > 0)")
+    scheme_id = _scheme_id(solver.scheme)   # raises on unknown schemes
     lib = load()
     # pin the (tiny) traced field assembly to the host CPU backend (on the
     # TPU-tunnel machine every device->host fetch costs a fixed ~29 ms
@@ -215,7 +221,8 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         np.concatenate([np.full(e - a, g) for a, e, g in groups]),
         dtype=np.int64) if group_steps else None)
     lib.ht_do_solve_batch(
-        b, nv, ns, solver.n_steps, solver.delta_t, solver.theta, b_rate,
+        b, nv, ns, solver.n_steps, solver.delta_t, solver.theta,
+        scheme_id, int(solver.rannacher_steps), b_rate,
         _ptr(f["a0_c"]), _ptr(f["bs_wm"]), _ptr(f["bs_w0"]),
         _ptr(f["bs_wp"]), _ptr(f["bv_wm"]), _ptr(f["bv_w0"]),
         _ptr(f["bv_wp"]), _ptr(f["a1_ml"]), _ptr(f["a1_md"]),
@@ -234,9 +241,12 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
 
 
 def do_solve(ops, u0, n_steps: int, delta_t: float, theta: float,
-             r_f: float, american: bool = False) -> np.ndarray:
-    """Run the full Douglas loop natively given a HestonOperators pytree
+             r_f: float, american: bool = False, scheme: str = "do",
+             rannacher_steps: int = 0) -> np.ndarray:
+    """Run the full ADI loop natively given a HestonOperators pytree
     (from heston_tpu.ops.operators.build_operators) and the payoff surface.
+    `scheme` selects the corrector (do/cs/mcs/hv); `rannacher_steps`
+    runs the damped start-up window (theta=1 Douglas at delta_t/2).
     Returns the terminal surface [nv, ns]."""
     lib = load()
     u0 = _f64(u0)
@@ -252,7 +262,8 @@ def do_solve(ops, u0, n_steps: int, delta_t: float, theta: float,
     u = u0.copy()
     lam = np.zeros_like(u)
     lib.ht_do_solve(
-        nv, ns, n_steps, delta_t, theta, r_f,
+        nv, ns, n_steps, delta_t, theta, _scheme_id(scheme),
+        int(rannacher_steps), r_f,
         _ptr(a0c), _ptr(bsm), _ptr(bs0), _ptr(bsp),
         _ptr(bvm), _ptr(bv0), _ptr(bvp),
         _ptr(ml), _ptr(md), _ptr(mu),

@@ -144,3 +144,64 @@ def test_native_mixed_maturity_oracle(params):
         native.price_batch_cpu(
             spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
             p.r_d, p.r_f, group_steps=((0, 3, 5), (4, 5, 10)))
+
+
+def test_native_schemes_and_damping_match_xla(params):
+    """The native engine's CS/MCS/HV correctors and the Rannacher damped
+    start-up window reproduce the XLA steppers at f64 solver roundoff —
+    a fully independent C++ oracle for every scheme configuration
+    (csrc/heston_cpu.cpp::do_run_steps)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from heston_tpu.config import GOLDEN_DIVIDENDS, GridSpec, SolverConfig
+    from heston_tpu.models import douglas
+
+    p = params
+    spec = GridSpec(m1=24, m2=12)
+    ks = jnp.array([90.0, 105.0])
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    for scheme in ("cs", "mcs", "hv"):
+        for rann in (0, 2):
+            sol = SolverConfig(n_steps=6, scheme=scheme,
+                               rannacher_steps=rann)
+            for kw in (dict(),
+                       dict(american=True, dividends=GOLDEN_DIVIDENDS)):
+                want = np.array(douglas.price_batch(
+                    spec, sol, ks, *args, **kw))
+                got = native.price_batch_cpu(spec, sol, ks, *args, **kw)
+                np.testing.assert_allclose(
+                    got, want, rtol=0, atol=1e-11,
+                    err_msg=f"{scheme} rann={rann} {kw}")
+    with pytest.raises(ValueError, match="scheme"):
+        native.price_batch_cpu(
+            spec, dataclasses.replace(SolverConfig(n_steps=4),
+                                      scheme="nope"),
+            ks, *args)
+
+
+def test_native_mixed_maturity_damped(params):
+    """Per-option Rannacher clamp in the native batch engine: a mixed
+    ladder with R > the short group's n damps min(n_o, R) steps per
+    option — equal to dedicated per-group native runs."""
+    from heston_tpu.config import GOLDEN_DIVIDENDS, GridSpec, SolverConfig
+
+    p = params
+    spec = GridSpec(m1=20, m2=10)
+    dt = 0.1
+    groups = ((0, 2, 4), (2, 4, 10))
+    sol = SolverConfig(n_steps=10, maturity=10 * dt, rannacher_steps=6)
+    ks = np.linspace(85.0, 115.0, 4)
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    kw = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+    got = native.price_batch_cpu(spec, sol, ks, *args,
+                                 group_steps=groups, **kw)
+    import dataclasses
+    want = []
+    for a, e, n in groups:
+        sol_g = dataclasses.replace(sol, n_steps=n, maturity=n * dt)
+        want.append(native.price_batch_cpu(spec, sol_g, ks[a:e], *args,
+                                           **kw))
+    np.testing.assert_allclose(got, np.concatenate(want), rtol=0,
+                               atol=1e-13)

@@ -115,15 +115,24 @@ def test_rannacher_validation(params):
             inst, dataclasses.replace(solver, rannacher_steps=2), p.r_f)
 
 
-def test_native_engine_rejects_rannacher(params):
+def test_native_engine_damped_matches_xla(params):
+    """The native C++ engine runs the damped window too (theta=1
+    sub-steps at dt/2, same phase plan) — an INDEPENDENT oracle for the
+    Rannacher implementation, agreeing with the XLA path at solver
+    roundoff."""
     from heston_tpu.utils import native
 
     p = params
-    with pytest.raises(ValueError, match="Rannacher"):
-        native.price_batch_cpu(
-            GridSpec(m1=8, m2=6), SolverConfig(n_steps=4, rannacher_steps=1),
-            np.array([100.0]), 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
-            p.r_d, p.r_f)
+    spec = GridSpec(m1=20, m2=10)
+    sol = SolverConfig(n_steps=8, rannacher_steps=2)
+    ks = np.array([90.0, 100.0, 110.0])
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    for kw in (dict(), dict(american=True, dividends=GOLDEN_DIVIDENDS)):
+        want = np.array(douglas.price_batch(
+            spec, sol, jnp.asarray(ks), *args, **kw))
+        got = native.price_batch_cpu(spec, sol, ks, *args, **kw)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-11,
+                                   err_msg=str(kw))
 
 
 @pytest.mark.parametrize("kw", [
