@@ -380,21 +380,20 @@ def main(argv=None):
         inv = np.argsort(order, kind="stable")  # back to input order
         for i in range(len(strikes)):
             j = int(inv[i])
-            row = {"strike": float(args.strikes[i]),
-                   "price": float(out["price"][j]),
-                   "delta": float(out["delta"][j]),
-                   "gamma": float(out["gamma"][j]),
-                   "theta": float(out["theta"][j])}
+            row = {"strike": float(args.strikes[i])}
+            row.update({k: float(out[k][j]) for k in greeks_mod.RISK_KEYS})
             if mats is not None:
                 row["maturity"] = float(args.maturities[i])
             if args.param_jacobian:
+                # d_v0 is the same stencil estimator as vega_v0 above —
+                # kept under its Jacobian-column name for completeness
                 row.update(zip(("d_kappa", "d_eta", "d_sigma", "d_rho",
-                                "vega_v0"),
+                                "d_v0"),
                                [float(v) for v in out["param_jacobian"][j]]))
             print(json.dumps(row))
         if args.csv:
             ordered = {k: np.asarray(out[k])[inv]
-                       for k in ("price", "delta", "gamma", "theta")}
+                       for k in greeks_mod.RISK_KEYS}
             if args.param_jacobian:
                 ordered["param_jacobian"] = np.asarray(
                     out["param_jacobian"])[inv]

@@ -25,13 +25,21 @@ from heston_tpu.config import DividendSchedule, GridSpec, SolverConfig
 from heston_tpu.models import douglas
 from heston_tpu.ops import operators
 
+# the per-option columns every book-risk pass emits (_surface_risk's
+# output contract, shared with parallel.sharded's risk executors)
+RISK_KEYS = ("price", "delta", "gamma", "theta", "vega_v0", "vanna",
+             "volga")
 
-def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v,
+
+def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, vv, idx_s, idx_v,
                   nsf=None):
-    """price / delta / gamma / theta for ONE instance read off its
-    solution surface with the discretization's own stencils
-    (delta = w_beta, gamma = w_delta); THE single implementation behind
-    pde_theta, gamma and batch_greeks (vmapped there).
+    """price / delta / gamma / theta / vega_v0 / vanna / volga for ONE
+    instance read off its solution surface with the discretization's own
+    stencils (delta = w_beta, gamma = w_delta, vega = w_beta in v,
+    volga = w_delta in v, vanna = w_beta-in-v of the per-row deltas);
+    THE single implementation behind pde_theta, gamma and batch_greeks
+    (vmapped there). `vv` is the v-grid node vector (shared across a
+    batch — v0 insertion does not depend on the strike).
 
     theta: dU/dtau = L U + b + lambda (the Ikonen-Toivanen multiplier —
     WITHOUT it the theta of an American option in the early-exercise
@@ -67,11 +75,48 @@ def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, idx_s, idx_v,
           + lam)
     gamma_i = dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1]
     delta_i = bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1]
+
+    # v-direction greeks: the same clamp-and-evaluate rule in v. v0
+    # enters the discrete price only through the grid (the inserted
+    # node), so dP/dv0 is dU/dv at the node — the estimator
+    # douglas.price_and_v0_stencil / the calibration Jacobian's v0
+    # column use; volga is the (constant) second derivative of the
+    # v-parabola, and vanna applies the v-stencil to the three
+    # neighboring rows' deltas (each evaluated at the actual spot node).
+    # Accuracy note: with a strong mixed term (|rho| large) the DO
+    # scheme's first-order-in-dt splitting error shows up in these
+    # SECOND v-derivatives well before it shows in price/vega —
+    # scheme="hv" (or "cs"/"mcs") makes vanna/volga converge at
+    # practical step counts (tests/test_greeks.py::test_v_greeks_match_cf).
+    j = jnp.clip(idx_v, 1, spec.m2 - 1)
+    g0 = (vv[j] - vv[j - 1])[None]
+    g1 = (vv[j + 1] - vv[j])[None]
+    cm, c0, cp = coeff.w_beta(g0, g1)
+    em, e0, ep = coeff.w_delta(g0, g1)
+    dv = vv[idx_v] - vv[j]
+    ds = vs[idx_s] - vs[i]
+    rows = (u[j - 1], u[j], u[j + 1])
+    col = jnp.stack([r[idx_s] for r in rows])
+    volga = em[0] * col[0] + e0[0] * col[1] + ep[0] * col[2]
+    vega = cm[0] * col[0] + c0[0] * col[1] + cp[0] * col[2] + volga * dv
+
+    def row_delta(r):
+        g_r = dm[0] * r[i - 1] + d0[0] * r[i] + dp[0] * r[i + 1]
+        d_r = bm[0] * r[i - 1] + b0[0] * r[i] + bp[0] * r[i + 1]
+        return d_r + g_r * ds
+
+    deltas = jnp.stack([row_delta(r) for r in rows])
+    dvanna_dv = em[0] * deltas[0] + e0[0] * deltas[1] + ep[0] * deltas[2]
+    vanna = (cm[0] * deltas[0] + c0[0] * deltas[1] + cp[0] * deltas[2]
+             + dvanna_dv * dv)
     return dict(
         price=u[idx_v, idx_s],
-        delta=delta_i + gamma_i * (vs[idx_s] - vs[i]),
+        delta=delta_i + gamma_i * ds,
         gamma=gamma_i,
         theta=-du[idx_v, idx_s],
+        vega_v0=vega,
+        vanna=vanna,
+        volga=volga,
     )
 
 
@@ -205,8 +250,15 @@ def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
             spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d,
             r_f, american=american, dividends=dividends,
             option_type=option_type, n_steps_per=nst))
+    # the v grid is strike-independent (v0 insertion only), so one
+    # vector serves the whole batch
+    from heston_tpu.ops import grid as grid_mod
+
+    vv = grid_mod.make_v_nodes(spec.m2, spec.v_max, v0,
+                               spec.v_max / spec.d_div)
     risk = functools.partial(_surface_risk, spec, solver, b_rate)
-    return jax.vmap(risk)(surf, lam, ops_b, vec_s_b, idx_s, idx_v, nsf)
+    return jax.vmap(risk, in_axes=(0, 0, 0, 0, None, 0, 0, 0))(
+        surf, lam, ops_b, vec_s_b, vv, idx_s, idx_v, nsf)
 
 
 @functools.partial(
@@ -225,11 +277,13 @@ def batch_greeks(
     param_jacobian: bool = False,
     group_steps=(),
 ) -> Dict[str, jax.Array]:
-    """Book-level risk in ONE batched solve: price, delta, gamma and
-    calendar theta for every option, read off each option's solution
-    surface with the discretization's own stencils (delta = w_beta,
-    gamma = w_delta, theta = -L(U)) — no extra solves, no bump noise.
-    The production risk pass the reference has no analog of.
+    """Book-level risk in ONE batched solve: price, delta, gamma,
+    calendar theta, vega_v0, vanna and volga for every option, read off
+    each option's solution surface with the discretization's own
+    stencils (delta = w_beta, gamma = w_delta, theta = -L(U), the
+    v-direction trio via the v-grid stencils at the inserted v0 node) —
+    no extra solves, no bump noise. The production risk pass the
+    reference has no analog of.
 
     param_jacobian=True adds the five exact model-parameter
     sensitivities d(kappa, eta, sigma, rho, v0) [B, 5] via forward-mode
@@ -279,7 +333,7 @@ def batch_greeks(
                     inst, sol_g, b_rate, american, dividends,
                     option_type, with_lambda=True)
                 return risk(u, lam, inst.ops, inst.grid.vec_s,
-                            inst.idx_s, inst.idx_v,
+                            inst.grid.vec_v, inst.idx_s, inst.idx_v,
                             jnp.asarray(sol_g.n_steps, dtype))
 
             return jax.vmap(one)(ks_g)

@@ -32,6 +32,7 @@ from heston_tpu.models.calibration import (
     _bumped_param_matrix,
     _kernel_dispatched,
 )
+from heston_tpu.models.greeks import RISK_KEYS
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -420,12 +421,12 @@ def _risk_exec(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
             spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
             r_d, r_f, american=american, dividends=dividends,
             option_type=option_type)
-        return (out["price"], out["delta"], out["gamma"], out["theta"])
+        return tuple(out[k] for k in RISK_KEYS)
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * 4,
+        out_specs=(P(AXIS),) * len(RISK_KEYS),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -447,12 +448,12 @@ def _risk_exec_mixed(mesh: Mesh, spec: GridSpec, solver: SolverConfig,
             spec, solver, ks, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
             r_d, r_f, american=american, dividends=dividends,
             option_type=option_type, nst=nst)
-        return (out["price"], out["delta"], out["gamma"], out["theta"])
+        return tuple(out[k] for k in RISK_KEYS)
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
-        out_specs=(P(AXIS),) * 4,
+        out_specs=(P(AXIS),) * len(RISK_KEYS),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -472,8 +473,9 @@ def batch_greeks_sharded(
     option_type: str = "call",
     group_steps=(),
 ):
-    """Whole-book risk (price / delta / gamma / theta per option,
-    models.greeks.batch_greeks) with the book sharded across the mesh —
+    """Whole-book risk (price / delta / gamma / theta / vega_v0 /
+    vanna / volga per option, models.greeks.batch_greeks) with the book
+    sharded across the mesh —
     each chip runs the fused surface pass + stencil epilogues on its
     shard; no collectives. Returns a dict of [n] arrays.
 
@@ -496,11 +498,9 @@ def batch_greeks_sharded(
             nst_p, _ = _pad_to(nst, n_dev)
             fn = _risk_exec_mixed(mesh, spec, solver, american, dividends,
                                   option_type)
-            price, delta, gamma, theta = fn(
-                shard_batch(padded, mesh), shard_batch(nst_p, mesh),
-                tv, s0a, rda, rfa)
-            return dict(price=price[:n], delta=delta[:n],
-                        gamma=gamma[:n], theta=theta[:n])
+            cols = fn(shard_batch(padded, mesh),
+                      shard_batch(nst_p, mesh), tv, s0a, rda, rfa)
+            return {k: c[:n] for k, c in zip(RISK_KEYS, cols)}
         # XLA engines: shard each maturity group separately
         parts = [
             batch_greeks_sharded(
@@ -513,10 +513,8 @@ def batch_greeks_sharded(
         return {k: jnp.concatenate([p[k] for p in parts])
                 for k in parts[0]}
     fn = _risk_exec(mesh, spec, solver, american, dividends, option_type)
-    price, delta, gamma, theta = fn(
-        shard_batch(padded, mesh), tv, s0a, rda, rfa)
-    return dict(price=price[:n], delta=delta[:n], gamma=gamma[:n],
-                theta=theta[:n])
+    cols = fn(shard_batch(padded, mesh), tv, s0a, rda, rfa)
+    return {k: c[:n] for k, c in zip(RISK_KEYS, cols)}
 
 
 def calibrate_sharded(

@@ -54,10 +54,11 @@ def export_convergence(path, rows: Sequence[dict], reference_price: float):
 def export_book_risk(path, strikes, risk: dict, metadata=None,
                      maturities=None):
     """Write one row per option of a batch_greeks risk report: strike
-    [, maturity], price, delta, gamma, theta [, the five parameter
-    sensitivities when risk carries 'param_jacobian']. The production
-    book-risk artifact (no reference analog — the reference exports only
-    surfaces/convergence/fit CSVs)."""
+    [, maturity], price, delta, gamma, theta, vega_v0, vanna, volga
+    [, the five parameter sensitivities when risk carries
+    'param_jacobian']. The production book-risk artifact (no reference
+    analog — the reference exports only surfaces/convergence/fit
+    CSVs)."""
     path = Path(path)
     strikes = np.asarray(strikes)
     # fetch each column ONCE up front: converting per row would cost one
@@ -67,10 +68,12 @@ def export_book_risk(path, strikes, risk: dict, metadata=None,
     if maturities is not None:
         maturities = np.asarray(maturities)
     cols = ["strike"] + (["maturity"] if maturities is not None else [])
-    cols += ["price", "delta", "gamma", "theta"]
+    value_cols = ["price", "delta", "gamma", "theta"]
+    value_cols += [k for k in ("vega_v0", "vanna", "volga") if k in risk]
+    cols += value_cols
     jac = risk.get("param_jacobian")
     if jac is not None:
-        cols += ["d_kappa", "d_eta", "d_sigma", "d_rho", "vega_v0"]
+        cols += ["d_kappa", "d_eta", "d_sigma", "d_rho", "d_v0"]
     with path.open("w", newline="") as f:
         w = csv.writer(f)
         if metadata:
@@ -81,8 +84,7 @@ def export_book_risk(path, strikes, risk: dict, metadata=None,
             row = [k]
             if maturities is not None:
                 row.append(maturities[i])
-            row += [float(risk[c][i])
-                    for c in ("price", "delta", "gamma", "theta")]
+            row += [float(risk[c][i]) for c in value_cols]
             if jac is not None:
                 row += [float(v) for v in jac[i]]
             w.writerow(row)

@@ -137,5 +137,6 @@ def test_cli_risk_csv_export(tmp_path, capsys):
     assert [float(r["strike"]) for r in recs] == [100.0, 90.0, 110.0]
     assert [float(r["maturity"]) for r in recs] == [1.0, 0.5, 0.5]
     for r, j in zip(recs, rows):
-        for key in ("price", "delta", "gamma", "theta", "vega_v0"):
+        for key in ("price", "delta", "gamma", "theta", "vega_v0",
+                    "vanna", "volga", "d_v0"):
             assert abs(float(r[key]) - j[key]) < 1e-12, key

@@ -130,7 +130,10 @@ def test_sharded_book_greeks_match_single_device(params, mesh):
     got = batch_greeks_sharded(
         mesh, SPEC, SOLVER, strikes, 100.0, tv, params.r_d, params.r_f,
         american=True, option_type="put")
-    for key in ("price", "delta", "gamma", "theta"):
+    from heston_tpu.models.greeks import RISK_KEYS
+
+    assert set(got) == set(RISK_KEYS)
+    for key in RISK_KEYS:
         np.testing.assert_allclose(np.array(got[key]),
                                    np.array(want[key]), rtol=0,
                                    atol=1e-12, err_msg=key)
@@ -207,9 +210,13 @@ def test_sharded_mixed_maturity_book_risk(params, mesh, engine):
     got = batch_greeks_sharded(
         mesh, SPEC, se, ks, 100.0, tv, params.r_d, params.r_f,
         american=True, dividends=GOLDEN_DIVIDENDS, group_steps=groups)
-    for key in ("price", "delta", "gamma", "theta"):
+    from heston_tpu.models.greeks import RISK_KEYS
+
+    for key in RISK_KEYS:
+        # rtol covers the v-stencil's 1/h_v^2 amplification of the
+        # padded-assembly float noise on the large vanna/volga values
         np.testing.assert_allclose(
-            np.array(got[key]), np.array(want[key]), rtol=0,
+            np.array(got[key]), np.array(want[key]), rtol=1e-9,
             atol=(1e-9 if key == "theta" else 1e-11),
             err_msg=f"{engine}:{key}")
 
