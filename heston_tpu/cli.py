@@ -57,13 +57,26 @@ def _add_common(p):
     p.add_argument("--v0", type=float, default=0.04)
     p.add_argument("--r-d", type=float, default=0.025)
     p.add_argument("--r-f", type=float, default=0.0)
+    p.add_argument("--barrier-kind", default=None,
+                   choices=["up-out", "down-out"],
+                   help="knock-out barrier (requires --barrier-level); "
+                        "truncates the S domain and pins the barrier "
+                        "node to 0")
+    p.add_argument("--barrier-level", type=float, default=None)
     p.add_argument("--float64", action="store_true")
 
 
 def _configs(args):
-    from heston_tpu.config import GridSpec, HestonParams, SolverConfig
+    from heston_tpu.config import Barrier, GridSpec, HestonParams, \
+        SolverConfig
 
-    spec = GridSpec(m1=args.m1, m2=args.m2)
+    barrier = None
+    if args.barrier_kind is not None or args.barrier_level is not None:
+        if args.barrier_kind is None or args.barrier_level is None:
+            raise SystemExit(
+                "--barrier-kind and --barrier-level must be given together")
+        barrier = Barrier(args.barrier_kind, args.barrier_level)
+    spec = GridSpec(m1=args.m1, m2=args.m2, barrier=barrier)
     solver = SolverConfig(n_steps=args.n_steps, theta=args.theta,
                           maturity=args.maturity, scheme=args.scheme,
                           a2_variant=args.a2_variant,
@@ -315,6 +328,10 @@ def main(argv=None):
         if args.mc_steps is not None and args.mc_steps < 1:
             raise SystemExit("--mc-steps must be >= 1")
         if args.american:
+            if spec.barrier is not None:
+                raise SystemExit(
+                    "mc --barrier-* supports European options only "
+                    "(the LSMC American pricer has no knock-out variant)")
             n = args.mc_steps if args.mc_steps is not None else 50
             price, half = mc_mod.price_american_lsmc(
                 *margs, num_paths=args.paths, n_steps=n,
@@ -327,7 +344,8 @@ def main(argv=None):
             price, half = mc_mod.price_european_call_mc(
                 *margs, num_paths=args.paths, n_steps=n,
                 scheme=args.scheme_mc, option_type=args.option_type,
-                dividends=divs, antithetic=args.antithetic)
+                dividends=divs, antithetic=args.antithetic,
+                barrier=spec.barrier)
         print(json.dumps({
             "strike": args.strike, "price": float(price),
             "ci95_half_width": float(half), "paths": args.paths,
@@ -422,7 +440,8 @@ def main(argv=None):
             surfaces, lambdas = jax.jit(
                 lambda: douglas.solve_with_tracking(
                     inst, solver, b_rate, american=args.american,
-                    dividends=divs, option_type=args.option_type))()
+                    dividends=divs, option_type=args.option_type,
+                    barrier=spec.barrier))()
             u, grid = surfaces[-1], inst.grid
             lam_path = hio.export_surface(
                 str(args.csv) + ".lambda.csv", grid,

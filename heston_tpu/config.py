@@ -41,12 +41,45 @@ class HestonParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class Barrier:
+    """Continuously-monitored knock-out barrier (static at trace time).
+
+    A knock-out barrier is a DOMAIN truncation plus a Dirichlet-0
+    boundary: "up-out" prices on S in [0, level] with U(level) = 0,
+    "down-out" on [level, s_max_mult*K] with U(level) = 0 — which is why
+    it lives on GridSpec (the domain owner) and flows statically through
+    every engine the way the grid shape does. Framework extension: the
+    reference prices vanillas only.
+    """
+
+    kind: str            # "up-out" | "down-out"
+    level: float
+
+    def __post_init__(self):
+        if self.kind not in ("up-out", "down-out"):
+            raise ValueError(
+                f"barrier kind must be 'up-out' or 'down-out'; "
+                f"got {self.kind!r}")
+        if not self.level > 0.0:
+            raise ValueError(f"barrier level must be > 0; got {self.level}")
+
+    @property
+    def is_up(self) -> bool:
+        return self.kind == "up-out"
+
+
+@dataclasses.dataclass(frozen=True)
 class GridSpec:
     """Non-uniform sinh grid specification.
 
     Defaults replicate `create_test_grid` / the per-strike grids used in
     calibration (ref: src/grid.cpp:99-110, src/heston_calibration.cpp:124):
     S_max = 8K, c = K/5, V_max = 5, d = V_max/500.
+
+    barrier: optional knock-out barrier — truncates the S domain at
+    barrier.level (up-out: [0, level]; down-out: [level, s_max_mult*K])
+    and pins that boundary node to value 0 (payoff masked, boundary
+    injection zeroed, dividend re-maps re-knocked).
     """
 
     m1: int = 50          # number of S intervals (m1+1 nodes)
@@ -55,6 +88,7 @@ class GridSpec:
     c_mult: float = 0.2        # sinh concentration c = c_mult * K
     v_max: float = 5.0         # V domain upper bound
     d_div: float = 500.0       # sinh concentration d = v_max / d_div
+    barrier: "Barrier | None" = None   # knock-out domain truncation
 
     @property
     def shape(self) -> Tuple[int, int]:

@@ -103,6 +103,7 @@ def prepare_instance(
         solver.a2_variant,
         option_type,
         strike,
+        spec.barrier,
     )
     a1_fac = banded.tridiag_factor(ops.a1_iml, ops.a1_imd, ops.a1_imu)
     a2_fac = banded.penta_factor(
@@ -145,6 +146,12 @@ def prepare_instance(
         0.0) * jnp.ones(
         (spec.m2 + 1, 1), grid.vec_s.dtype
     )
+    if spec.barrier is not None:
+        # the barrier node (top for up-out, bottom for down-out) is
+        # knocked out AT expiry too: Dirichlet 0 from payoff onward —
+        # this same masked u0 is the American exercise floor, so the
+        # knocked column can never be resurrected by the lambda step
+        u0 = u0.at[:, -1 if spec.barrier.is_up else 0].set(0.0)
     return PreparedInstance(
         grid=grid,
         ops=ops,
@@ -158,7 +165,7 @@ def prepare_instance(
 
 
 def apply_dividend(u: Array, vec_s: Array, amount, pct,
-                   option_type: str = "call") -> Array:
+                   option_type: str = "call", barrier=None) -> Array:
     """Surface re-map for one discrete dividend.
 
     For each s-node: new_s = s*(1-pct) - amount, then linear interpolation of
@@ -166,7 +173,14 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct,
     idx==0 -> left extrapolation and new_s <= 0 -> 0
     (ref: src/solver.hpp:382-425). For PUTS (framework extension) the
     new_s <= 0 region copies column 0 instead of zeroing — U(0) ~ K
-    there, and the call convention is only exact because U(0) = 0."""
+    there, and the call convention is only exact because U(0) = 0.
+
+    barrier: knock-out re-knock. A spot AT the barrier at the dividend
+    instant is knocked out (continuous monitoring) — the remap would
+    otherwise refill the up-out's top node from the alive interior at
+    s*(1-pct) - D < level. Down-out needs no explicit mask: new_s at
+    the bottom node falls BELOW the grid, and the idx == 0 fall-through
+    copies column 0, which is already 0."""
     m1 = vec_s.shape[-1] - 1
     new_s = vec_s * (1.0 - pct) - amount
     # first index with vec_s[k] > new_s (strict); 0 if none (matches the
@@ -188,8 +202,12 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct,
     left = u[..., 0:1] * jnp.ones_like(new_s)
     out = jnp.where(idx == 0, left, interp)
     if operators.is_put(option_type):
-        return jnp.where(new_s > 0.0, out, left)
-    return jnp.where(new_s > 0.0, out, 0.0)
+        out = jnp.where(new_s > 0.0, out, left)
+    else:
+        out = jnp.where(new_s > 0.0, out, 0.0)
+    if barrier is not None and barrier.is_up:
+        out = out.at[..., -1].set(0.0)
+    return out
 
 
 def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
@@ -355,10 +373,16 @@ def run_time_loop(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     with_lambda: bool = False,
+    barrier=None,
 ):
     """Run all N DO steps (with dividend re-maps between segments, and
     the Rannacher start-up sub-steps when solver.rannacher_steps > 0);
     returns the terminal surface, or (u, lambda) when with_lambda=True.
+
+    barrier: pass spec.barrier whenever dividends are present — the
+    dividend re-map must re-knock the barrier column
+    (see apply_dividend); the steps themselves need nothing (the
+    knocked column of inst.u0 is preserved by every operator).
 
     `b_rate` scales the boundary vectors through time (r_f for calls —
     what every reference path passes — r_d for puts).
@@ -390,7 +414,7 @@ def run_time_loop(
         else:
             _, amount, pct = act
             carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
-                                    pct, option_type), carry[1])
+                                    pct, option_type, barrier), carry[1])
     if with_lambda:
         return carry
     return carry[0]
@@ -403,6 +427,7 @@ def solve_with_tracking(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    barrier=None,
 ):
     """Run the time loop recording the full price surface (and the American
     lambda-multiplier surface) after every step — the TPU equivalent of the
@@ -446,7 +471,7 @@ def solve_with_tracking(
         else:
             _, amount, pct = act
             carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
-                                    pct, option_type), carry[1])
+                                    pct, option_type, barrier), carry[1])
     return jnp.concatenate(chunks_u), jnp.concatenate(chunks_lam)
 
 
@@ -479,7 +504,7 @@ def price_option(
     )
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type)
+                      option_type, barrier=spec.barrier)
     return u[inst.idx_v, inst.idx_s]
 
 
@@ -519,7 +544,7 @@ def price_and_v0_stencil(
     )
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type)
+                      option_type, barrier=spec.barrier)
     vv = inst.grid.vec_v
     j = jnp.clip(inst.idx_v, 1, spec.m2 - 1)
     h0 = vv[j] - vv[j - 1]
@@ -549,7 +574,7 @@ def price_surface(
     )
     b_rate = operators.boundary_rate(params.r_d, params.r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type)
+                      option_type, barrier=spec.barrier)
     return u, inst.grid
 
 

@@ -104,7 +104,8 @@ def _dividend_jumps(dividends, t, n_steps: int):
 
 def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
               mult, sub, has_ev, num_paths: int, n_steps: int,
-              scheme: str, keep_panel: bool, antithetic: bool = False):
+              scheme: str, keep_panel: bool, antithetic: bool = False,
+              barrier_kind: str | None = None, barrier_level=None):
     """Shared forward simulator (Euler reference dynamics or Andersen
     QE + optional dividend jumps). Returns the terminal (s, v) — or the
     full [n_steps, paths] panels when keep_panel (for LSMC). The
@@ -115,7 +116,20 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
 
     antithetic=True drives paths [0, P/2) with Z and their mirrors
     [P/2, P) with -Z (num_paths must be even): payoff PAIR means are the
-    iid samples — `_mc_mean_ci` handles the estimator."""
+    iid samples — `_mc_mean_ci` handles the estimator.
+
+    barrier_kind/barrier_level ("up-out"/"down-out"): continuously-
+    monitored knock-out. The simulator carries a per-path SURVIVAL
+    WEIGHT instead of a binary alive flag: each step multiplies by the
+    Brownian-bridge non-crossing probability
+        1 - exp(-2 (b - x_n)(b - x_{n+1}) / (v_n dt)),   x = ln S
+    (0 outright once an endpoint lands beyond the barrier) with the
+    step's start-of-step variance as the bridge's local variance. This
+    is the standard continuity correction: a discrete endpoint check
+    alone OVERPRICES knock-outs at any finite step count (paths cross
+    and come back between samples); the bridge weight removes the
+    O(sqrt(dt)) bias and, being a conditional expectation, lowers the
+    estimator variance vs killing paths by lottery."""
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     sqrt_dt = jnp.sqrt(dt)
@@ -124,6 +138,12 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
         raise ValueError(f"unknown MC scheme: {scheme!r}")
     if antithetic and num_paths % 2:
         raise ValueError("antithetic variates need an even num_paths")
+    if barrier_kind is not None:
+        if barrier_kind not in ("up-out", "down-out"):
+            raise ValueError(f"unknown barrier kind: {barrier_kind!r}")
+        b_log = jnp.log(jnp.asarray(barrier_level, dtype))
+        b_up = barrier_kind == "up-out"
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
     if scheme == "qe":
         # Andersen-QE loop invariants. The variance transition V -> V'
@@ -162,7 +182,7 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
 
     def step(carry, xs):
         key_n, m_i, a_i, h_i = xs
-        s, v = carry
+        s, v, surv = carry
         if scheme == "qe":
             u, z_s = _draws_qe(key_n)
             vp = jnp.maximum(v, 0.0)    # defensive: QE keeps V' >= 0
@@ -204,12 +224,27 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
                 v_new = jnp.abs(v_new)
             s_new = s + (r_d - r_f) * s * dt + s * sqv * dw_s
         s_new = jnp.where(h_i, jnp.maximum(s_new * m_i - a_i, 0.0), s_new)
-        return (s_new, v_new), ((s_new, v_new) if keep_panel else None)
+        if barrier_kind is not None:
+            # Brownian-bridge survival over [s, s_new] in log space with
+            # the start-of-step variance; dividend jumps land AT the
+            # step end, so the post-jump spot is the bridge endpoint
+            # (a jump through the barrier knocks via the endpoint test)
+            d0 = b_log - jnp.log(jnp.maximum(s, tiny))
+            d1 = b_log - jnp.log(jnp.maximum(s_new, tiny))
+            if not b_up:
+                d0, d1 = -d0, -d1
+            bvar = jnp.maximum(jnp.maximum(v, 0.0) * dt, tiny)
+            p_cross = jnp.exp(-2.0 * d0 * d1 / bvar)
+            surv = surv * jnp.where((d0 > 0.0) & (d1 > 0.0),
+                                    1.0 - p_cross, 0.0)
+        return ((s_new, v_new, surv),
+                ((s_new, v_new) if keep_panel else None))
 
     keys = jax.random.split(key, n_steps)
     s_init = jnp.full((num_paths,), s0, dtype)
     v_init = jnp.full((num_paths,), v0, dtype)
-    carry, panel = lax.scan(step, (s_init, v_init),
+    surv_init = jnp.ones((num_paths,), dtype)
+    carry, panel = lax.scan(step, (s_init, v_init, surv_init),
                             (keys, mult, sub, has_ev))
     return (panel if keep_panel else carry)
 
@@ -250,6 +285,7 @@ def price_european_call_mc(
     option_type: str = "call",
     dividends=None,
     antithetic: bool = False,
+    barrier=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (price, 95% confidence half-width).
 
@@ -273,7 +309,10 @@ def price_european_call_mc(
     jumps s -> s*(1-pct) - cash applied on-path at the schedule's
     calendar times (requires a concrete `t`); validates the PDE dividend
     goldens independently. antithetic=True mirrors half the paths
-    (variance reduction; even num_paths)."""
+    (variance reduction; even num_paths). `barrier`: a config.Barrier —
+    continuously-monitored knock-out via per-step Brownian-bridge
+    survival weights (see _simulate); the independent full-Heston
+    cross-check of the PDE's barrier domain truncation."""
     if scheme == "auto":
         scheme = select_scheme(kappa, eta, sigma)
     mult, sub, has_ev = _dividend_jumps(dividends, t, n_steps)
@@ -281,21 +320,30 @@ def price_european_call_mc(
                          rho, t, mult, sub, has_ev,
                          num_paths=num_paths, n_steps=n_steps,
                          scheme=scheme, option_type=option_type,
-                         antithetic=antithetic)
+                         antithetic=antithetic,
+                         barrier_kind=None if barrier is None
+                         else barrier.kind,
+                         barrier_level=0.0 if barrier is None
+                         else barrier.level)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_paths", "n_steps", "scheme",
-                                    "option_type", "antithetic"))
+                                    "option_type", "antithetic",
+                                    "barrier_kind"))
 def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                   mult, sub, has_ev, num_paths: int, n_steps: int,
-                  scheme: str, option_type: str, antithetic: bool = False):
-    s_fin, _ = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
-                         mult, sub, has_ev, num_paths, n_steps, scheme,
-                         keep_panel=False, antithetic=antithetic)
+                  scheme: str, option_type: str, antithetic: bool = False,
+                  barrier_kind: str | None = None, barrier_level=0.0):
+    s_fin, _, surv = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma,
+                               rho, t, mult, sub, has_ev, num_paths,
+                               n_steps, scheme, keep_panel=False,
+                               antithetic=antithetic,
+                               barrier_kind=barrier_kind,
+                               barrier_level=barrier_level)
     disc = jnp.exp(-r_d * t)
     intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
-    payoff = disc * jnp.maximum(intrinsic, 0.0)
+    payoff = disc * jnp.maximum(intrinsic, 0.0) * surv
     return _mc_mean_ci(payoff, num_paths, antithetic)
 
 

@@ -62,14 +62,33 @@ def _insert_and_crop(nodes: jnp.ndarray, value) -> jnp.ndarray:
     tangent (sort's JVP gathers scalarize per lane on TPU). If `value`
     exceeds every node it lands at the end and is itself the dropped
     largest, reproducing the reference's S_max-discarding quirk. Keeps
-    the shape static for jit/vmap."""
+    the shape static for jit/vmap.
+
+    One divergence from the reference: if `value` is ALREADY a node
+    (bitwise), the nodes are returned unchanged. The reference's
+    push/sort/pop would keep both copies, and the zero spacing turns
+    every FD coefficient into NaN — a degenerate grid, not a behavior
+    worth reproducing. This happens in perfectly natural configurations:
+    an ATM up-out barrier at level = 2K makes the sinh domain symmetric
+    about the strike, so node m1/2 lands exactly on S_0 = K."""
     value = jnp.asarray(value, nodes.dtype)
     n = nodes.shape[0]
     idx = jnp.sum((nodes <= value).astype(jnp.int32))
     i = jnp.arange(n)
     shifted = jnp.concatenate([nodes[:1], nodes[:-1]])  # nodes[i-1]
-    return jnp.where(i < idx, nodes,
-                     jnp.where(i == idx, value, shifted))
+    inserted = jnp.where(i < idx, nodes,
+                         jnp.where(i == idx, value, shifted))
+    return jnp.where(jnp.any(nodes == value), nodes, inserted)
+
+
+def _sinh_s_nodes(m1: int, s_lo, s_max, strike, c, dtype):
+    """Raw sinh-spaced nodes on [s_lo, s_max] concentrated at `strike`
+    (no insertion)."""
+    lo = jnp.arcsinh((jnp.asarray(s_lo, dtype) - strike) / c)
+    hi = jnp.arcsinh((jnp.asarray(s_max, dtype) - strike) / c)
+    dxi = (hi - lo) / m1
+    i = jnp.arange(m1 + 1, dtype=dtype)
+    return strike + c * jnp.sinh(lo + i * dxi)
 
 
 def make_s_nodes(m1: int, s_max: jnp.ndarray, s0, strike, c) -> jnp.ndarray:
@@ -77,13 +96,36 @@ def make_s_nodes(m1: int, s_max: jnp.ndarray, s0, strike, c) -> jnp.ndarray:
     dtype = jnp.result_type(float)
     strike = jnp.asarray(strike, dtype)
     c = jnp.asarray(c, dtype)
-    lo = jnp.arcsinh(-strike / c)
-    hi = jnp.arcsinh((jnp.asarray(s_max, dtype) - strike) / c)
-    dxi = (hi - lo) / m1
-    i = jnp.arange(m1 + 1, dtype=dtype)
-    xi = lo + i * dxi
-    nodes = strike + c * jnp.sinh(xi)
+    nodes = _sinh_s_nodes(m1, 0.0, s_max, strike, c, dtype)
     return _insert_and_crop(nodes, jnp.asarray(s0, dtype))
+
+
+def make_barrier_s_nodes(m1: int, barrier, s_max, s0, strike,
+                         c) -> jnp.ndarray:
+    """Stock-direction sinh nodes for a knock-out domain, S_0 inserted.
+
+    up-out: nodes on [0, level] with the TOP node pinned exactly at the
+    barrier (S_0 is inserted among the interior nodes, dropping the
+    largest interior one — the vanilla insert's drop-the-max quirk would
+    move the barrier itself). down-out: nodes on [level, s_max] with
+    node 0 pinned at the barrier; the vanilla insert already preserves
+    node 0 (S_0 > level inserts at index >= 1)."""
+    dtype = jnp.result_type(float)
+    strike = jnp.asarray(strike, dtype)
+    c = jnp.asarray(c, dtype)
+    s0 = jnp.asarray(s0, dtype)
+    if barrier.is_up:
+        nodes = _sinh_s_nodes(m1, 0.0, barrier.level, strike, c, dtype)
+        # pin both endpoints exactly: sinh(arcsinh(x)) carries ~1 ulp of
+        # roundoff, but node 0 must be EXACTLY 0 (the call payoff /
+        # boundary arguments assume it) and the top node EXACTLY the
+        # barrier (it is a Dirichlet data location, not an approximation)
+        nodes = nodes.at[0].set(0.0).at[-1].set(barrier.level)
+        inner = _insert_and_crop(nodes[:-1], s0)
+        return jnp.concatenate([inner, nodes[-1:]])
+    nodes = _sinh_s_nodes(m1, barrier.level, s_max, strike, c, dtype)
+    nodes = nodes.at[0].set(barrier.level)
+    return _insert_and_crop(nodes, s0)
 
 
 def make_v_nodes(m2: int, v_max, v0, d) -> jnp.ndarray:
@@ -105,9 +147,14 @@ def make_grid(spec: GridSpec, s0, strike, v0) -> Grid:
     """
     dtype = jnp.result_type(float)
     strike = jnp.asarray(strike, dtype)
-    vec_s = make_s_nodes(
-        spec.m1, spec.s_max_mult * strike, s0, strike, spec.c_mult * strike
-    )
+    if spec.barrier is not None:
+        vec_s = make_barrier_s_nodes(
+            spec.m1, spec.barrier, spec.s_max_mult * strike, s0, strike,
+            spec.c_mult * strike)
+    else:
+        vec_s = make_s_nodes(
+            spec.m1, spec.s_max_mult * strike, s0, strike,
+            spec.c_mult * strike)
     vec_v = make_v_nodes(spec.m2, spec.v_max, v0, spec.v_max / spec.d_div)
     return Grid(
         vec_s=vec_s,
@@ -182,6 +229,18 @@ def validate_book(spec, s0: float, strikes) -> None:
             f"spot {s0} falls outside the S-grid (>= {spec.s_max_mult}*K) "
             f"for strikes {bad.tolist()}; these options cannot be priced "
             f"on this grid family")
+    b = spec.barrier
+    if b is not None:
+        # a spot at/past the knock-out boundary is already knocked out
+        # (price identically 0) and the grid cannot even hold its node
+        if b.is_up and s0 >= b.level:
+            raise ValueError(
+                f"spot {s0} is at or above the up-out barrier {b.level}; "
+                f"the option is knocked out (price 0)")
+        if not b.is_up and s0 <= b.level:
+            raise ValueError(
+                f"spot {s0} is at or below the down-out barrier "
+                f"{b.level}; the option is knocked out (price 0)")
 
 
 def find_node(nodes: jnp.ndarray, value, tol: float = 1e-10) -> jnp.ndarray:

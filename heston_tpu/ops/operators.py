@@ -245,7 +245,8 @@ def boundary_rate(r_d, r_f, option_type: str = "call"):
 
 
 def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
-                           option_type: str = "call", strike=None):
+                           option_type: str = "call", strike=None,
+                           barrier=None):
     """Boundary injection vectors b1 (S-direction) and b2 (V-direction).
 
     Calls: includes the reference's flat-index placement of b1 at
@@ -270,6 +271,19 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
 
     rate = boundary_rate(r_d, r_f, option_type)
     efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
+
+    if barrier is not None and barrier.is_up:
+        # an UP-out's far s boundary IS the barrier: Dirichlet 0, so no
+        # injection anywhere (the barrier column starts at 0 — payoff
+        # masked — and every operator keeps a zero column at zero; the
+        # v_max row then evolves as the correct 1-D Black-Scholes
+        # knock-out far field, same argument as the put treatment
+        # below). A DOWN-out keeps the vanilla vectors: its far s
+        # boundary is the usual s_max, and its s = 0 row is replaced by
+        # the barrier node whose zero column no call/put vector injects
+        # into anyway.
+        z = jnp.zeros(shape, dtype)
+        return z, z, z
 
     if is_put(option_type):
         b1 = jnp.zeros(shape, dtype)
@@ -303,8 +317,13 @@ def build_operators(
     a2_variant: str = "upwind",
     option_type: str = "call",
     strike=None,
+    barrier=None,
 ) -> HestonOperators:
-    """Assemble every operator for one option instance (pure / vmappable)."""
+    """Assemble every operator for one option instance (pure / vmappable).
+
+    barrier: a config.Barrier — knock-out options are injection-free
+    (b1 = b2 = 0; the knocked boundary column starts at 0 and every
+    operator keeps it there, see build_boundary_vectors)."""
     m1, m2 = grid.m1, grid.m2
     s, v = grid.vec_s, grid.vec_v
     dtype = s.dtype
@@ -340,7 +359,7 @@ def build_operators(
 
     # --- boundaries ---
     b1, b2, b = build_boundary_vectors(grid, r_d, r_f, n_steps, delta_t,
-                                       option_type, strike)
+                                       option_type, strike, barrier)
 
     return HestonOperators(
         a0_c=a0_c,

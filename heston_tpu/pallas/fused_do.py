@@ -201,6 +201,11 @@ def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     extra VMEM beyond the main scheme's."""
     if solver.scheme not in ("do", "cs", "mcs", "hv"):
         return False
+    if getattr(spec, "barrier", None) is not None:
+        # knock-out specs run the XLA engines for now: the kernel's
+        # in-kernel American floor / dividend re-map reconstruct the
+        # payoff from the s-grid and would resurrect the knocked column
+        return False
     extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
     return (solver.solver_engine == "pallas"
             and fits_vmem(spec, _live_dtype_bytes(), n_tangents,
@@ -1120,6 +1125,14 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     counts (mixed-maturity books) — they scale each option's boundary
     data through its OWN e^{-rate dt (n_i - 1)} factor."""
     put = operators.is_put(option_type)
+    if getattr(spec, "barrier", None) is not None:
+        # guard the DIRECT fused entries too (use_fused declines barrier
+        # specs): the in-kernel American floor / dividend re-map rebuild
+        # the payoff from the s-grid and would resurrect the knocked
+        # column
+        raise ValueError(
+            "fused kernels do not implement knock-out barriers; use an "
+            "XLA solver_engine for barrier specs")
     if nsteps is None:
         nsteps = jnp.full(strikes.shape, solver.n_steps,
                           jnp.result_type(float))

@@ -62,7 +62,8 @@ def use_single(spec, solver, batch: int, dividends=None,
             and solver.solver_engine == "pallas"
             and solver.scheme in ("do", "cs", "mcs", "hv")
             and (dividends is None or len(dividends) == 0)
-            and n_tangents == 0):
+            and n_tangents == 0
+            and getattr(spec, "barrier", None) is None):
         return False
     nv_pad = -8 * (-(spec.m2 + 1) // 8)
     ns_pad = -128 * (-(spec.m1 + 1) // 128)
