@@ -198,13 +198,10 @@ def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     Rannacher start-up damping (solver.rannacher_steps > 0) runs fused
     too: the damp window is its own launches of the same kernel at
     static (theta=1, delta_t/2) — see _run_chunks — so it needs no
-    extra VMEM beyond the main scheme's."""
+    extra VMEM beyond the main scheme's. Knock-out barrier specs run
+    fused as well (the barrier is a static s-column mask — see
+    _make_kernel's barrier_pos)."""
     if solver.scheme not in ("do", "cs", "mcs", "hv"):
-        return False
-    if getattr(spec, "barrier", None) is not None:
-        # knock-out specs run the XLA engines for now: the kernel's
-        # in-kernel American floor / dividend re-map reconstruct the
-        # payoff from the s-grid and would resurrect the knocked column
         return False
     extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
     return (solver.solver_engine == "pallas"
@@ -286,7 +283,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, unroll: bool, div_plan=None,
                  n_events: int = 0, n_tangents: int = 0,
                  put: bool = False, per_lane_steps: bool = False,
-                 scheme: str = "do"):
+                 scheme: str = "do", barrier_pos: Optional[int] = None):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
     segments with dividend re-maps between them. Each re-map is linear
@@ -308,6 +305,15 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     and dividend re-maps are parameter-independent (tangent zero). Each
     implicit solve's tangent reuses the PRIMAL factorization:
     x = T^-1 r  =>  dx = T^-1 (dr - dT x).
+
+    barrier_pos: s index of a knock-out barrier's knocked column (m1 for
+    up-out, 0 for down-out, None for vanilla). The ONLY in-kernel effect
+    is masking the reconstructed American payoff floor — the input u0 /
+    boundary fields arrive pre-masked from _prepare_batched, the
+    operator rows keep a zero column at zero by construction (boundary
+    rows are reaction-only), and _build_remap_fields zeroes an up-out's
+    remap row, so state, compensation and every tangent stay 0 on the
+    knocked column through the whole launch.
 
     per_lane_steps=True adds a [1, TILE] per-lane step-count field: the
     launch runs max(n) steps and lane i freezes (keeps its state, all
@@ -448,6 +454,12 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             intrinsic = (kk_ref[0][None, :] - vecs_ref[:] if put
                          else vecs_ref[:] - kk_ref[0][None, :])
             u0row = jnp.maximum(intrinsic, 0.0)
+            if barrier_pos is not None:
+                # knocked column: Dirichlet 0 from the payoff onward —
+                # the exercise floor must not resurrect it
+                _bs = lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+                u0row = jnp.where(_bs == barrier_pos,
+                                  jnp.zeros_like(u0row), u0row)
             u0 = u0row[:, None, :]
 
         def bandv(band):
@@ -1032,7 +1044,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   unroll: bool = False, div_plan=None, n_events: int = 0,
                   n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0,
                   put: bool = False, per_lane_steps: bool = False,
-                  scheme: str = "do"):
+                  scheme: str = "do", barrier_pos: Optional[int] = None):
     """pallas_call for the WHOLE batch: tiles are iterated by the pallas
     grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
     traffic; scratch is re-initialized per tile by the kernel).
@@ -1044,7 +1056,7 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
                           div_plan, n_events, n_tangents, put,
-                          per_lane_steps, scheme)
+                          per_lane_steps, scheme, barrier_pos)
 
     big_spec = lambda: pl.BlockSpec((ns, nv, tile), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
@@ -1125,14 +1137,7 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
     counts (mixed-maturity books) — they scale each option's boundary
     data through its OWN e^{-rate dt (n_i - 1)} factor."""
     put = operators.is_put(option_type)
-    if getattr(spec, "barrier", None) is not None:
-        # guard the DIRECT fused entries too (use_fused declines barrier
-        # specs): the in-kernel American floor / dividend re-map rebuild
-        # the payoff from the s-grid and would resurrect the knocked
-        # column
-        raise ValueError(
-            "fused kernels do not implement knock-out barriers; use an "
-            "XLA solver_engine for barrier specs")
+    barrier = getattr(spec, "barrier", None)
     if nsteps is None:
         nsteps = jnp.full(strikes.shape, solver.n_steps,
                           jnp.result_type(float))
@@ -1150,6 +1155,10 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         u0 = jnp.maximum(
             operators.intrinsic_value(g.vec_s[None, :], k, option_type),
             0.0) * jnp.ones((spec.m2 + 1, 1), dtype)
+        if barrier is not None:
+            # knocked at expiry too: Dirichlet 0 from the payoff onward
+            # (matches douglas.prepare_instance)
+            u0 = u0.at[:, -1 if barrier.is_up else 0].set(0.0)
         # separable A0 coefficient: rho*sigma*s (cols 1..m1-1) x v (rows
         # 1..m2-1); product equals ops.a0_c
         scol = rho * sigma * g.vec_s
@@ -1189,8 +1198,11 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         rate = operators.boundary_rate(r_d, r_f, option_type)
         efac = jnp.exp(jnp.asarray(
             -rate * solver.delta_t * (nsf - 1.0), dtype))
-        if put:
-            # no injection vectors for puts (operators.build_boundary_vectors)
+        if put or (barrier is not None and barrier.is_up):
+            # no injection vectors for puts or up-out knock-outs — the
+            # up-out's far s boundary IS the Dirichlet-0 barrier
+            # (operators.build_boundary_vectors); down-out keeps the
+            # vanilla vectors (its far boundary is the usual s_max)
             b1val = jnp.zeros((), dtype)
             b2row = jnp.zeros_like(g.vec_s)
         else:
@@ -1205,7 +1217,7 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
 
 
 def _build_remap_fields(vec_s, events, dtype, option_type="call",
-                        nsteps=None):
+                        nsteps=None, barrier=None):
     """Compact per-option re-map fields: the dense matrix
     R_e[c, i] (U_new[:, i] = sum_c U[:, c] R[c, i]) of
     models.douglas.apply_dividend has <= 2 nonzeros per output column i,
@@ -1224,7 +1236,13 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call",
     Calls zero the surface where the dividend pushes new_s <= 0 (the
     reference's convention, exact because U(0) = 0 for calls); puts copy
     column 0 instead (U(0) ~ K there — zeroing would destroy the put's
-    deep-ITM region)."""
+    deep-ITM region).
+
+    `barrier`: an UP-OUT knock-out zeroes the weights of the barrier
+    column ns-1 (wsum 0 -> output 0), matching
+    douglas.apply_dividend(barrier=...)'s re-knock; a down-out needs no
+    mask — its bottom node falls below the grid and the idx == 0
+    fall-through copies column 0, which is already 0."""
     b, ns = vec_s.shape
     m1 = ns - 1
     c_ids = jnp.arange(ns, dtype=jnp.int32)[None, :, None]   # [1, c, 1]
@@ -1264,6 +1282,12 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call",
         w1i = jnp.where(wc >= 0.5, wc, one - w0i)  # exact complement else
         w0 = valid * jnp.where(is_left, 1.0, w0i).astype(dtype)
         w1 = valid * jnp.where(is_left, 0.0, w1i).astype(dtype)
+        if barrier is not None and barrier.is_up:
+            # re-knock the barrier column (BEFORE the frozen-lane
+            # identity below: a frozen lane must keep its state exactly,
+            # knocked column included — which is already 0)
+            w0 = w0.at[:, -1].set(0.0)
+            w1 = w1.at[:, -1].set(0.0)
         if nsteps is not None:
             act = (jnp.asarray(nsteps) >= step_n)[:, None]   # [B, 1]
             i0 = jnp.where(act, i0, own)
@@ -1396,6 +1420,8 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     _TANGENT_KEYS) plus state tangents are taken as zeros. Returns
     (u, lam, [du_k...])."""
     put = operators.is_put(option_type)
+    barrier = getattr(spec, "barrier", None)
+    bpos = None if barrier is None else (spec.m1 if barrier.is_up else 0)
     K = len(tangents)
     per_lane = "nst" in fields
     inv_base = [fields[k] for k in _INV_KEYS]
@@ -1466,13 +1492,15 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                     solver, dividends, n_lo=ph["n_lo"], n_hi=ph["n_hi"],
                     to_local=ph["to_local"], local_end=ph["local_end"]):
                 rmf = _build_remap_fields(vec_s, events, dtype,
-                                          option_type, nsteps=nst_per)
+                                          option_type, nsteps=nst_per,
+                                          barrier=barrier)
                 r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
                 chunk_call = _segment_call(
                     spec.m1, spec.m2, ph["theta"], ph["delta_t"],
                     american, dtype.name, interpret, unroll, plan,
                     len(events), n_tiles, tile, K, put,
-                    per_lane_steps=per_lane, scheme=ph["scheme"])
+                    per_lane_steps=per_lane, scheme=ph["scheme"],
+                    barrier_pos=bpos)
                 sa = state_args()
                 outs = chunk_call(n0a, n1a, rfa, sa[0],
                                   *( [sa[1]] if american else [] ), *inv,
@@ -1485,7 +1513,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                                  interpret, unroll, n_tiles=n_tiles,
                                  tile=tile, n_tangents=K, put=put,
                                  per_lane_steps=per_lane,
-                                 scheme=ph["scheme"])
+                                 scheme=ph["scheme"], barrier_pos=bpos)
             n0a = jnp.asarray([ph["local_lo"]], jnp.int32)
             n1a = jnp.asarray([ph["local_end"]], jnp.int32)
             sa = state_args()

@@ -62,8 +62,7 @@ def use_single(spec, solver, batch: int, dividends=None,
             and solver.solver_engine == "pallas"
             and solver.scheme in ("do", "cs", "mcs", "hv")
             and (dividends is None or len(dividends) == 0)
-            and n_tangents == 0
-            and getattr(spec, "barrier", None) is None):
+            and n_tangents == 0):
         return False
     nv_pad = -8 * (-(spec.m2 + 1) // 8)
     ns_pad = -128 * (-(spec.m1 + 1) // 128)
@@ -104,7 +103,8 @@ def _pcr_levels(ns: int) -> int:
 
 
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
-                 american: bool, put: bool, scheme: str = "do"):
+                 american: bool, put: bool, scheme: str = "do",
+                 barrier_pos=None):
     """Single-instance kernel body. Refs (all VMEM unless noted):
     n0/n1/rf SMEM scalars; u [nv, ns] (+ lam if american, aliased
     outputs); six A1 rank-2 band rows [1, ns]; vfl/vfac + A0 v-stencil +
@@ -163,6 +163,12 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             intrinsic = (kk_ref[0, 0] - vecs_ref[:] if put
                          else vecs_ref[:] - kk_ref[0, 0])
             u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones((nv, 1), dtype)
+            if barrier_pos is not None:
+                # knocked column: the exercise floor must not resurrect
+                # it (input u0 / boundary fields arrive pre-masked from
+                # fused_do._prepare_batched)
+                u0 = jnp.where(s_ids == barrier_pos,
+                               jnp.zeros_like(u0), u0)
 
         # ---- explicit A1 band rows as dense [nv, ns] rank-2 products
         a1l = vfl * a1pl_ref[:] + a1ql_ref[:]
@@ -386,10 +392,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 @functools.lru_cache(maxsize=None)
 def _single_call(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, put: bool, dtype_name: str,
-                 interpret: bool, scheme: str = "do"):
+                 interpret: bool, scheme: str = "do", barrier_pos=None):
     nv, ns = m2 + 1, m1 + 1
     dtype = jnp.dtype(dtype_name)
-    kernel = _make_kernel(m1, m2, theta, delta_t, american, put, scheme)
+    kernel = _make_kernel(m1, m2, theta, delta_t, american, put, scheme,
+                          barrier_pos)
 
     full = lambda: pl.BlockSpec((nv, ns), lambda: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -496,10 +503,12 @@ def fused_price_single(
     if R < solver.n_steps:
         phases.append((solver.theta, solver.delta_t, solver.scheme,
                        R + 1, solver.n_steps + 1))
+    barrier = getattr(spec, "barrier", None)
+    bpos = None if barrier is None else (spec.m1 if barrier.is_up else 0)
     for theta_p, dt_p, scheme_p, n_lo, n_end in phases:
         call = _single_call(spec.m1, spec.m2, theta_p, dt_p,
                             american, put, dtype.name, interpret,
-                            scheme_p)
+                            scheme_p, barrier_pos=bpos)
         args = [jnp.asarray([n_lo], jnp.int32),
                 jnp.asarray([n_end], jnp.int32), rfa, u2]
         if american:

@@ -186,26 +186,70 @@ def test_barrier_american_above_european():
     assert amer < van * (1.0 + 2e-3)
 
 
-def test_barrier_engine_dispatch():
-    """solver_engine='pallas' on a barrier spec falls back to the XLA
-    path (use_fused/use_single decline) and prices identically; the
-    direct fused entry raises loudly."""
+@pytest.mark.parametrize("kind,level", [("up-out", 140.0),
+                                        ("down-out", 70.0)])
+@pytest.mark.parametrize("variant", ["euro", "amer", "div", "amer_div"])
+def test_barrier_fused_matches_xla(kind, level, variant):
+    """The fused batched kernel prices knock-out books: equality with
+    the XLA scan engine at 1e-11 for every variant, and the knocked
+    column of the fused surface is identically zero (the in-kernel
+    American floor and dividend re-map must not resurrect it)."""
     import dataclasses
 
-    from heston_tpu.pallas import fused_do, fused_single
+    import jax
 
-    spec = GridSpec(m1=40, m2=12, barrier=Barrier("up-out", 130.0))
-    sol = SolverConfig(n_steps=8)
+    from heston_tpu.pallas import fused_do
+
+    spec = GridSpec(m1=40, m2=12, barrier=Barrier(kind, level))
+    sol = SolverConfig(n_steps=10)
     pal = dataclasses.replace(sol, solver_engine="pallas")
-    assert not fused_do.use_fused(spec, pal)
-    assert not fused_single.use_single(spec, pal, 1)
+    assert fused_do.use_fused(spec, pal)
+    american = "amer" in variant
+    divs = (DividendSchedule(dates=(0.35,), amounts=(1.0,),
+                             percentages=(0.01,))
+            if "div" in variant else None)
     ks = jnp.array([95.0, 105.0])
     args = (100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
-    a = douglas.price_batch(spec, sol, ks, *args)
-    b = douglas.price_batch(spec, pal, ks, *args)
-    np.testing.assert_allclose(np.array(a), np.array(b), rtol=0, atol=0)
-    with pytest.raises(ValueError, match="barrier"):
-        fused_do.fused_price_batch(spec, pal, ks, *args)
+    a = douglas.price_batch(spec, sol, ks, *args, american=american,
+                            dividends=divs)
+    b = douglas.price_batch(spec, pal, ks, *args, american=american,
+                            dividends=divs)
+    np.testing.assert_allclose(np.array(a), np.array(b), rtol=0,
+                               atol=1e-11)
+    u = jax.jit(lambda: fused_do.fused_surface_batch(
+        spec, pal, ks, *args, american=american, dividends=divs)[0])()
+    knocked = u[:, :, -1 if kind == "up-out" else 0]   # [B, nv, ns]
+    assert float(jnp.max(jnp.abs(knocked))) == 0.0
+
+
+def test_barrier_fused_jacobian_and_latency_kernel():
+    """Forward-mode AD through the fused kernel on a barrier spec
+    matches the XLA jacfwd; the single-option latency kernel dispatches
+    and agrees."""
+    import dataclasses
+
+    from heston_tpu.models import calibration
+    from heston_tpu.pallas import fused_single
+
+    spec = GridSpec(m1=40, m2=12, barrier=Barrier("up-out", 140.0))
+    sol = SolverConfig(n_steps=8)
+    pal = dataclasses.replace(sol, solver_engine="pallas")
+    ks = jnp.array([95.0, 105.0])
+    args = (100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
+    theta_vec = jnp.array([1.5, 0.04, 0.3, -0.9, 0.04])
+    b_f, j_f = calibration.jacobian_and_prices_ad(
+        spec, pal, ks, 100.0, theta_vec, R, 0.0)
+    b_x, j_x = calibration.jacobian_and_prices_ad(
+        spec, sol, ks, 100.0, theta_vec, R, 0.0)
+    np.testing.assert_allclose(np.array(b_f), np.array(b_x), atol=1e-11)
+    np.testing.assert_allclose(np.array(j_f), np.array(j_x), atol=1e-9)
+    # latency kernel: batch of one dispatches fused_single
+    assert fused_single.use_single(spec, pal, 1)
+    one = douglas.price_batch(spec, pal, jnp.array([100.0]), *args,
+                              american=True)
+    ref = douglas.price_batch(spec, sol, jnp.array([100.0]), *args,
+                              american=True)
+    np.testing.assert_allclose(np.array(one), np.array(ref), atol=1e-11)
 
 
 def test_barrier_validation():
