@@ -58,11 +58,13 @@ def _add_common(p):
     p.add_argument("--r-d", type=float, default=0.025)
     p.add_argument("--r-f", type=float, default=0.0)
     p.add_argument("--barrier-kind", default=None,
-                   choices=["up-out", "down-out"],
-                   help="knock-out barrier (requires --barrier-level); "
-                        "truncates the S domain and pins the barrier "
-                        "node to 0")
+                   choices=["up-out", "down-out", "double-out"],
+                   help="knock-out barrier (requires --barrier-level; "
+                        "double-out also --barrier-level-hi); truncates "
+                        "the S domain and pins the barrier node(s) to 0")
     p.add_argument("--barrier-level", type=float, default=None)
+    p.add_argument("--barrier-level-hi", type=float, default=None,
+                   help="upper barrier of a double-out")
     p.add_argument("--float64", action="store_true")
 
 
@@ -75,7 +77,11 @@ def _configs(args):
         if args.barrier_kind is None or args.barrier_level is None:
             raise SystemExit(
                 "--barrier-kind and --barrier-level must be given together")
-        barrier = Barrier(args.barrier_kind, args.barrier_level)
+        try:
+            barrier = Barrier(args.barrier_kind, args.barrier_level,
+                              args.barrier_level_hi)
+        except ValueError as exc:
+            raise SystemExit(str(exc))
     spec = GridSpec(m1=args.m1, m2=args.m2, barrier=barrier)
     solver = SolverConfig(n_steps=args.n_steps, theta=args.theta,
                           maturity=args.maturity, scheme=args.scheme,

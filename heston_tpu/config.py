@@ -46,26 +46,57 @@ class Barrier:
 
     A knock-out barrier is a DOMAIN truncation plus a Dirichlet-0
     boundary: "up-out" prices on S in [0, level] with U(level) = 0,
-    "down-out" on [level, s_max_mult*K] with U(level) = 0 — which is why
-    it lives on GridSpec (the domain owner) and flows statically through
-    every engine the way the grid shape does. Framework extension: the
-    reference prices vanillas only.
+    "down-out" on [level, s_max_mult*K] with U(level) = 0, and
+    "double-out" on [level, level_hi] with BOTH boundary values 0 —
+    which is why it lives on GridSpec (the domain owner) and flows
+    statically through every engine the way the grid shape does.
+    Framework extension: the reference prices vanillas only.
     """
 
-    kind: str            # "up-out" | "down-out"
-    level: float
+    kind: str            # "up-out" | "down-out" | "double-out"
+    level: float         # the barrier (lower barrier for double-out)
+    level_hi: float | None = None    # upper barrier (double-out only)
 
     def __post_init__(self):
-        if self.kind not in ("up-out", "down-out"):
+        if self.kind not in ("up-out", "down-out", "double-out"):
             raise ValueError(
-                f"barrier kind must be 'up-out' or 'down-out'; "
-                f"got {self.kind!r}")
+                f"barrier kind must be 'up-out', 'down-out' or "
+                f"'double-out'; got {self.kind!r}")
         if not self.level > 0.0:
             raise ValueError(f"barrier level must be > 0; got {self.level}")
+        if self.kind == "double-out":
+            if self.level_hi is None or not self.level_hi > self.level:
+                raise ValueError(
+                    "double-out needs level_hi > level; got "
+                    f"level={self.level}, level_hi={self.level_hi}")
+        elif self.level_hi is not None:
+            raise ValueError(
+                f"level_hi is double-out only; got kind={self.kind!r}")
 
     @property
     def is_up(self) -> bool:
         return self.kind == "up-out"
+
+    @property
+    def knock_top(self) -> bool:
+        """The TOP s node is a knocked (Dirichlet-0) barrier column."""
+        return self.kind in ("up-out", "double-out")
+
+    @property
+    def knock_bottom(self) -> bool:
+        """The BOTTOM s node is a knocked (Dirichlet-0) barrier column."""
+        return self.kind in ("down-out", "double-out")
+
+    @property
+    def lo(self) -> float:
+        """Lower end of the alive S domain (0 for up-out)."""
+        return 0.0 if self.kind == "up-out" else self.level
+
+    def hi(self, s_max: float) -> float:
+        """Upper end of the alive S domain (s_max for down-out)."""
+        if self.kind == "up-out":
+            return self.level
+        return s_max if self.kind == "down-out" else self.level_hi
 
 
 @dataclasses.dataclass(frozen=True)

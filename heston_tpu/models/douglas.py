@@ -147,11 +147,15 @@ def prepare_instance(
         (spec.m2 + 1, 1), grid.vec_s.dtype
     )
     if spec.barrier is not None:
-        # the barrier node (top for up-out, bottom for down-out) is
-        # knocked out AT expiry too: Dirichlet 0 from payoff onward —
-        # this same masked u0 is the American exercise floor, so the
-        # knocked column can never be resurrected by the lambda step
-        u0 = u0.at[:, -1 if spec.barrier.is_up else 0].set(0.0)
+        # the knocked node(s) (top for up-out, bottom for down-out,
+        # both for double-out) are knocked out AT expiry too: Dirichlet
+        # 0 from payoff onward — this same masked u0 is the American
+        # exercise floor, so a knocked column can never be resurrected
+        # by the lambda step
+        if spec.barrier.knock_top:
+            u0 = u0.at[:, -1].set(0.0)
+        if spec.barrier.knock_bottom:
+            u0 = u0.at[:, 0].set(0.0)
     return PreparedInstance(
         grid=grid,
         ops=ops,
@@ -205,7 +209,7 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct,
         out = jnp.where(new_s > 0.0, out, left)
     else:
         out = jnp.where(new_s > 0.0, out, 0.0)
-    if barrier is not None and barrier.is_up:
+    if barrier is not None and barrier.knock_top:
         out = out.at[..., -1].set(0.0)
     return out
 

@@ -105,7 +105,8 @@ def _dividend_jumps(dividends, t, n_steps: int):
 def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
               mult, sub, has_ev, num_paths: int, n_steps: int,
               scheme: str, keep_panel: bool, antithetic: bool = False,
-              barrier_kind: str | None = None, barrier_level=None):
+              barrier_kind: str | None = None, barrier_level=None,
+              barrier_level_hi=None):
     """Shared forward simulator (Euler reference dynamics or Andersen
     QE + optional dividend jumps). Returns the terminal (s, v) — or the
     full [n_steps, paths] panels when keep_panel (for LSMC). The
@@ -129,7 +130,10 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
     alone OVERPRICES knock-outs at any finite step count (paths cross
     and come back between samples); the bridge weight removes the
     O(sqrt(dt)) bias and, being a conditional expectation, lowers the
-    estimator variance vs killing paths by lottery."""
+    estimator variance vs killing paths by lottery. "double-out"
+    multiplies the two one-sided weights — the neglected cross-term
+    (bridging BOTH barriers within one step) is O(exp(-2 ln(H/L)^2 /
+    (v dt))), far below MC noise at any sane step count."""
     dtype = jnp.result_type(float)
     dt = jnp.asarray(t / n_steps, dtype)
     sqrt_dt = jnp.sqrt(dt)
@@ -139,10 +143,18 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
     if antithetic and num_paths % 2:
         raise ValueError("antithetic variates need an even num_paths")
     if barrier_kind is not None:
-        if barrier_kind not in ("up-out", "down-out"):
+        if barrier_kind not in ("up-out", "down-out", "double-out"):
             raise ValueError(f"unknown barrier kind: {barrier_kind!r}")
-        b_log = jnp.log(jnp.asarray(barrier_level, dtype))
-        b_up = barrier_kind == "up-out"
+        bridge_checks = []                      # (log level, is_upper)
+        if barrier_kind != "up-out":
+            bridge_checks.append(
+                (jnp.log(jnp.asarray(barrier_level, dtype)), False))
+        if barrier_kind == "up-out":
+            bridge_checks.append(
+                (jnp.log(jnp.asarray(barrier_level, dtype)), True))
+        elif barrier_kind == "double-out":
+            bridge_checks.append(
+                (jnp.log(jnp.asarray(barrier_level_hi, dtype)), True))
         tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
     if scheme == "qe":
@@ -229,14 +241,17 @@ def _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma, rho, t,
             # the start-of-step variance; dividend jumps land AT the
             # step end, so the post-jump spot is the bridge endpoint
             # (a jump through the barrier knocks via the endpoint test)
-            d0 = b_log - jnp.log(jnp.maximum(s, tiny))
-            d1 = b_log - jnp.log(jnp.maximum(s_new, tiny))
-            if not b_up:
-                d0, d1 = -d0, -d1
+            x0 = jnp.log(jnp.maximum(s, tiny))
+            x1 = jnp.log(jnp.maximum(s_new, tiny))
             bvar = jnp.maximum(jnp.maximum(v, 0.0) * dt, tiny)
-            p_cross = jnp.exp(-2.0 * d0 * d1 / bvar)
-            surv = surv * jnp.where((d0 > 0.0) & (d1 > 0.0),
-                                    1.0 - p_cross, 0.0)
+            for b_log_i, up_i in bridge_checks:
+                d0 = b_log_i - x0
+                d1 = b_log_i - x1
+                if not up_i:
+                    d0, d1 = -d0, -d1
+                p_cross = jnp.exp(-2.0 * d0 * d1 / bvar)
+                surv = surv * jnp.where((d0 > 0.0) & (d1 > 0.0),
+                                        1.0 - p_cross, 0.0)
         return ((s_new, v_new, surv),
                 ((s_new, v_new) if keep_panel else None))
 
@@ -324,7 +339,10 @@ def price_european_call_mc(
                          barrier_kind=None if barrier is None
                          else barrier.kind,
                          barrier_level=0.0 if barrier is None
-                         else barrier.level)
+                         else barrier.level,
+                         barrier_level_hi=0.0 if barrier is None
+                         or barrier.level_hi is None
+                         else barrier.level_hi)
 
 
 @functools.partial(jax.jit,
@@ -334,13 +352,15 @@ def price_european_call_mc(
 def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                   mult, sub, has_ev, num_paths: int, n_steps: int,
                   scheme: str, option_type: str, antithetic: bool = False,
-                  barrier_kind: str | None = None, barrier_level=0.0):
+                  barrier_kind: str | None = None, barrier_level=0.0,
+                  barrier_level_hi=0.0):
     s_fin, _, surv = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma,
                                rho, t, mult, sub, has_ev, num_paths,
                                n_steps, scheme, keep_panel=False,
                                antithetic=antithetic,
                                barrier_kind=barrier_kind,
-                               barrier_level=barrier_level)
+                               barrier_level=barrier_level,
+                               barrier_level_hi=barrier_level_hi)
     disc = jnp.exp(-r_d * t)
     intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
     payoff = disc * jnp.maximum(intrinsic, 0.0) * surv

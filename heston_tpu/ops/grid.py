@@ -104,27 +104,28 @@ def make_barrier_s_nodes(m1: int, barrier, s_max, s0, strike,
                          c) -> jnp.ndarray:
     """Stock-direction sinh nodes for a knock-out domain, S_0 inserted.
 
-    up-out: nodes on [0, level] with the TOP node pinned exactly at the
-    barrier (S_0 is inserted among the interior nodes, dropping the
-    largest interior one — the vanilla insert's drop-the-max quirk would
-    move the barrier itself). down-out: nodes on [level, s_max] with
-    node 0 pinned at the barrier; the vanilla insert already preserves
-    node 0 (S_0 > level inserts at index >= 1)."""
+    The alive domain is [barrier.lo, barrier.hi(s_max)] (up-out:
+    [0, level]; down-out: [level, s_max]; double-out:
+    [level, level_hi]). Both endpoints are re-pinned exactly after the
+    sinh round-trip (~1 ulp of arcsinh/sinh roundoff): node 0 is either
+    exactly 0 (the call payoff / boundary arguments assume it) or a
+    Dirichlet barrier location. When the TOP node is itself a barrier
+    (up-out / double-out), S_0 is inserted among the lower m1 nodes
+    only — the vanilla insert's drop-the-max quirk would move the
+    barrier itself; a knocked/vanilla BOTTOM node survives any insert
+    (S_0 > node 0 inserts at index >= 1)."""
     dtype = jnp.result_type(float)
     strike = jnp.asarray(strike, dtype)
     c = jnp.asarray(c, dtype)
     s0 = jnp.asarray(s0, dtype)
-    if barrier.is_up:
-        nodes = _sinh_s_nodes(m1, 0.0, barrier.level, strike, c, dtype)
-        # pin both endpoints exactly: sinh(arcsinh(x)) carries ~1 ulp of
-        # roundoff, but node 0 must be EXACTLY 0 (the call payoff /
-        # boundary arguments assume it) and the top node EXACTLY the
-        # barrier (it is a Dirichlet data location, not an approximation)
-        nodes = nodes.at[0].set(0.0).at[-1].set(barrier.level)
+    lo = barrier.lo
+    hi = barrier.hi(s_max)
+    nodes = _sinh_s_nodes(m1, lo, hi, strike, c, dtype)
+    nodes = nodes.at[0].set(lo)
+    if barrier.knock_top:
+        nodes = nodes.at[-1].set(barrier.hi(None))
         inner = _insert_and_crop(nodes[:-1], s0)
         return jnp.concatenate([inner, nodes[-1:]])
-    nodes = _sinh_s_nodes(m1, barrier.level, s_max, strike, c, dtype)
-    nodes = nodes.at[0].set(barrier.level)
     return _insert_and_crop(nodes, s0)
 
 
@@ -231,15 +232,15 @@ def validate_book(spec, s0: float, strikes) -> None:
             f"on this grid family")
     b = spec.barrier
     if b is not None:
-        # a spot at/past the knock-out boundary is already knocked out
+        # a spot at/past a knock-out boundary is already knocked out
         # (price identically 0) and the grid cannot even hold its node
-        if b.is_up and s0 >= b.level:
+        if b.knock_top and s0 >= b.hi(None):
             raise ValueError(
-                f"spot {s0} is at or above the up-out barrier {b.level}; "
-                f"the option is knocked out (price 0)")
-        if not b.is_up and s0 <= b.level:
+                f"spot {s0} is at or above the {b.kind} barrier "
+                f"{b.hi(None)}; the option is knocked out (price 0)")
+        if b.knock_bottom and s0 <= b.level:
             raise ValueError(
-                f"spot {s0} is at or below the down-out barrier "
+                f"spot {s0} is at or below the {b.kind} barrier "
                 f"{b.level}; the option is knocked out (price 0)")
 
 

@@ -272,8 +272,9 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
     rate = boundary_rate(r_d, r_f, option_type)
     efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
 
-    if barrier is not None and barrier.is_up:
-        # an UP-out's far s boundary IS the barrier: Dirichlet 0, so no
+    if barrier is not None and barrier.knock_top:
+        # an UP-out's (or double-out's) far s boundary IS the barrier:
+        # Dirichlet 0, so no
         # injection anywhere (the barrier column starts at 0 — payoff
         # masked — and every operator keeps a zero column at zero; the
         # v_max row then evolves as the correct 1-D Black-Scholes

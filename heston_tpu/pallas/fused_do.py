@@ -183,6 +183,17 @@ def _scheme_tangent_extra_fields(scheme: str, n_tangents: int) -> int:
     return extra
 
 
+def _barrier_positions(spec):
+    """Static tuple of knocked s indices for the kernels' barrier masks
+    (lru_cache-hashable): None for vanilla specs, else a subset of
+    (0, m1) — (m1,) up-out, (0,) down-out, (0, m1) double-out."""
+    barrier = getattr(spec, "barrier", None)
+    if barrier is None:
+        return None
+    return tuple(p for p, k in ((0, barrier.knock_bottom),
+                                (spec.m1, barrier.knock_top)) if k)
+
+
 def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     """THE dispatch predicate for every fused-kernel call site
     (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
@@ -306,8 +317,9 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
     implicit solve's tangent reuses the PRIMAL factorization:
     x = T^-1 r  =>  dx = T^-1 (dr - dT x).
 
-    barrier_pos: s index of a knock-out barrier's knocked column (m1 for
-    up-out, 0 for down-out, None for vanilla). The ONLY in-kernel effect
+    barrier_pos: static tuple of a knock-out barrier's knocked s
+    indices ((m1,) up-out, (0,) down-out, (0, m1) double-out, None for
+    vanilla — see _barrier_positions). The ONLY in-kernel effect
     is masking the reconstructed American payoff floor — the input u0 /
     boundary fields arrive pre-masked from _prepare_batched, the
     operator rows keep a zero column at zero by construction (boundary
@@ -454,12 +466,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             intrinsic = (kk_ref[0][None, :] - vecs_ref[:] if put
                          else vecs_ref[:] - kk_ref[0][None, :])
             u0row = jnp.maximum(intrinsic, 0.0)
-            if barrier_pos is not None:
-                # knocked column: Dirichlet 0 from the payoff onward —
-                # the exercise floor must not resurrect it
+            if barrier_pos:
+                # knocked column(s): Dirichlet 0 from the payoff onward
+                # — the exercise floor must not resurrect them
                 _bs = lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
-                u0row = jnp.where(_bs == barrier_pos,
-                                  jnp.zeros_like(u0row), u0row)
+                for _bp in barrier_pos:
+                    u0row = jnp.where(_bs == _bp,
+                                      jnp.zeros_like(u0row), u0row)
             u0 = u0row[:, None, :]
 
         def bandv(band):
@@ -1158,7 +1171,10 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         if barrier is not None:
             # knocked at expiry too: Dirichlet 0 from the payoff onward
             # (matches douglas.prepare_instance)
-            u0 = u0.at[:, -1 if barrier.is_up else 0].set(0.0)
+            if barrier.knock_top:
+                u0 = u0.at[:, -1].set(0.0)
+            if barrier.knock_bottom:
+                u0 = u0.at[:, 0].set(0.0)
         # separable A0 coefficient: rho*sigma*s (cols 1..m1-1) x v (rows
         # 1..m2-1); product equals ops.a0_c
         scol = rho * sigma * g.vec_s
@@ -1198,11 +1214,11 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         rate = operators.boundary_rate(r_d, r_f, option_type)
         efac = jnp.exp(jnp.asarray(
             -rate * solver.delta_t * (nsf - 1.0), dtype))
-        if put or (barrier is not None and barrier.is_up):
-            # no injection vectors for puts or up-out knock-outs — the
-            # up-out's far s boundary IS the Dirichlet-0 barrier
-            # (operators.build_boundary_vectors); down-out keeps the
-            # vanilla vectors (its far boundary is the usual s_max)
+        if put or (barrier is not None and barrier.knock_top):
+            # no injection vectors for puts or top-knocked barriers —
+            # the up-out/double-out far s boundary IS the Dirichlet-0
+            # barrier (operators.build_boundary_vectors); down-out keeps
+            # the vanilla vectors (its far boundary is the usual s_max)
             b1val = jnp.zeros((), dtype)
             b2row = jnp.zeros_like(g.vec_s)
         else:
@@ -1282,7 +1298,7 @@ def _build_remap_fields(vec_s, events, dtype, option_type="call",
         w1i = jnp.where(wc >= 0.5, wc, one - w0i)  # exact complement else
         w0 = valid * jnp.where(is_left, 1.0, w0i).astype(dtype)
         w1 = valid * jnp.where(is_left, 0.0, w1i).astype(dtype)
-        if barrier is not None and barrier.is_up:
+        if barrier is not None and barrier.knock_top:
             # re-knock the barrier column (BEFORE the frozen-lane
             # identity below: a frozen lane must keep its state exactly,
             # knocked column included — which is already 0)
@@ -1421,7 +1437,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     (u, lam, [du_k...])."""
     put = operators.is_put(option_type)
     barrier = getattr(spec, "barrier", None)
-    bpos = None if barrier is None else (spec.m1 if barrier.is_up else 0)
+    bpos = _barrier_positions(spec)
     K = len(tangents)
     per_lane = "nst" in fields
     inv_base = [fields[k] for k in _INV_KEYS]

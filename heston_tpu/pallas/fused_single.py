@@ -163,12 +163,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             intrinsic = (kk_ref[0, 0] - vecs_ref[:] if put
                          else vecs_ref[:] - kk_ref[0, 0])
             u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones((nv, 1), dtype)
-            if barrier_pos is not None:
-                # knocked column: the exercise floor must not resurrect
-                # it (input u0 / boundary fields arrive pre-masked from
-                # fused_do._prepare_batched)
-                u0 = jnp.where(s_ids == barrier_pos,
-                               jnp.zeros_like(u0), u0)
+            if barrier_pos:
+                # knocked column(s): the exercise floor must not
+                # resurrect them (input u0 / boundary fields arrive
+                # pre-masked from fused_do._prepare_batched)
+                for _bp in barrier_pos:
+                    u0 = jnp.where(s_ids == _bp,
+                                   jnp.zeros_like(u0), u0)
 
         # ---- explicit A1 band rows as dense [nv, ns] rank-2 products
         a1l = vfl * a1pl_ref[:] + a1ql_ref[:]
@@ -503,8 +504,7 @@ def fused_price_single(
     if R < solver.n_steps:
         phases.append((solver.theta, solver.delta_t, solver.scheme,
                        R + 1, solver.n_steps + 1))
-    barrier = getattr(spec, "barrier", None)
-    bpos = None if barrier is None else (spec.m1 if barrier.is_up else 0)
+    bpos = fused_do._barrier_positions(spec)
     for theta_p, dt_p, scheme_p, n_lo, n_end in phases:
         call = _single_call(spec.m1, spec.m2, theta_p, dt_p,
                             american, put, dtype.name, interpret,

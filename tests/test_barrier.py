@@ -186,21 +186,24 @@ def test_barrier_american_above_european():
     assert amer < van * (1.0 + 2e-3)
 
 
-@pytest.mark.parametrize("kind,level", [("up-out", 140.0),
-                                        ("down-out", 70.0)])
+@pytest.mark.parametrize("barrier", [
+    Barrier("up-out", 140.0),
+    Barrier("down-out", 70.0),
+    Barrier("double-out", 70.0, 140.0),
+], ids=lambda b: b.kind)
 @pytest.mark.parametrize("variant", ["euro", "amer", "div", "amer_div"])
-def test_barrier_fused_matches_xla(kind, level, variant):
+def test_barrier_fused_matches_xla(barrier, variant):
     """The fused batched kernel prices knock-out books: equality with
     the XLA scan engine at 1e-11 for every variant, and the knocked
-    column of the fused surface is identically zero (the in-kernel
-    American floor and dividend re-map must not resurrect it)."""
+    column(s) of the fused surface are identically zero (the in-kernel
+    American floor and dividend re-map must not resurrect them)."""
     import dataclasses
 
     import jax
 
     from heston_tpu.pallas import fused_do
 
-    spec = GridSpec(m1=40, m2=12, barrier=Barrier(kind, level))
+    spec = GridSpec(m1=40, m2=12, barrier=barrier)
     sol = SolverConfig(n_steps=10)
     pal = dataclasses.replace(sol, solver_engine="pallas")
     assert fused_do.use_fused(spec, pal)
@@ -218,8 +221,10 @@ def test_barrier_fused_matches_xla(kind, level, variant):
                                atol=1e-11)
     u = jax.jit(lambda: fused_do.fused_surface_batch(
         spec, pal, ks, *args, american=american, dividends=divs)[0])()
-    knocked = u[:, :, -1 if kind == "up-out" else 0]   # [B, nv, ns]
-    assert float(jnp.max(jnp.abs(knocked))) == 0.0
+    if barrier.knock_top:                              # u [B, nv, ns]
+        assert float(jnp.max(jnp.abs(u[:, :, -1]))) == 0.0
+    if barrier.knock_bottom:
+        assert float(jnp.max(jnp.abs(u[:, :, 0]))) == 0.0
 
 
 def test_barrier_fused_jacobian_and_latency_kernel():
@@ -327,6 +332,116 @@ def test_barrier_mc_bridge_beats_endpoint_check():
     v2 = mc.price_european_call_mc(key, *margs, num_paths=20_000,
                                    n_steps=50, barrier=None)
     assert float(v1[0]) == float(v2[0])
+
+
+def test_double_barrier_grid_and_bounds():
+    """Double-out: both endpoint nodes pinned bitwise at the barriers,
+    S_0 inserted, price below BOTH one-sided knock-outs, and it
+    converges to the one-sided price as the other barrier recedes."""
+    from heston_tpu.ops import grid as G
+
+    g = G.make_grid(GridSpec(barrier=Barrier("double-out", 70.0, 140.0)),
+                    100.0, 100.0, V0)
+    vs = np.array(g.vec_s)
+    assert vs[0] == 70.0 and vs[-1] == 140.0
+    assert np.any(np.isclose(vs, 100.0))
+    assert np.all(np.diff(vs) > 0)
+
+    sol = SolverConfig(n_steps=24)
+    args = (100.0, 100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
+
+    def price(b):
+        return float(douglas.price_option(
+            GridSpec(m1=60, m2=16, barrier=b), sol, *args))
+
+    dbl = price(Barrier("double-out", 70.0, 140.0))
+    up = price(Barrier("up-out", 140.0))
+    down = price(Barrier("down-out", 70.0))
+    # 0.5% tolerance: each barrier config resolves a DIFFERENT domain
+    # with the same node budget, so the discretization errors differ at
+    # the few-per-mille level (same as the vanilla-bound tests above)
+    assert 0.0 < dbl < min(up, down) * (1.0 + 5e-3)
+    # lower barrier pushed far away -> the up-out price (same top
+    # domain; ~0.1% discretization difference from the changed node
+    # placement)
+    far = price(Barrier("double-out", 5.0, 140.0))
+    assert abs(far - up) < 5e-3 * up
+
+
+def test_double_barrier_knocked_columns_stay_zero():
+    """American + dividends + double-out: BOTH barrier columns stay
+    identically zero through the whole tracked solve."""
+    divs = DividendSchedule(dates=(0.3, 0.7), amounts=(1.0, 1.0),
+                            percentages=(0.01, 0.0))
+    spec = GridSpec(m1=40, m2=12,
+                    barrier=Barrier("double-out", 60.0, 150.0))
+    sol = SolverConfig(n_steps=10)
+    inst = douglas.prepare_instance(
+        spec, sol, 100.0, 100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0,
+        "call")
+    surfaces, _ = douglas.solve_with_tracking(
+        inst, sol, 0.0, american=True, dividends=divs,
+        option_type="call", barrier=spec.barrier)
+    assert np.max(np.abs(np.array(surfaces)[:, :, -1])) == 0.0
+    assert np.max(np.abs(np.array(surfaces)[:, :, 0])) == 0.0
+    assert float(surfaces[-1][inst.idx_v, inst.idx_s]) > 0.0
+
+
+def test_double_barrier_pde_vs_mc_full_heston():
+    """Double knock-out under full Heston: PDE vs the product-of-
+    one-sided Brownian-bridge survival MC."""
+    import jax
+
+    from heston_tpu.models import mc
+
+    b = Barrier("double-out", 80.0, 130.0)
+    args = (100.0, 100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
+    spec = GridSpec(m1=120, m2=32, barrier=b)
+    sol = SolverConfig(n_steps=48, scheme="hv", rannacher_steps=2)
+    pde = float(douglas.price_option(spec, sol, *args))
+    price, half = mc.price_european_call_mc(
+        jax.random.PRNGKey(11), 100.0, 0.04, 100.0, R, 0.0, 1.5, 0.04,
+        0.3, -0.9, 1.0, num_paths=200_000, n_steps=350,
+        scheme="truncation", antithetic=True, barrier=b)
+    assert abs(pde - float(price)) < 3.0 * float(half) + 0.03, (
+        pde, float(price), float(half))
+
+
+def test_double_barrier_validation():
+    with pytest.raises(ValueError, match="level_hi"):
+        Barrier("double-out", 100.0)
+    with pytest.raises(ValueError, match="level_hi"):
+        Barrier("double-out", 100.0, 90.0)
+    with pytest.raises(ValueError, match="level_hi"):
+        Barrier("up-out", 100.0, 120.0)
+    from heston_tpu.ops.grid import validate_book
+    with pytest.raises(ValueError, match="knocked out"):
+        validate_book(
+            GridSpec(barrier=Barrier("double-out", 50.0, 90.0)),
+            100.0, [100.0])
+    with pytest.raises(ValueError, match="knocked out"):
+        validate_book(
+            GridSpec(barrier=Barrier("double-out", 110.0, 190.0)),
+            100.0, [100.0])
+    validate_book(GridSpec(barrier=Barrier("double-out", 50.0, 190.0)),
+                  100.0, [100.0])
+
+
+def test_barrier_book_risk_engine_equivalence():
+    """batch_greeks auto-dispatches the fused surface path for barrier
+    specs now — every risk column must match the XLA engine."""
+    import dataclasses
+
+    spec = GridSpec(m1=40, m2=12, barrier=Barrier("up-out", 140.0))
+    sol = SolverConfig(n_steps=10)
+    pal = dataclasses.replace(sol, solver_engine="pallas")
+    ks = jnp.array([95.0, 105.0])
+    args = (110.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
+    a = greeks.batch_greeks(spec, sol, ks, *args, american=True)
+    b = greeks.batch_greeks(spec, pal, ks, *args, american=True)
+    for k in greeks.RISK_KEYS:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-9, err_msg=k)
 
 
 def test_barrier_book_risk():
