@@ -262,6 +262,23 @@ def _selftest(spec, solver, p, dtype):
             spec, xsol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f))(jnp.asarray(k1, jnp.float64)))
     rmses["single_rann"] = float(np.sqrt(np.mean((got1 - want1) ** 2)))
+    # knock-out barrier kernel (static column masks): the American-floor
+    # mask and the up-out dividend-remap re-knock are real-Mosaic paths
+    # interpret mode cannot certify — one arm covers both
+    from heston_tpu.config import Barrier
+
+    spec_b = dataclasses.replace(spec, barrier=Barrier("up-out", 160.0))
+    kwb = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+    got_b = np.array(jax.jit(lambda k: fused_do.fused_price_batch(
+        spec_b, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+        p.v0, p.r_d, p.r_f, **kwb))(jnp.asarray(ks, dtype)))
+    with jax.enable_x64():
+        want_b = np.array(jax.jit(lambda k: douglas.price_batch(
+            spec_b, dataclasses.replace(solver, solver_engine="scan"),
+            k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d,
+            p.r_f, **kwb))(jnp.asarray(ks, jnp.float64)))
+    rmses["barrier_amer_div"] = float(np.sqrt(np.mean(
+        (got_b - want_b) ** 2)))
     rmses["jac"] = _selftest_jac(spec, solver, p, dtype)
     rmses["jac_cs"] = _selftest_jac(
         spec, dataclasses.replace(solver, scheme="cs"), p, dtype)
