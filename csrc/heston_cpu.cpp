@@ -151,10 +151,13 @@ void a0_multiply(const double* a0c, const double* bsm, const double* bs0,
 // heston_tpu.models.douglas.apply_dividend exactly (which itself
 // replicates ref: src/solver.hpp:382-425): new_s = s*(1-pct) - amount,
 // linear interpolation, idx == 0 -> left extrapolation, and for
-// new_s <= 0: zero (calls) or copy column 0 (puts).
+// new_s <= 0: zero (calls) or copy column 0 (puts). knock_top: re-knock
+// a top-knocked barrier's column ns-1 to 0 after the re-map (up-out /
+// double-out; a knocked BOTTOM needs nothing — the idx == 0
+// fall-through copies column 0, which is already 0).
 void apply_dividend_cpu(double* u, const double* vec_s, double amount,
-                        double pct, int64_t put, int64_t nv, int64_t ns,
-                        double* scratch_row) {
+                        double pct, int64_t put, int64_t knock_top,
+                        int64_t nv, int64_t ns, double* scratch_row) {
   const int64_t m1 = ns - 1;
   for (int64_t j = 0; j < nv; ++j) {
     double* row = u + j * ns;
@@ -175,6 +178,7 @@ void apply_dividend_cpu(double* u, const double* vec_s, double amount,
       if (new_s <= 0.0) out = put ? left : 0.0;
       scratch_row[i] = out;
     }
+    if (knock_top) scratch_row[ns - 1] = 0.0;
     std::memcpy(row, scratch_row, ns * sizeof(double));
   }
 }
@@ -408,9 +412,11 @@ void ht_do_solve(
 
 // Standalone dividend re-map (oracle for apply_dividend parity tests).
 void ht_apply_dividend(double* u, const double* vec_s, double amount,
-                       double pct, int64_t put, int64_t nv, int64_t ns) {
+                       double pct, int64_t put, int64_t knock_top,
+                       int64_t nv, int64_t ns) {
   std::vector<double> row(ns);
-  apply_dividend_cpu(u, vec_s, amount, pct, put, nv, ns, row.data());
+  apply_dividend_cpu(u, vec_s, amount, pct, put, knock_top, nv, ns,
+                     row.data());
 }
 
 // Batched Douglas loop with OpenMP over options — the CPU arm of the
@@ -438,7 +444,8 @@ void ht_do_solve_batch(
     const double* b1, const double* b2, int64_t american, const double* u0,
     int64_t n_events, const int64_t* ev_step, const double* ev_amount,
     const double* ev_pct, const double* vec_s, int64_t put,
-    double* u, double* lam, const int64_t* n_steps_per) {
+    double* u, double* lam, const int64_t* n_steps_per,
+    int64_t knock_top) {
   const int64_t m = nv * ns;
 #pragma omp parallel
   {
@@ -501,7 +508,8 @@ void ht_do_solve_batch(
           const int64_t n_ev = ev_step[e];
           while (e < n_events && ev_step[e] == n_ev) {
             apply_dividend_cpu(u_o, vec_s + o * ns, ev_amount[e],
-                               ev_pct[e], put, nv, ns, ws.row.data());
+                               ev_pct[e], put, knock_top, nv, ns,
+                               ws.row.data());
             ++e;
           }
           n_next = kl;

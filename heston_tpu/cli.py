@@ -73,7 +73,8 @@ def _configs(args):
         SolverConfig
 
     barrier = None
-    if args.barrier_kind is not None or args.barrier_level is not None:
+    if (args.barrier_kind is not None or args.barrier_level is not None
+            or args.barrier_level_hi is not None):
         if args.barrier_kind is None or args.barrier_level is None:
             raise SystemExit(
                 "--barrier-kind and --barrier-level must be given together")
@@ -446,8 +447,7 @@ def main(argv=None):
             surfaces, lambdas = jax.jit(
                 lambda: douglas.solve_with_tracking(
                     inst, solver, b_rate, american=args.american,
-                    dividends=divs, option_type=args.option_type,
-                    barrier=spec.barrier))()
+                    dividends=divs, option_type=args.option_type))()
             u, grid = surfaces[-1], inst.grid
             lam_path = hio.export_surface(
                 str(args.csv) + ".lambda.csv", grid,

@@ -87,6 +87,18 @@ class Barrier:
         """The BOTTOM s node is a knocked (Dirichlet-0) barrier column."""
         return self.kind in ("down-out", "double-out")
 
+    def mask_payoff(self, u):
+        """Zero the knocked column(s) along the LAST axis (the s axis)
+        of a payoff surface — THE masking rule every engine shares
+        (douglas.prepare_instance, pallas fused_do._prepare_batched);
+        a hand-copied divergence here would break the engines' bitwise
+        contract."""
+        if self.knock_top:
+            u = u.at[..., -1].set(0.0)
+        if self.knock_bottom:
+            u = u.at[..., 0].set(0.0)
+        return u
+
     @property
     def lo(self) -> float:
         """Lower end of the alive S domain (0 for up-out)."""

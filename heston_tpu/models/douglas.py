@@ -71,6 +71,7 @@ class PreparedInstance(NamedTuple):
     idx_s: Array     # spot node index (int32 scalar)
     idx_v: Array     # variance node index (int32 scalar)
     damp: Optional[DampOps] = None   # rannacher_steps > 0 only
+    barrier: object = None           # spec.barrier (knock-out re-knock)
 
 
 def prepare_instance(
@@ -147,15 +148,11 @@ def prepare_instance(
         (spec.m2 + 1, 1), grid.vec_s.dtype
     )
     if spec.barrier is not None:
-        # the knocked node(s) (top for up-out, bottom for down-out,
-        # both for double-out) are knocked out AT expiry too: Dirichlet
-        # 0 from payoff onward — this same masked u0 is the American
+        # the knocked node(s) are knocked out AT expiry too: Dirichlet 0
+        # from payoff onward — this same masked u0 is the American
         # exercise floor, so a knocked column can never be resurrected
-        # by the lambda step
-        if spec.barrier.knock_top:
-            u0 = u0.at[:, -1].set(0.0)
-        if spec.barrier.knock_bottom:
-            u0 = u0.at[:, 0].set(0.0)
+        # by the lambda step (shared rule: config.Barrier.mask_payoff)
+        u0 = spec.barrier.mask_payoff(u0)
     return PreparedInstance(
         grid=grid,
         ops=ops,
@@ -165,6 +162,7 @@ def prepare_instance(
         idx_s=find_node(grid.vec_s, s0),
         idx_v=find_node(grid.vec_v, v0),
         damp=damp,
+        barrier=spec.barrier,
     )
 
 
@@ -377,16 +375,16 @@ def run_time_loop(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     with_lambda: bool = False,
-    barrier=None,
 ):
     """Run all N DO steps (with dividend re-maps between segments, and
     the Rannacher start-up sub-steps when solver.rannacher_steps > 0);
     returns the terminal surface, or (u, lambda) when with_lambda=True.
 
-    barrier: pass spec.barrier whenever dividends are present — the
-    dividend re-map must re-knock the barrier column
-    (see apply_dividend); the steps themselves need nothing (the
-    knocked column of inst.u0 is preserved by every operator).
+    Knock-out re-knock at dividends comes from inst.barrier (set by
+    prepare_instance from spec.barrier — a forgotten thread-through
+    here once silently resurrected the knocked column at every event);
+    the steps themselves need nothing (the knocked column of inst.u0 is
+    preserved by every operator).
 
     `b_rate` scales the boundary vectors through time (r_f for calls —
     what every reference path passes — r_d for puts).
@@ -418,7 +416,8 @@ def run_time_loop(
         else:
             _, amount, pct = act
             carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
-                                    pct, option_type, barrier), carry[1])
+                                    pct, option_type, inst.barrier),
+                     carry[1])
     if with_lambda:
         return carry
     return carry[0]
@@ -431,7 +430,6 @@ def solve_with_tracking(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
-    barrier=None,
 ):
     """Run the time loop recording the full price surface (and the American
     lambda-multiplier surface) after every step — the TPU equivalent of the
@@ -475,8 +473,29 @@ def solve_with_tracking(
         else:
             _, amount, pct = act
             carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
-                                    pct, option_type, barrier), carry[1])
+                                    pct, option_type, inst.barrier),
+                     carry[1])
     return jnp.concatenate(chunks_u), jnp.concatenate(chunks_lam)
+
+
+def _validate_barrier_book(spec, s0, strikes) -> None:
+    """Loud host-side guard on barrier books (concrete inputs only —
+    traced calls, e.g. inside a vmap/jit of the caller, skip it; the
+    production entry points see concrete spots). The vanilla grid's
+    drop-the-spot quirk at s0 >= 8K is reference-faithful and stays
+    unguarded; the barrier cases are framework extensions where a
+    silent ~0 price would be a plain bug (grid.validate_book)."""
+    if spec.barrier is None:
+        return
+    import jax.core as _core
+
+    if isinstance(s0, _core.Tracer) or isinstance(strikes, _core.Tracer):
+        return
+    from heston_tpu.ops import grid as _gridmod
+    import numpy as _np
+
+    _gridmod.validate_book(spec, float(s0),
+                           _np.atleast_1d(_np.asarray(strikes, float)))
 
 
 def price_option(
@@ -502,13 +521,14 @@ def price_option(
     fields emerge from the full -r_d reaction (operators.build_a1_bands
     / build_a2_bands; b1 = b2 = 0); American puts — the canonical
     early-exercise case — run through the same lambda-multiplier LCP."""
+    _validate_barrier_book(spec, s0, strike)
     inst = prepare_instance(
         spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
         option_type,
     )
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type, barrier=spec.barrier)
+                      option_type)
     return u[inst.idx_v, inst.idx_s]
 
 
@@ -548,7 +568,7 @@ def price_and_v0_stencil(
     )
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type, barrier=spec.barrier)
+                      option_type)
     vv = inst.grid.vec_v
     j = jnp.clip(inst.idx_v, 1, spec.m2 - 1)
     h0 = vv[j] - vv[j - 1]
@@ -578,7 +598,7 @@ def price_surface(
     )
     b_rate = operators.boundary_rate(params.r_d, params.r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type, barrier=spec.barrier)
+                      option_type)
     return u, inst.grid
 
 
@@ -587,7 +607,7 @@ def price_surface(
     static_argnames=("spec", "solver", "american", "dividends",
                      "option_type"),
 )
-def price_batch(
+def _price_batch_impl(
     spec: GridSpec,
     solver: SolverConfig,
     strikes: Array,
@@ -603,11 +623,6 @@ def price_batch(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
 ) -> Array:
-    """Batched pricing over a strike vector (the reference's one-team-per-
-    option parallelism, ref: src/device_solver.hpp:53-185, as a vmap).
-
-    solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
-    (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path."""
     if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do, fused_single
 
@@ -637,6 +652,37 @@ def price_batch(
         )
 
     return jax.vmap(one)(strikes)
+
+
+def price_batch(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+) -> Array:
+    """Batched pricing over a strike vector (the reference's one-team-per-
+    option parallelism, ref: src/device_solver.hpp:53-185, as a vmap).
+
+    solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
+    (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path.
+
+    The barrier-book validation runs HERE, outside the jitted impl — a
+    guard inside the jit only ever sees tracers and silently skips
+    (caught in review: the gap-spot rejection never fired)."""
+    _validate_barrier_book(spec, s0, strikes)
+    return _price_batch_impl(
+        spec, solver, strikes, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        american=american, dividends=dividends, option_type=option_type)
 
 
 def price_batch_params(

@@ -331,7 +331,7 @@ def batch_greeks(
                     r_d, r_f, option_type)
                 u, lam = douglas.run_time_loop(
                     inst, sol_g, b_rate, american, dividends,
-                    option_type, with_lambda=True, barrier=spec.barrier)
+                    option_type, with_lambda=True)
                 return risk(u, lam, inst.ops, inst.grid.vec_s,
                             inst.grid.vec_v, inst.idx_s, inst.idx_v,
                             jnp.asarray(sol_g.n_steps, dtype))

@@ -64,13 +64,16 @@ def _insert_and_crop(nodes: jnp.ndarray, value) -> jnp.ndarray:
     largest, reproducing the reference's S_max-discarding quirk. Keeps
     the shape static for jit/vmap.
 
-    One divergence from the reference: if `value` is ALREADY a node
-    (bitwise), the nodes are returned unchanged. The reference's
-    push/sort/pop would keep both copies, and the zero spacing turns
-    every FD coefficient into NaN — a degenerate grid, not a behavior
-    worth reproducing. This happens in perfectly natural configurations:
-    an ATM up-out barrier at level = 2K makes the sinh domain symmetric
-    about the strike, so node m1/2 lands exactly on S_0 = K."""
+    One divergence from the reference: if `value` already coincides
+    with a node to within 1e-12 relative, the nodes are returned
+    unchanged. The reference's push/sort/pop would keep both copies,
+    and the (near-)zero spacing turns every FD coefficient into
+    NaN/garbage (weights ~1/h^2 explode) — a degenerate grid, not a
+    behavior worth reproducing. The near-collision happens in perfectly
+    natural configurations: an ATM up-out barrier at level = 2K makes
+    the sinh domain symmetric about the strike, so node m1/2 lands on
+    S_0 = K up to the arcsinh/sinh round-trip's ulp — a bitwise-only
+    guard would leave a 1e-14 spacing in the grid."""
     value = jnp.asarray(value, nodes.dtype)
     n = nodes.shape[0]
     idx = jnp.sum((nodes <= value).astype(jnp.int32))
@@ -78,7 +81,9 @@ def _insert_and_crop(nodes: jnp.ndarray, value) -> jnp.ndarray:
     shifted = jnp.concatenate([nodes[:1], nodes[:-1]])  # nodes[i-1]
     inserted = jnp.where(i < idx, nodes,
                          jnp.where(i == idx, value, shifted))
-    return jnp.where(jnp.any(nodes == value), nodes, inserted)
+    dup = jnp.any(jnp.abs(nodes - value)
+                  <= 1e-12 * jnp.maximum(1.0, jnp.abs(value)))
+    return jnp.where(dup, nodes, inserted)
 
 
 def _sinh_s_nodes(m1: int, s_lo, s_max, strike, c, dtype):
@@ -242,6 +247,30 @@ def validate_book(spec, s0: float, strikes) -> None:
             raise ValueError(
                 f"spot {s0} is at or below the {b.kind} barrier "
                 f"{b.level}; the option is knocked out (price 0)")
+        if b.knock_top:
+            # a top-knocked grid inserts S_0 among the LOWER m1 nodes
+            # only (the pinned barrier node must not move,
+            # make_barrier_s_nodes). A spot in the last raw cell — above
+            # the highest interior node but below the barrier — would be
+            # inserted at the end and itself cropped: absent from the
+            # grid, find_node falls back to index 0, and the book prices
+            # the s-domain's FIRST column (~0 for a call). Reject it
+            # loudly instead: it is an under-resolved configuration
+            # (raise m1 or the level to widen the last cell).
+            hi = b.hi(None)
+            cs = spec.c_mult * ks
+            lo_xi = np.arcsinh((b.lo - ks) / cs)
+            hi_xi = np.arcsinh((hi - ks) / cs)
+            top_inner = ks + cs * np.sinh(
+                lo_xi + (spec.m1 - 1) * (hi_xi - lo_xi) / spec.m1)
+            bad = ks[s0 > top_inner]
+            if bad.size:
+                raise ValueError(
+                    f"spot {s0} falls between the highest interior "
+                    f"s-node and the {b.kind} barrier {hi} for strikes "
+                    f"{bad.tolist()}: the spot node cannot be inserted "
+                    f"without moving the barrier. Increase m1 (finer "
+                    f"grid resolves the last cell) or move the barrier.")
 
 
 def find_node(nodes: jnp.ndarray, value, tol: float = 1e-10) -> jnp.ndarray:

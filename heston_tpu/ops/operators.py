@@ -150,7 +150,7 @@ def intrinsic_value(vec_s, strike, option_type: str):
 
 
 def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str,
-                   option_type: str = "call"):
+                   option_type: str = "call", barrier=None):
     """V-direction pentadiagonal bands, 1-D in the v index.
 
     variant="central": the v-major operator (no upwinding) used by the
@@ -176,6 +176,12 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str,
                  correct v_max far field (and makes the s = 0 column decay
                  at the full -r_d rate on every row, A1 + A2 supplying
                  -r_d/2 each) — no boundary injection vectors needed.
+                 TOP-KNOCKED barrier calls (up-out / double-out) extend
+                 the reaction the same way: their b2 injection is zeroed
+                 (build_boundary_vectors), so without the reaction the
+                 v_max rows would discount at only r_d/2 — the put
+                 argument applies verbatim (the top rows then evolve as
+                 the 1-D knock-out Black-Scholes far field at full -r_d).
     """
     m2 = grid.m2
     v = grid.vec_v
@@ -189,8 +195,10 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str,
     u2 = jnp.zeros(m2 + 1, dtype)
 
     # reaction term: rows 0..m2-2 (calls, reference-faithful) or all rows
-    # (puts — see docstring)
-    n_react = m2 + 1 if is_put(option_type) else m2 - 1
+    # (puts and top-knocked barrier calls — see docstring)
+    full_react = (is_put(option_type)
+                  or (barrier is not None and barrier.knock_top))
+    n_react = m2 + 1 if full_react else m2 - 1
     d = d.at[:n_react].add(-0.5 * r_d)
 
     # row 0: gamma one-sided stencil (v ~ 0), spacings Delta_v[1], Delta_v[2]
@@ -273,16 +281,12 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
     efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
 
     if barrier is not None and barrier.knock_top:
-        # an UP-out's (or double-out's) far s boundary IS the barrier:
-        # Dirichlet 0, so no
-        # injection anywhere (the barrier column starts at 0 — payoff
-        # masked — and every operator keeps a zero column at zero; the
-        # v_max row then evolves as the correct 1-D Black-Scholes
-        # knock-out far field, same argument as the put treatment
-        # below). A DOWN-out keeps the vanilla vectors: its far s
-        # boundary is the usual s_max, and its s = 0 row is replaced by
-        # the barrier node whose zero column no call/put vector injects
-        # into anyway.
+        # a top-knocked (up-out / double-out) far s boundary IS the
+        # barrier: Dirichlet 0, so no injection anywhere (the barrier
+        # column starts at 0 — payoff masked — and every operator keeps
+        # a zero column at zero; the v_max rows get the full -r_d
+        # reaction from build_a2_bands, the same injection-free far
+        # field as the put treatment below).
         z = jnp.zeros(shape, dtype)
         return z, z, z
 
@@ -294,9 +298,15 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
         flat = np.array([m1 * (j + 1) for j in range(m2 + 1)])
         rows = flat // (m1 + 1)
         cols = flat % (m1 + 1)
-        b1 = jnp.zeros(shape, dtype).at[rows, cols].set(
-            (r_d - r_f) * s[m1] * efac
-        )
+        vals = (r_d - r_f) * s[m1] * efac * jnp.ones((m2 + 1,), dtype)
+        if barrier is not None and barrier.knock_bottom:
+            # the reference's flat placement maps to (row j, col m1-j),
+            # which lands in COLUMN 0 at j = m1 whenever m2 >= m1 — for
+            # a down-out that column is the Dirichlet-0 barrier and must
+            # receive no injection
+            vals = jnp.where(jnp.asarray(cols) == 0,
+                             jnp.zeros((), dtype), vals)
+        b1 = jnp.zeros(shape, dtype).at[rows, cols].set(vals)
         # b2: top variance row (j = m2), s-nodes 1..m1
         b2 = jnp.zeros(shape, dtype).at[m2, 1:].set(
             -0.5 * r_d * s[1:] * efac)
@@ -350,7 +360,7 @@ def build_operators(
 
     # --- A2 ---
     a2_l2, a2_l1, a2_d, a2_u1, a2_u2 = build_a2_bands(
-        grid, r_d, kappa, eta, sigma, a2_variant, option_type
+        grid, r_d, kappa, eta, sigma, a2_variant, option_type, barrier
     )
     a2_il2 = -td * a2_l2
     a2_il1 = -td * a2_l1

@@ -294,7 +294,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, unroll: bool, div_plan=None,
                  n_events: int = 0, n_tangents: int = 0,
                  put: bool = False, per_lane_steps: bool = False,
-                 scheme: str = "do", barrier_pos: Optional[int] = None):
+                 scheme: str = "do",
+                 barrier_pos: "Optional[tuple[int, ...]]" = None):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
     segments with dividend re-maps between them. Each re-map is linear
@@ -531,9 +532,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         react_s2 = jnp.where(_s_iota == 0, a1qd_ref[0][None, :],
                              react_row[None, :])          # [ns, T]
         _v_iota = lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-        # A2 reaction rows: 0..m2-2 (calls) / all (puts) — exactly the
-        # rows build_a2_bands adds -r_d/2 to (operators.py:191-194)
-        n_react = nv if put else nv - 2
+        # A2 reaction rows: 0..m2-2 (calls) / all (puts AND top-knocked
+        # barriers) — exactly the rows build_a2_bands adds -r_d/2 to
+        knock_top = bool(barrier_pos) and (ns - 1) in barrier_pos
+        n_react = nv if (put or knock_top) else nv - 2
         react_v2 = jnp.where(_v_iota < n_react, react_row[None, :],
                              jnp.zeros_like(react_row)[None, :])
 
@@ -1057,7 +1059,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   unroll: bool = False, div_plan=None, n_events: int = 0,
                   n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0,
                   put: bool = False, per_lane_steps: bool = False,
-                  scheme: str = "do", barrier_pos: Optional[int] = None):
+                  scheme: str = "do",
+                  barrier_pos: "Optional[tuple[int, ...]]" = None):
     """pallas_call for the WHOLE batch: tiles are iterated by the pallas
     grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
     traffic; scratch is re-initialized per tile by the kernel).
@@ -1163,18 +1166,15 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         ops = operators.build_operators(
             g, kappa, eta, sigma, rho, r_d, r_f, solver.theta,
             solver.delta_t, nsf, solver.a2_variant,
-            option_type, k)
+            option_type, k, barrier)
         dtype = g.vec_s.dtype
         u0 = jnp.maximum(
             operators.intrinsic_value(g.vec_s[None, :], k, option_type),
             0.0) * jnp.ones((spec.m2 + 1, 1), dtype)
         if barrier is not None:
             # knocked at expiry too: Dirichlet 0 from the payoff onward
-            # (matches douglas.prepare_instance)
-            if barrier.knock_top:
-                u0 = u0.at[:, -1].set(0.0)
-            if barrier.knock_bottom:
-                u0 = u0.at[:, 0].set(0.0)
+            # (the rule shared with douglas.prepare_instance)
+            u0 = barrier.mask_payoff(u0)
         # separable A0 coefficient: rho*sigma*s (cols 1..m1-1) x v (rows
         # 1..m2-1); product equals ops.a0_c
         scol = rho * sigma * g.vec_s

@@ -187,7 +187,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         react_s = jnp.where(s_iota1 == 0, a1qd_ref[0, 0],
                             a1qd_ref[0, ns - 1])           # [1, ns]
         v_iota1 = lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-        n_react = nv if put else nv - 2
+        # puts AND top-knocked barriers take the full reaction (matches
+        # operators.build_a2_bands)
+        _ktop = bool(barrier_pos) and (ns - 1) in barrier_pos
+        n_react = nv if (put or _ktop) else nv - 2
         react_v = jnp.where(v_iota1 < n_react, a1qd_ref[0, ns - 1],
                             jnp.zeros((), dtype))          # [nv, 1]
 

@@ -51,13 +51,13 @@ def load() -> ctypes.CDLL:
     )
     lib.ht_omp_threads.restype = ctypes.c_int64
     lib.ht_apply_dividend.argtypes = [
-        _D, _D, ctypes.c_double, ctypes.c_double, _I, _I, _I]
+        _D, _D, ctypes.c_double, ctypes.c_double, _I, _I, _I, _I]
     lib.ht_do_solve_batch.argtypes = (
         [_I, _I, _I, _I, ctypes.c_double, ctypes.c_double, _I, _I,
          ctypes.c_double]
         + [_D] * 17 + [_I, _D]
         + [_I, ctypes.POINTER(ctypes.c_int64), _D, _D, _D, _I]
-        + [_D, _D, ctypes.POINTER(ctypes.c_int64)]
+        + [_D, _D, ctypes.POINTER(ctypes.c_int64), _I]
     )
     _lib = lib
     return lib
@@ -110,14 +110,16 @@ def omp_threads() -> int:
 
 
 def apply_dividend(u, vec_s, amount: float, pct: float,
-                   put: bool = False) -> np.ndarray:
-    """Native dividend re-map (oracle for douglas.apply_dividend)."""
+                   put: bool = False,
+                   knock_top: bool = False) -> np.ndarray:
+    """Native dividend re-map (oracle for douglas.apply_dividend);
+    knock_top re-knocks a top-knocked barrier's column ns-1."""
     lib = load()
     u = _f64(u).copy()
     vec_s = _f64(vec_s)
     nv, ns = u.shape
     lib.ht_apply_dividend(_ptr(u), _ptr(vec_s), amount, pct,
-                          1 if put else 0, nv, ns)
+                          1 if put else 0, 1 if knock_top else 0, nv, ns)
     return u
 
 
@@ -234,6 +236,8 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         1 if operators.is_put(option_type) else 0, _ptr(u), _ptr(lam),
         (nst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
          if nst is not None else None),
+        (1 if (spec.barrier is not None and spec.barrier.knock_top)
+         else 0),
     )
     iv = np.asarray(idx_v, dtype=np.int64)
     is_ = np.asarray(idx_s, dtype=np.int64)

@@ -154,7 +154,7 @@ def test_barrier_knocked_column_stays_zero():
         "call")
     surfaces, _ = douglas.solve_with_tracking(
         inst, sol, 0.0, american=True, dividends=divs,
-        option_type="call", barrier=spec.barrier)
+        option_type="call")
     assert np.max(np.abs(np.array(surfaces)[:, :, -1])) == 0.0
     # interior is alive
     assert float(surfaces[-1][inst.idx_v, inst.idx_s]) > 0.0
@@ -381,7 +381,7 @@ def test_double_barrier_knocked_columns_stay_zero():
         "call")
     surfaces, _ = douglas.solve_with_tracking(
         inst, sol, 0.0, american=True, dividends=divs,
-        option_type="call", barrier=spec.barrier)
+        option_type="call")
     assert np.max(np.abs(np.array(surfaces)[:, :, -1])) == 0.0
     assert np.max(np.abs(np.array(surfaces)[:, :, 0])) == 0.0
     assert float(surfaces[-1][inst.idx_v, inst.idx_s]) > 0.0
@@ -405,6 +405,55 @@ def test_double_barrier_pde_vs_mc_full_heston():
         scheme="truncation", antithetic=True, barrier=b)
     assert abs(pde - float(price)) < 3.0 * float(half) + 0.03, (
         pde, float(price), float(half))
+
+
+def test_barrier_gap_spot_rejected():
+    """A spot between the highest interior s-node and a top-knocked
+    barrier cannot be inserted (the pinned barrier node must not move)
+    — the book must be rejected LOUDLY instead of pricing the s=0
+    column (~0) via find_node's index-0 fallback."""
+    spec = GridSpec(m1=40, m2=12, barrier=Barrier("up-out", 130.0))
+    sol = SolverConfig(n_steps=8)
+    args = (1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
+    with pytest.raises(ValueError, match="highest interior"):
+        douglas.price_option(spec, sol, 100.0, 128.5, *args)
+    with pytest.raises(ValueError, match="highest interior"):
+        douglas.price_batch(spec, sol, jnp.array([100.0]), 128.5, *args)
+    # a resolvable spot passes, and a finer grid resolves the same spot
+    douglas.price_option(spec, sol, 100.0, 126.0, *args)
+    fine = GridSpec(m1=200, m2=12, barrier=Barrier("up-out", 130.0))
+    p = float(douglas.price_option(fine, sol, 100.0, 128.5, *args))
+    assert p > 0.0
+
+
+def test_barrier_native_cpu_engine_matches():
+    """The native C++ OpenMP engine prices knock-out books (barrier-
+    aware operator assembly + the remap re-knock flag) equal to the XLA
+    path at 1e-12."""
+    from heston_tpu.utils import native
+
+    sol = SolverConfig(n_steps=10)
+    args = (100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R, 0.0)
+    ks = jnp.array([95.0, 105.0])
+    divs = DividendSchedule(dates=(0.35,), amounts=(1.0,),
+                            percentages=(0.01,))
+    for b in (Barrier("up-out", 140.0), Barrier("down-out", 70.0),
+              Barrier("double-out", 70.0, 140.0)):
+        spec = GridSpec(m1=40, m2=12, barrier=b)
+        want = np.array(douglas.price_batch(
+            spec, sol, ks, *args, american=True, dividends=divs))
+        got = native.price_batch_cpu(
+            spec, sol, np.array(ks), *args, american=True,
+            dividends=divs)
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=b.kind)
+    # the re-knock flag is what keeps the top column dead: without it
+    # the native remap refills it
+    u = np.zeros((5, 8)); u[:, :-1] = 50.0; u[:, -1] = 0.0
+    vec_s = np.linspace(60.0, 130.0, 8)
+    out = native.apply_dividend(u, vec_s, 5.0, 0.0, knock_top=True)
+    assert np.all(out[:, -1] == 0.0)
+    out2 = native.apply_dividend(u, vec_s, 5.0, 0.0)
+    assert np.any(out2[:, -1] != 0.0)
 
 
 def test_double_barrier_validation():

@@ -427,7 +427,7 @@ def test_price_batch_dispatches_single(params, monkeypatch):
     ks = jnp.array([100.0], dtype=jnp.float64)
     args = tuple(jnp.float64(a) for a in (
         100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f))
-    got = np.array(douglas.price_batch.__wrapped__(
+    got = np.array(douglas._price_batch_impl.__wrapped__(
         SPEC, solver, ks, *args))
     assert called.get("yes")
     xla_solver = dataclasses.replace(solver, solver_engine="scan")
