@@ -106,6 +106,9 @@ def main(argv=None):
                    choices=["none", "golden", "calib"])
     p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
     p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--knock-in", action="store_true",
+                   help="knock-IN via in-out parity (European only; "
+                        "requires --barrier-kind/--barrier-level)")
 
     p = sub.add_parser("calibrate", help="run a calibration scenario")
     _add_common(p)
@@ -168,6 +171,9 @@ def main(argv=None):
     p.add_argument("--antithetic", action="store_true",
                    help="antithetic variates (halves the CI width per "
                         "path budget)")
+    p.add_argument("--knock-in", action="store_true",
+                   help="price the knock-IN leg (European only; "
+                        "requires --barrier-kind/--barrier-level)")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser("risk", help="book-level risk (price/delta/gamma/"
@@ -233,11 +239,25 @@ def main(argv=None):
         # route through price_batch_params so the standard dispatch gate
         # applies (DO/CS/MCS/HV fused kernel, VMEM fit, XLA fallback)
         engine = "pallas" if args.engine == "pallas" else "scan"
-        prices = douglas.price_batch_params(
-            spec, dataclasses.replace(solver, solver_engine=engine),
-            strikes, args.spot, params,
-            american=args.american, dividends=divs,
-            option_type=args.option_type)
+        sol_p = dataclasses.replace(solver, solver_engine=engine)
+        if args.knock_in:
+            if spec.barrier is None:
+                raise SystemExit(
+                    "--knock-in needs --barrier-kind/--barrier-level "
+                    "(the knock trigger)")
+            if args.american:
+                raise SystemExit(
+                    "--knock-in is European only (early exercise breaks "
+                    "in-out parity)")
+            prices = douglas.price_knock_in(
+                spec, sol_p, strikes, args.spot, *params.bumpable(),
+                params.r_d, params.r_f, dividends=divs,
+                option_type=args.option_type)
+        else:
+            prices = douglas.price_batch_params(
+                spec, sol_p, strikes, args.spot, params,
+                american=args.american, dividends=divs,
+                option_type=args.option_type)
         for k, v in zip(args.strikes, np.asarray(prices)):
             print(json.dumps({"strike": k, "price": float(v)}))
 
@@ -335,10 +355,11 @@ def main(argv=None):
         if args.mc_steps is not None and args.mc_steps < 1:
             raise SystemExit("--mc-steps must be >= 1")
         if args.american:
-            if spec.barrier is not None:
+            if spec.barrier is not None or args.knock_in:
                 raise SystemExit(
-                    "mc --barrier-* supports European options only "
-                    "(the LSMC American pricer has no knock-out variant)")
+                    "mc --barrier-*/--knock-in support European options "
+                    "only (the LSMC American pricer has no barrier "
+                    "variant)")
             n = args.mc_steps if args.mc_steps is not None else 50
             price, half = mc_mod.price_american_lsmc(
                 *margs, num_paths=args.paths, n_steps=n,
@@ -348,11 +369,14 @@ def main(argv=None):
             n = (args.mc_steps if args.mc_steps is not None
                  else max(1, int(mc_mod.N_STEPS_PER_YEAR
                                  * args.maturity)))
+            if args.knock_in and spec.barrier is None:
+                raise SystemExit(
+                    "--knock-in needs --barrier-kind/--barrier-level")
             price, half = mc_mod.price_european_call_mc(
                 *margs, num_paths=args.paths, n_steps=n,
                 scheme=args.scheme_mc, option_type=args.option_type,
                 dividends=divs, antithetic=args.antithetic,
-                barrier=spec.barrier)
+                barrier=spec.barrier, knock_in=args.knock_in)
         print(json.dumps({
             "strike": args.strike, "price": float(price),
             "ci95_half_width": float(half), "paths": args.paths,

@@ -685,6 +685,52 @@ def price_batch(
         american=american, dividends=dividends, option_type=option_type)
 
 
+def price_knock_in(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strikes: Array,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+) -> Array:
+    """European knock-IN barrier prices via in–out parity:
+    KI = vanilla − KO (framework extension). The parity is exact
+    PATH-WISE under continuous monitoring — every path either touches
+    the barrier (pays the KI payoff) or doesn't (pays the KO payoff) —
+    so it holds under any dynamics, discrete dividends included.
+
+    spec.barrier names the knock trigger (its "-out" kind; e.g. an
+    up-and-in call passes Barrier("up-out", level)). No American
+    variant: early exercise breaks the parity (an American KI is a
+    genuinely path-dependent exercise problem).
+
+    The two legs run on their own grids (the KO's truncated alive
+    domain vs the vanilla's [0, s_max_mult*K]), so a few-per-mille
+    discretization mismatch between legs is inherent at coarse grids —
+    it vanishes under refinement, and `mc.price_european_call_mc(
+    barrier=..., knock_in=True)` is the single-estimator cross-check."""
+    if spec.barrier is None:
+        raise ValueError(
+            "price_knock_in needs spec.barrier (the knock trigger)")
+    import dataclasses
+
+    vanilla = price_batch(
+        dataclasses.replace(spec, barrier=None), solver, strikes, s0,
+        kappa, eta, sigma, rho, v0, r_d, r_f,
+        dividends=dividends, option_type=option_type)
+    ko = price_batch(
+        spec, solver, strikes, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        dividends=dividends, option_type=option_type)
+    return vanilla - ko
+
+
 def price_batch_params(
     spec: GridSpec,
     solver: SolverConfig,

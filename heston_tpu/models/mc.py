@@ -301,6 +301,7 @@ def price_european_call_mc(
     dividends=None,
     antithetic: bool = False,
     barrier=None,
+    knock_in: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (price, 95% confidence half-width).
 
@@ -327,15 +328,21 @@ def price_european_call_mc(
     (variance reduction; even num_paths). `barrier`: a config.Barrier —
     continuously-monitored knock-out via per-step Brownian-bridge
     survival weights (see _simulate); the independent full-Heston
-    cross-check of the PDE's barrier domain truncation."""
+    cross-check of the PDE's barrier domain truncation. knock_in=True
+    (requires barrier) weights by 1 - survival instead — the SAME paths
+    price the knock-in, so MC(KI) + MC(KO) == MC(vanilla) exactly at
+    any seed (in-out parity holds estimator-wise, not just in
+    expectation)."""
     if scheme == "auto":
         scheme = select_scheme(kappa, eta, sigma)
+    if knock_in and barrier is None:
+        raise ValueError("knock_in=True needs a barrier (the trigger)")
     mult, sub, has_ev = _dividend_jumps(dividends, t, n_steps)
     return _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma,
                          rho, t, mult, sub, has_ev,
                          num_paths=num_paths, n_steps=n_steps,
                          scheme=scheme, option_type=option_type,
-                         antithetic=antithetic,
+                         antithetic=antithetic, knock_in=knock_in,
                          barrier_kind=None if barrier is None
                          else barrier.kind,
                          barrier_level=0.0 if barrier is None
@@ -348,12 +355,12 @@ def price_european_call_mc(
 @functools.partial(jax.jit,
                    static_argnames=("num_paths", "n_steps", "scheme",
                                     "option_type", "antithetic",
-                                    "barrier_kind"))
+                                    "barrier_kind", "knock_in"))
 def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                   mult, sub, has_ev, num_paths: int, n_steps: int,
                   scheme: str, option_type: str, antithetic: bool = False,
                   barrier_kind: str | None = None, barrier_level=0.0,
-                  barrier_level_hi=0.0):
+                  barrier_level_hi=0.0, knock_in: bool = False):
     s_fin, _, surv = _simulate(key, s0, v0, r_d, r_f, kappa, eta, sigma,
                                rho, t, mult, sub, has_ev, num_paths,
                                n_steps, scheme, keep_panel=False,
@@ -363,7 +370,8 @@ def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                                barrier_level_hi=barrier_level_hi)
     disc = jnp.exp(-r_d * t)
     intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
-    payoff = disc * jnp.maximum(intrinsic, 0.0) * surv
+    weight = (1.0 - surv) if knock_in else surv
+    payoff = disc * jnp.maximum(intrinsic, 0.0) * weight
     return _mc_mean_ci(payoff, num_paths, antithetic)
 
 

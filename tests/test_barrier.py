@@ -456,6 +456,64 @@ def test_barrier_native_cpu_engine_matches():
     assert np.any(out2[:, -1] != 0.0)
 
 
+def test_knock_in_parity_and_limits():
+    """Knock-IN via in-out parity: MC(KI) + MC(KO) == MC(vanilla)
+    EXACTLY at the same seed (same paths, complementary weights); the
+    PDE KI matches the MC KI under full Heston; and the limits hold
+    (trigger near the spot -> KI ~ vanilla; trigger far -> KI ~ 0)."""
+    import jax
+
+    from heston_tpu.models import mc
+
+    b = Barrier("up-out", 130.0)
+    key = jax.random.PRNGKey(5)
+    margs = (100.0, 0.04, 100.0, R, 0.0, 1.5, 0.04, 0.3, -0.9, 1.0)
+    kw = dict(num_paths=100_000, n_steps=350, scheme="truncation")
+    ko, _ = mc.price_european_call_mc(key, *margs, **kw, barrier=b)
+    ki, ki_half = mc.price_european_call_mc(key, *margs, **kw, barrier=b,
+                                            knock_in=True)
+    van, _ = mc.price_european_call_mc(key, *margs, **kw)
+    assert float(ki) + float(ko) == pytest.approx(float(van), abs=1e-12)
+
+    # PDE KI (two-leg parity with per-leg grids) vs the MC KI
+    spec = GridSpec(m1=120, m2=32, barrier=b)
+    sol = SolverConfig(n_steps=48, scheme="hv", rannacher_steps=2)
+    pde_ki = float(douglas.price_knock_in(
+        spec, sol, jnp.array([100.0]), 100.0, 1.5, 0.04, 0.3, -0.9,
+        0.04, R, 0.0)[0])
+    assert abs(pde_ki - float(ki)) < 3.0 * float(ki_half) + 0.05, (
+        pde_ki, float(ki))
+
+    # limits (coarser grids suffice)
+    csol = SolverConfig(n_steps=24)
+    van_pde = float(douglas.price_batch(
+        GridSpec(m1=60, m2=16), csol, jnp.array([100.0]), 100.0, 1.5,
+        0.04, 0.3, -0.9, 0.04, R, 0.0)[0])
+    near = float(douglas.price_knock_in(
+        GridSpec(m1=60, m2=16, barrier=Barrier("up-out", 104.0)), csol,
+        jnp.array([100.0]), 100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R,
+        0.0)[0])
+    far = float(douglas.price_knock_in(
+        GridSpec(m1=60, m2=16, barrier=Barrier("up-out", 400.0)), csol,
+        jnp.array([100.0]), 100.0, 1.5, 0.04, 0.3, -0.9, 0.04, R,
+        0.0)[0])
+    assert abs(near - van_pde) < 0.05 * van_pde
+    # `far` can dip slightly NEGATIVE: the parity's two legs discretize
+    # different domains (KO on [0, 400] resolves finer than the
+    # vanilla's [0, 8K]), so the ~0 true KI is swamped by the
+    # few-per-mille leg mismatch the docstring warns about
+    assert abs(far) < 0.01 * van_pde
+
+    with pytest.raises(ValueError, match="barrier"):
+        douglas.price_knock_in(GridSpec(m1=60, m2=16), csol,
+                               jnp.array([100.0]), 100.0, 1.5, 0.04,
+                               0.3, -0.9, 0.04, R, 0.0)
+    with pytest.raises(ValueError, match="knock_in"):
+        mc.price_european_call_mc(key, *margs, num_paths=1000,
+                                  n_steps=10, scheme="truncation",
+                                  knock_in=True)
+
+
 def test_double_barrier_validation():
     with pytest.raises(ValueError, match="level_hi"):
         Barrier("double-out", 100.0)
