@@ -121,6 +121,9 @@ def main(argv=None):
                    help="shard the option book over all devices")
     p.add_argument("--device-loop", action="store_true",
                    help="run the whole LM loop on-chip (calibrate_device)")
+    p.add_argument("--weighting", default="none", choices=["none", "vega"],
+                   help="least-squares weights: 'vega' = 1/vega^2 "
+                        "(implied-vol objective to first order)")
 
     p = sub.add_parser("bench", help="batch-size benchmark sweep")
     _add_common(p)
@@ -272,7 +275,8 @@ def main(argv=None):
         result, wall = scenarios.run_scenario(
             args.scenario, spec=spec, solver=solver, init=params,
             steps_per_year=args.n_steps, csv_path=args.csv,
-            pricing_fns=pricing_fns, device_loop=args.device_loop)
+            pricing_fns=pricing_fns, device_loop=args.device_loop,
+            weighting=args.weighting)
         print(json.dumps({
             "scenario": args.scenario, "iterations": result.iterations,
             "sse": result.final_error, "wall_s": wall,

@@ -66,6 +66,12 @@ class CalibrationTargets:
     dividends: Optional[DividendSchedule] = None
     option_type: str = "call"   # "put" = framework extension (ref is
                                 # calls-only, src/bs.hpp:44)
+    # Optional per-point least-squares weights w_i >= 0: the objective
+    # becomes sum_i w_i r_i^2 (None = all ones = the reference's
+    # unweighted price objective, src/heston_calibration.cpp:271-327).
+    # Framework extension; see `vega_weights` for the market-standard
+    # 1/vega^2 choice that fits implied vols to first order.
+    weights: Optional[np.ndarray] = None
 
     def groups(self) -> List[Tuple[float, np.ndarray]]:
         """(maturity, point-index array) per distinct maturity, in order."""
@@ -245,18 +251,67 @@ def base_prices(
 
 
 @jax.jit
-def lm_update(jac: Array, residual: Array, lam) -> Array:
-    """Damped normal-equations step: solve (JtJ * (1+lam on diag)) d = Jtr
-    (ref: src/jacobian_computation.cpp:107-195)."""
-    jtj = jac.T @ jac
+def lm_update(jac: Array, residual: Array, lam, weights=None) -> Array:
+    """Damped normal-equations step: solve (JtWJ * (1+lam on diag)) d = JtWr
+    (ref: src/jacobian_computation.cpp:107-195; `weights` extends the
+    reference's unweighted objective to sum_i w_i r_i^2 — None keeps
+    exact reference behavior)."""
+    wjac = jac if weights is None else jac * weights[:, None]
+    jtj = wjac.T @ jac
     jtj = jtj * (1.0 + lam * jnp.eye(N_PARAMS, dtype=jac.dtype))
-    jtr = jac.T @ residual
+    jtr = wjac.T @ residual
     return jnp.linalg.solve(jtj, jtr)
+
+
+def vega_weights(targets: "CalibrationTargets",
+                 floor_frac: float = 0.05) -> np.ndarray:
+    """Market-standard 1/vega^2 calibration weights (framework extension).
+
+    To first order r_i = vega_i * (iv_model - iv_market), so weighting the
+    price residuals by 1/vega_i^2 makes the LM objective the sum of squared
+    IMPLIED-VOL errors — the quoting convention desks calibrate to. The
+    reference's unweighted price objective (src/heston_calibration.cpp:
+    271-327) over-weights deep ITM points whose prices are large but whose
+    vol content is small.
+
+    Vega is evaluated at each point's market implied vol (per-point
+    maturity; escrowed-dividend-adjusted spot exactly as the reference's
+    IV exports, src/heston_calibration.cpp:1500-1529; put prices convert
+    through parity first). Weights are floored at (floor_frac * max_vega)
+    ^-2 so far-OTM points cannot blow up the objective, and normalized to
+    mean 1 (pure rescaling of the SSE; keeps cfg.tol meaningful).
+    """
+    from heston_tpu.models import bs
+
+    ks = np.asarray(targets.strikes, np.float64)
+    ts = np.asarray(targets.maturities, np.float64)
+    ps = np.asarray(targets.prices, np.float64)
+    vegas = np.empty_like(ks)
+    for i in range(len(ks)):
+        s_adj = targets.s0
+        if targets.dividends is not None:
+            s_adj = float(bs.escrowed_spot(
+                targets.s0, ts[i], targets.r_d,
+                np.asarray(targets.dividends.dates),
+                np.asarray(targets.dividends.amounts),
+                np.asarray(targets.dividends.percentages)))
+        p_call = ps[i]
+        if targets.option_type == "put":
+            p_call = float(bs.put_to_call_parity(
+                ps[i], s_adj, ks[i], targets.r_d, ts[i]))
+        # intrinsic floor: a price at/below intrinsic has no vol content;
+        # leave vega at the ATM-ish Newton start rather than failing
+        iv = float(bs.implied_vol(p_call, s_adj, ks[i], targets.r_d, ts[i]))
+        vegas[i] = float(bs.call_vega(s_adj, ks[i], targets.r_d,
+                                      max(iv, 1e-4), ts[i]))
+    floor = floor_frac * float(np.max(vegas))
+    w = 1.0 / np.maximum(vegas, floor) ** 2
+    return w / w.mean()
 
 
 def lm_host_loop(market, cfg: CalibrationConfig, state, eval_step,
                  eval_prices, checkpoint_path=None, pkey: str = "",
-                 verbose: bool = False):
+                 verbose: bool = False, weights=None):
     """THE damped accept/reject Levenberg–Marquardt loop (clamps,
     Marquardt damping schedule, convergence tests, per-iteration
     checkpointing, resume-finished repricing) shared by the host driver
@@ -269,6 +324,10 @@ def lm_host_loop(market, cfg: CalibrationConfig, state, eval_step,
     current_error float): one Jacobian pass + damped normal-equation
     solve, however the caller distributes it.
     eval_prices(theta_vec) -> [n] np: trial pricing.
+    weights (optional [n]): least-squares weights — the trial error the
+    accept/reject test uses becomes sum w_i r_i^2. Callers that pass
+    weights here must weight eval_step's current_error/normal equations
+    the same way (one objective everywhere).
 
     `state` is a checkpoint.LMState (fresh or resumed). Returns
     (theta_vec, lam, iters, final_error, converged, history, fitted)."""
@@ -312,7 +371,9 @@ def lm_host_loop(market, cfg: CalibrationConfig, state, eval_step,
 
         new_prices = eval_prices(new_vec)
         new_resid = market - new_prices
-        new_error = float(new_resid @ new_resid)
+        new_error = (float(new_resid @ new_resid) if weights is None
+                     else float(new_resid @ (np.asarray(weights)
+                                             * new_resid)))
         accepted = new_error < current_error
         if accepted:
             theta_vec = new_vec
@@ -406,6 +467,7 @@ def calibrate_device(
     group_steps: Tuple[Tuple[int, int, int], ...] = (),
     pricer: str = "pde",
     option_type: str = "call",
+    weights: Optional[Array] = None,
 ):
     """Device-resident Levenberg-Marquardt: the ENTIRE iteration loop runs
     inside one jitted lax.while_loop — Jacobian fleet, damped 5x5 solve,
@@ -424,6 +486,11 @@ def calibrate_device(
     ref: src/heston_calibration.cpp:2165-2213). Empty means a single group
     with solver.n_steps.
 
+    `weights` (optional [n_points], traced): least-squares weights — the
+    on-chip objective, normal equations and accept/reject all use
+    sum w_i r_i^2 (None = the reference's unweighted objective; see
+    `vega_weights`).
+
     Returns (theta_vec, info_dict). Besides the scalar fields, the dict
     carries info["history"]: per-iteration error/lam/accepted/params rows
     in preallocated [cfg.max_iter] arrays (rows past info["iterations"]
@@ -432,6 +499,10 @@ def calibrate_device(
     """
     dtype = jnp.result_type(strikes.dtype, jnp.float32)
     market = market_prices.astype(dtype)
+    wvec = None if weights is None else weights.astype(dtype)
+    if wvec is not None and wvec.shape != market.shape:
+        raise ValueError(
+            f"weights shape {wvec.shape} != market shape {market.shape}")
     validate_group_steps(group_steps, int(strikes.shape[0]))
     groups = group_steps or ((0, int(strikes.shape[0]), solver.n_steps),)
 
@@ -599,11 +670,13 @@ def calibrate_device(
         tv, lam, final_error, it, converged, fitted, hist = state
         jac, base = fleet_jacobian(tv)
         resid = market - base
-        current_error = resid @ resid
+        wres = resid if wvec is None else wvec * resid
+        current_error = resid @ wres
 
-        jtj = jac.T @ jac
+        wjac = jac if wvec is None else jac * wvec[:, None]
+        jtj = wjac.T @ jac
         jtj = jtj * (1.0 + lam * jnp.eye(N_PARAMS, dtype=jac.dtype))
-        delta = jnp.linalg.solve(jtj, jac.T @ resid)
+        delta = jnp.linalg.solve(jtj, wjac.T @ resid)
         new_vec = _clamp_vec_traced(tv + delta, cfg)
         delta_norm = jnp.linalg.norm(delta)
 
@@ -611,7 +684,8 @@ def calibrate_device(
 
         trial = fleet_prices(new_vec)
         new_resid = market - trial
-        new_error = new_resid @ new_resid
+        new_error = new_resid @ (new_resid if wvec is None
+                                 else wvec * new_resid)
         accept = new_error < current_error
 
         tv_next = jnp.where(conv_now | accept, new_vec, tv)
@@ -714,10 +788,17 @@ def calibrate(
     # the key fingerprints the PROBLEM, not the LM hyperparameters:
     # resuming with a larger max_iter (or looser tol) is the normal
     # continuation pattern and must load cleanly
+    weights = (None if targets.weights is None
+               else np.asarray(targets.weights, np.float64))
+    if weights is not None and (weights.shape != market.shape
+                                or np.any(weights < 0)):
+        raise ValueError(
+            f"weights must be >= 0 with shape {market.shape}; got shape "
+            f"{weights.shape}")
     pkey = problem_key(targets.strikes, targets.prices,
                        targets.maturities, targets.s0, targets.r_d,
                        targets.r_f, targets.american,
-                       targets.option_type, spec, solver, spy)
+                       targets.option_type, spec, solver, spy, weights)
     state = LMState.fresh(init, cfg.lambda_init)
     state.key = pkey
     state = state.maybe_resume(checkpoint_path)
@@ -751,15 +832,17 @@ def calibrate(
     def eval_step(tv, lam_):
         J, base = eval_jacobian(tv)
         residual = market - base
-        current_error = float(residual @ residual)
-        delta = np.asarray(lm_update(jnp.asarray(J), jnp.asarray(residual),
-                                     lam_))
+        current_error = (float(residual @ residual) if weights is None
+                         else float(residual @ (weights * residual)))
+        delta = np.asarray(lm_update(
+            jnp.asarray(J), jnp.asarray(residual), lam_,
+            weights=None if weights is None else jnp.asarray(weights)))
         return delta, base, current_error
 
     (theta_vec, lam, iters, final_error, converged, history, fitted
      ) = lm_host_loop(market, cfg, state, eval_step, eval_prices,
                       checkpoint_path=checkpoint_path, pkey=pkey,
-                      verbose=verbose)
+                      verbose=verbose, weights=weights)
 
     calibrated = dataclasses.replace(
         init, kappa=float(theta_vec[0]), eta=float(theta_vec[1]),

@@ -356,6 +356,7 @@ def jacobian_normal_eq_sharded(
     option_type: str = "call",
     jacobian_mode: Optional[str] = None,
     group_steps=(),
+    weights=None,
 ):
     """One fully-distributed LM linear-algebra step.
 
@@ -368,12 +369,21 @@ def jacobian_normal_eq_sharded(
     group_steps: optional static (start, end, n_steps) maturity-ladder
     slices (see models.calibration.calibrate_device). With the fused
     engine each shard prices + differentiates its slice of the WHOLE
-    ladder in ONE forward-mode launch (per-lane step counts)."""
+    ladder in ONE forward-mode launch (per-lane step counts).
+
+    weights (optional [n]): least-squares weights — the psum'd normal
+    equations and SSE become J^T diag(w) J, J^T diag(w) r, sum w_i r_i^2
+    (they ride the same per-point channel that zero-weights the padded
+    lanes; the channel carries sqrt(w) because _normal_eq_local applies
+    it to BOTH J and r)."""
     n_dev = mesh.devices.size
     padded_k, n = _pad_to(jnp.asarray(strikes), n_dev)
     padded_m, _ = _pad_to(jnp.asarray(market_prices), n_dev)
     dtype = padded_k.dtype
     valid = (jnp.arange(padded_k.shape[0]) < n).astype(dtype)
+    if weights is not None:
+        wpad, _ = _pad_to(jnp.asarray(weights, dtype), n_dev)
+        valid = valid * jnp.sqrt(wpad)
     if group_steps:
         from heston_tpu.pallas import fused_do
 
@@ -533,6 +543,7 @@ def calibrate_sharded(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     checkpoint_path: Optional[str] = None,
+    weights=None,
 ):
     """Distributed Levenberg–Marquardt calibration: the whole (possibly
     mixed-maturity) chain stays sharded over the mesh for every pass —
@@ -546,6 +557,10 @@ def calibrate_sharded(
     checkpoint_path: persist the LM state after every iteration and
     resume a pre-existing file (same crash-recovery facility as the
     single-device host driver).
+
+    weights (optional [n]): least-squares weights (sum w_i r_i^2
+    objective end to end — psum'd normal equations, SSE, accept/reject;
+    see models.calibration.vega_weights).
 
     Returns (theta_vec [5], info dict with iterations / final_error /
     converged / history)."""
@@ -566,10 +581,16 @@ def calibrate_sharded(
     # cast to the live jnp float dtype themselves)
     ks = jnp.asarray(strikes, jnp.result_type(float))
     market = np.asarray(market_prices, np.float64)
+    w_np = None if weights is None else np.asarray(weights, np.float64)
+    if w_np is not None and (w_np.shape != market.shape
+                             or np.any(w_np < 0)):
+        raise ValueError(
+            f"weights must be >= 0 with shape {market.shape}; got shape "
+            f"{w_np.shape}")
     # fingerprints the PROBLEM, not the LM hyperparameters (resuming
     # with a larger max_iter is the normal continuation pattern)
     pkey = problem_key(ks, market, s0, r_d, r_f, american,
-                       option_type, spec, solver, group_steps)
+                       option_type, spec, solver, group_steps, w_np)
     state = LMState(np.asarray(init_vec, np.float64), cfg.lambda_init,
                     0, float("inf"), False, [], key=pkey
                     ).maybe_resume(checkpoint_path)
@@ -586,7 +607,8 @@ def calibrate_sharded(
             jnp.asarray(tv), r_d, r_f, lam=lam_, eps=cfg.eps,
             american=american, dividends=dividends,
             option_type=option_type, jacobian_mode=cfg.jacobian_mode,
-            group_steps=group_steps)
+            group_steps=group_steps,
+            weights=None if w_np is None else jnp.asarray(w_np))
         return np.asarray(delta), np.asarray(base), float(sse)
 
     # the accept/reject loop, damping schedule, checkpointing and
@@ -595,7 +617,7 @@ def calibrate_sharded(
     (theta_vec, lam, iters, final_error, converged, history, fitted
      ) = calibration.lm_host_loop(
         market, cfg, state, eval_step, price,
-        checkpoint_path=checkpoint_path, pkey=pkey)
+        checkpoint_path=checkpoint_path, pkey=pkey, weights=w_np)
     return jnp.asarray(theta_vec), dict(
         iterations=iters, final_error=final_error, converged=converged,
         fitted_prices=fitted, history=history)

@@ -176,13 +176,23 @@ def run_scenario(
     pricing_fns=None,
     verbose: bool = True,
     device_loop: bool = False,
+    weighting: str = "none",
 ):
     """device_loop=True runs the fully on-chip LM (calibrate_device) —
-    one jitted while_loop, no host round-trips per iteration."""
+    one jitted while_loop, no host round-trips per iteration.
+
+    weighting="vega" fits with the market-standard 1/vega^2 weights
+    (implied-vol objective to first order; calibration.vega_weights) —
+    framework extension over the reference's unweighted price SSE."""
     scenario = SCENARIOS[name]
     targets = scenario.build_targets(
         spec=spec, solver=solver,
         steps_per_year=steps_per_year or solver.n_steps)
+    if weighting == "vega":
+        targets = dataclasses.replace(
+            targets, weights=calib.vega_weights(targets))
+    elif weighting != "none":
+        raise ValueError(f"unknown weighting {weighting!r}")
     cfg = CalibrationConfig(max_iter=scenario.max_iter, tol=scenario.tol)
     import jax
 
@@ -203,7 +213,9 @@ def run_scenario(
             jnp.asarray(init.bumpable()), targets.r_d, targets.r_f,
             cfg=cfg, american=targets.american,
             dividends=targets.dividends, group_steps=groups,
-            option_type=targets.option_type)
+            option_type=targets.option_type,
+            weights=None if targets.weights is None
+            else jnp.asarray(targets.weights))
         tv = np.asarray(tv)
         result = calib.CalibrationResult(
             params=dataclasses.replace(

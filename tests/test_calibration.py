@@ -299,3 +299,176 @@ def test_device_lm_returns_iteration_history(params):
     for i in range(1, it):
         if acc[i - 1]:
             assert err[i] <= err[i - 1] + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Weighted least squares (framework extension: sum w_i r_i^2 objective)
+# ---------------------------------------------------------------------------
+
+
+def test_vega_weights_properties(params):
+    """1/vega^2 weights: positive, mean-1 normalized, minimal at the
+    ATM point (max vega) and larger on the wings, floor-capped."""
+    targets = _make_targets(params)
+    w = calib.vega_weights(targets)
+    assert w.shape == targets.prices.shape
+    assert np.all(w > 0)
+    np.testing.assert_allclose(w.mean(), 1.0, rtol=1e-12)
+    # min weight = max vega sits near the FORWARD (s0*e^{rT}), i.e. in
+    # the interior of the chain, with both wings weighted higher
+    amin = int(np.argmin(w))
+    fwd = 100.0 * np.exp(targets.r_d * 1.0)
+    assert abs(targets.strikes[amin] - fwd) <= 5.0 + 1e-9
+    assert w[0] > w[amin] and w[-1] > w[amin]
+    # floor: no weight exceeds (floor_frac*max_vega)^-2 normalized
+    assert w.max() / w.min() <= (1 / 0.05) ** 2 + 1e-9
+
+
+def test_unit_weights_match_unweighted_host(params):
+    """weights = all-ones must reproduce the unweighted LM trajectory
+    bitwise (same objective)."""
+    targets = _make_targets(params, n_strikes=8)
+    init = HestonParams(kappa=1.0, eta=0.05, sigma=0.4, rho=-0.5, v0=0.05)
+    cfg = CalibrationConfig(max_iter=3, tol=1e-8)
+    res_plain = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+    targets_w = calib.CalibrationTargets(
+        strikes=targets.strikes, maturities=targets.maturities,
+        prices=targets.prices, s0=targets.s0, r_d=targets.r_d,
+        r_f=targets.r_f, weights=np.ones_like(targets.prices))
+    res_w = calib.calibrate(targets_w, SPEC, SOLVER, init, cfg)
+    np.testing.assert_array_equal(
+        np.array(res_w.params.bumpable()),
+        np.array(res_plain.params.bumpable()))
+    assert res_w.final_error == res_plain.final_error
+    assert res_w.iterations == res_plain.iterations
+
+
+def test_weight_scale_invariance(params):
+    """Scaling all weights by c scales the SSE by c but leaves the LM
+    trajectory (normal equations, accept/reject) unchanged."""
+    targets = _make_targets(params, n_strikes=8)
+    init = HestonParams(kappa=1.0, eta=0.05, sigma=0.4, rho=-0.5, v0=0.05)
+    cfg = CalibrationConfig(max_iter=3, tol=1e-12)
+    t1 = calib.CalibrationTargets(
+        strikes=targets.strikes, maturities=targets.maturities,
+        prices=targets.prices, s0=targets.s0, r_d=targets.r_d,
+        r_f=targets.r_f, weights=np.ones_like(targets.prices))
+    t2 = calib.CalibrationTargets(
+        strikes=targets.strikes, maturities=targets.maturities,
+        prices=targets.prices, s0=targets.s0, r_d=targets.r_d,
+        r_f=targets.r_f, weights=np.full_like(targets.prices, 4.0))
+    r1 = calib.calibrate(t1, SPEC, SOLVER, init, cfg)
+    r2 = calib.calibrate(t2, SPEC, SOLVER, init, cfg)
+    np.testing.assert_allclose(np.array(r2.params.bumpable()),
+                               np.array(r1.params.bumpable()), rtol=1e-10)
+    np.testing.assert_allclose(r2.final_error, 4.0 * r1.final_error,
+                               rtol=1e-9)
+
+
+def test_device_lm_weights_match_host(params):
+    """calibrate_device(weights=...) reproduces the host weighted driver
+    (one objective on both loops)."""
+    strikes = jnp.linspace(85.0, 115.0, 7)
+    market = bs.generate_market_data(100.0, 1.0, params.r_d, strikes)
+    w = np.linspace(0.5, 2.0, 7)
+    w = w / w.mean()
+    init = HestonParams(kappa=1.0, eta=0.05, sigma=0.4, rho=-0.5, v0=0.05)
+    init_vec = jnp.array(init.bumpable())
+    cfg = CalibrationConfig(max_iter=4, tol=1e-10)
+    tv, info = calib.calibrate_device(
+        SPEC, SOLVER, strikes, market, 100.0, init_vec,
+        params.r_d, params.r_f, cfg=cfg, weights=jnp.asarray(w))
+    targets = calib.CalibrationTargets(
+        strikes=np.array(strikes), maturities=np.ones(7),
+        prices=np.array(market), s0=100.0, r_d=params.r_d,
+        r_f=params.r_f, weights=w)
+    res = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+    # the two drivers build J from independently-compiled executables;
+    # ~1e-12 price noise through ill-conditioned weighted normal
+    # equations shows up at ~1e-5 in the trajectory
+    np.testing.assert_allclose(np.array(tv),
+                               np.array(res.params.bumpable()),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(info["final_error"]),
+                               res.final_error, rtol=1e-3)
+    assert int(info["iterations"]) == res.iterations
+
+
+def test_calibrate_sharded_weights_match_host(params):
+    """The distributed LM with weights reproduces the single-device
+    weighted trajectory (sqrt(w) rides the padded-lane channel)."""
+    from heston_tpu.parallel import sharded
+
+    strikes = np.linspace(85.0, 115.0, 8)
+    market = np.asarray(bs.generate_market_data(
+        100.0, 1.0, params.r_d, jnp.asarray(strikes)))
+    w = np.linspace(0.5, 2.0, 8)
+    w = w / w.mean()
+    init = HestonParams(kappa=1.0, eta=0.05, sigma=0.4, rho=-0.5, v0=0.05)
+    cfg = CalibrationConfig(max_iter=3, tol=1e-10)
+    mesh = make_mesh()
+    tv_sh, info_sh = sharded.calibrate_sharded(
+        mesh, SPEC, SOLVER, jnp.asarray(strikes), market, 100.0,
+        jnp.array(init.bumpable()), params.r_d, params.r_f, cfg=cfg,
+        weights=w)
+    targets = calib.CalibrationTargets(
+        strikes=strikes, maturities=np.ones(8), prices=market,
+        s0=100.0, r_d=params.r_d, r_f=params.r_f, weights=w)
+    res = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+    np.testing.assert_allclose(np.array(tv_sh),
+                               np.array(res.params.bumpable()),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(info_sh["final_error"]),
+                               res.final_error, rtol=1e-5)
+
+
+def test_weights_validation(params):
+    targets = _make_targets(params, n_strikes=4)
+    init = HestonParams()
+    cfg = CalibrationConfig(max_iter=1)
+    bad_shape = calib.CalibrationTargets(
+        strikes=targets.strikes, maturities=targets.maturities,
+        prices=targets.prices, s0=targets.s0, r_d=targets.r_d,
+        r_f=targets.r_f, weights=np.ones(3))
+    with pytest.raises(ValueError, match="weights"):
+        calib.calibrate(bad_shape, SPEC, SOLVER, init, cfg)
+    negative = calib.CalibrationTargets(
+        strikes=targets.strikes, maturities=targets.maturities,
+        prices=targets.prices, s0=targets.s0, r_d=targets.r_d,
+        r_f=targets.r_f, weights=np.array([1.0, 1.0, -0.5, 1.0]))
+    with pytest.raises(ValueError, match="weights"):
+        calib.calibrate(negative, SPEC, SOLVER, init, cfg)
+    with pytest.raises(ValueError, match="weights"):
+        calib.calibrate_device(
+            SPEC, SOLVER, jnp.asarray(targets.strikes),
+            jnp.asarray(targets.prices), 100.0,
+            jnp.array(init.bumpable()), targets.r_d, targets.r_f,
+            cfg=cfg, weights=jnp.ones(3))
+
+
+def test_vega_weighting_steers_fit(params):
+    """Vega weighting must actually change the optimum: the weighted fit
+    achieves a lower WEIGHTED error than the unweighted fit evaluated
+    under the same weights."""
+    targets = _make_targets(params)
+    w = calib.vega_weights(targets)
+    targets_w = calib.CalibrationTargets(
+        strikes=targets.strikes, maturities=targets.maturities,
+        prices=targets.prices, s0=targets.s0, r_d=targets.r_d,
+        r_f=targets.r_f, weights=w)
+    init = HestonParams(kappa=1.5, eta=0.04, sigma=0.3, rho=-0.9, v0=0.04)
+    cfg = CalibrationConfig(max_iter=6, tol=1e-10)
+    res_w = calib.calibrate(targets_w, SPEC, SOLVER, init, cfg)
+    res_u = calib.calibrate(targets, SPEC, SOLVER, init, cfg)
+    # the weighted LM drives the WEIGHTED error down by orders of
+    # magnitude from the initial guess...
+    init_prices = np.asarray(calib.base_prices(
+        SPEC, SOLVER, jnp.asarray(targets.strikes), 100.0,
+        jnp.array(init.bumpable()), params.r_d, params.r_f))
+    r0 = targets.prices - init_prices
+    init_werr = float(r0 @ (w * r0))
+    assert res_w.final_error < init_werr * 1e-2
+    # ...and lands on a genuinely different optimum than the price fit
+    # (the objective actually steers the solution)
+    assert not np.allclose(np.array(res_w.params.bumpable()),
+                           np.array(res_u.params.bumpable()), rtol=1e-3)

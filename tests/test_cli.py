@@ -140,3 +140,19 @@ def test_cli_risk_csv_export(tmp_path, capsys):
         for key in ("price", "delta", "gamma", "theta", "vega_v0",
                     "vanna", "volga", "d_v0"):
             assert abs(float(r[key]) - j[key]) < 1e-12, key
+
+
+def test_cli_calibrate_vega_weighting(capsys, monkeypatch):
+    """--weighting vega fits the 1/vega^2 objective (framework
+    extension); the run completes and reports a finite weighted SSE."""
+    from heston_tpu import scenarios
+
+    monkeypatch.setitem(
+        scenarios.SCENARIOS, "european",
+        scenarios.Scenario("european", num_strikes=6, max_iter=2, tol=1e-6))
+    rc = cli.main(["calibrate", "european", "--m1", "16", "--m2", "8",
+                   "--n-steps", "4", "--weighting", "vega"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert res["iterations"] >= 1
+    assert np.isfinite(res["sse"])
