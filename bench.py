@@ -231,6 +231,12 @@ def _selftest(spec, solver, p, dtype):
         ("rann", dict(rannacher_steps=2)),
         ("rann_amer_div", dict(rannacher_steps=2, american=True,
                                dividends=GOLDEN_DIVIDENDS)),
+        # cash-or-nothing digitals (round 3): cell-averaged payoff +
+        # injection-free far fields; the American arm certifies the
+        # static-pin one-touch scheme on real Mosaic
+        ("digital", dict(option_type="digital_call")),
+        ("digital_amer", dict(american=True,
+                              option_type="digital_call")),
     ]:
         kw = dict(kw)
         rep = {k: kw.pop(k) for k in ("scheme", "rannacher_steps")
@@ -262,6 +268,19 @@ def _selftest(spec, solver, p, dtype):
             spec, xsol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f))(jnp.asarray(k1, jnp.float64)))
     rmses["single_rann"] = float(np.sqrt(np.mean((got1 - want1) ** 2)))
+    # latency-kernel in-kernel dividend re-maps + American floor (round-3
+    # extension): real-Mosaic check of the segmented single-option path
+    kwd = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+    got_d = np.array(jax.jit(lambda k: douglas.price_batch(
+        spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+        p.v0, p.r_d, p.r_f, **kwd))(jnp.asarray(k1, dtype)))
+    with jax.enable_x64():
+        want_d = np.array(jax.jit(lambda k: douglas.price_batch(
+            spec, dataclasses.replace(solver, solver_engine="scan"),
+            k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d,
+            p.r_f, **kwd))(jnp.asarray(k1, jnp.float64)))
+    rmses["single_amer_div"] = float(np.sqrt(np.mean(
+        (got_d - want_d) ** 2)))
     # knock-out barrier kernel (static column masks): the American-floor
     # mask and the up-out dividend-remap re-knock are real-Mosaic paths
     # interpret mode cannot certify — one arm covers both
@@ -580,6 +599,8 @@ def _single_option_golden_grid(p, dtype):
     from heston_tpu.config import GridSpec, SolverConfig
     from heston_tpu.models import douglas
 
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+
     spec = GridSpec(m1=100, m2=75)
     solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
                           a2_variant="central", solver_engine="pallas")
@@ -588,9 +609,18 @@ def _single_option_golden_grid(p, dtype):
         lambda k: douglas.price_batch(
             spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f), ks, reps=500)
+    # the reference's OTHER single-instance headline: the golden
+    # American+dividend scenario (ref: src/solver.cpp:1091) — since
+    # round 3 the latency kernel runs dividend re-maps in-kernel
+    dt_ad = _device_time_per_call(
+        lambda k: douglas.price_batch(
+            spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, american=True,
+            dividends=GOLDEN_DIVIDENDS), ks, reps=500)
     return {
         "single_option_100x75_s": dt,
         "single_option_vs_a100": 0.003 / dt,
+        "single_option_amer_div_100x75_s": dt_ad,
     }
 
 

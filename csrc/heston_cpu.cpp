@@ -345,7 +345,19 @@ void do_run_steps(int64_t n_begin, int64_t n_end, int64_t nv, int64_t ns,
       }
     }
 
-    if (american) {
+    if (american == 2) {
+      // STATIC-PIN + BOX projection for the discontinuous digital
+      // obstacle: pin u = payoff on full-payoff nodes (cell-averaged
+      // u0 == 1 exactly), project the rest onto [payoff, 1] — see
+      // models/douglas._do_step for why the Ikonen-Toivanen multiplier
+      // (and even one-sided max-projection) blows up on a payoff jump.
+      // lam stays 0.
+      for (int64_t k = 0; k < m; ++k) {
+        u[k] = u0[k] == 1.0
+                   ? 1.0
+                   : std::min(std::max(ws.y2[k], u0[k]), 1.0);
+      }
+    } else if (american) {
       for (int64_t k = 0; k < m; ++k) {
         const double u_bar = ws.y2[k];
         u[k] = std::max(u_bar - delta_t * lam[k], u0[k]);
@@ -386,7 +398,8 @@ void ht_do_solve(
     const double* a2_u1, const double* a2_u2,
     // boundary vectors [nv*ns]
     const double* b1, const double* b2,
-    // American flag + payoff
+    // American mode (0 = European, 1 = Ikonen-Toivanen LCP,
+    // 2 = projected LCP for discontinuous obstacles) + payoff
     int64_t american, const double* u0,
     // state (in/out)
     double* u, double* lam) {

@@ -105,7 +105,9 @@ def main(argv=None):
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
     p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
-    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--option-type", default="call",
+                   choices=["call", "put", "digital_call",
+                            "digital_put"])
     p.add_argument("--knock-in", action="store_true",
                    help="knock-IN via in-out parity (European only; "
                         "requires --barrier-kind/--barrier-level)")
@@ -143,7 +145,9 @@ def main(argv=None):
     p.add_argument("--american", action="store_true")
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
-    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--option-type", default="call",
+                   choices=["call", "put", "digital_call",
+                            "digital_put"])
 
     p = sub.add_parser("iv", help="implied vol(s) from price(s) "
                                   "(Newton + bisection; escrowed-dividend "
@@ -162,7 +166,9 @@ def main(argv=None):
     p.add_argument("--american", action="store_true")
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
-    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--option-type", default="call",
+                   choices=["call", "put", "digital_call",
+                            "digital_put"])
     p.add_argument("--paths", type=int, default=100_000)
     p.add_argument("--mc-steps", type=int, default=None,
                    help="Euler steps (default: 350/yr European, 50 LSMC)")
@@ -186,7 +192,9 @@ def main(argv=None):
     p.add_argument("--american", action="store_true")
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
-    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--option-type", default="call",
+                   choices=["call", "put", "digital_call",
+                            "digital_put"])
     p.add_argument("--engine", default="xla", choices=["xla", "pallas"])
     p.add_argument("--param-jacobian", action="store_true",
                    help="also output the five model-parameter "
@@ -206,7 +214,9 @@ def main(argv=None):
     p.add_argument("--dividends", default="none",
                    choices=["none", "golden", "calib"])
     p.add_argument("--csv", default="surface.csv")
-    p.add_argument("--option-type", default="call", choices=["call", "put"])
+    p.add_argument("--option-type", default="call",
+                   choices=["call", "put", "digital_call",
+                            "digital_put"])
     p.add_argument("--track-lambda", action="store_true",
                    help="also export the American lambda-multiplier surface "
                         "(<csv>.lambda.csv), the reference's lambda-tracking "

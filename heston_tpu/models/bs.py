@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from heston_tpu.ops.operators import is_put  # validated dispatch
+from heston_tpu.ops.operators import is_digital, is_put  # validated
 
 Array = jnp.ndarray
 
@@ -43,6 +43,29 @@ def call_vega(s, k, r, vol, t) -> Array:
     """dPrice/dVol (ref: src/bs.hpp:124-127)."""
     d1 = (jnp.log(s / k) + (r + 0.5 * vol * vol) * t) / (vol * jnp.sqrt(t))
     return s * jnp.exp(-0.5 * d1 * d1) * jnp.sqrt(t / (2.0 * jnp.pi))
+
+
+def digital_price(s, k, r, vol, t,
+                  option_type: str = "digital_call") -> Array:
+    """European cash-or-nothing digital (framework extension):
+    call = e^{-rT} N(d2), put = e^{-rT} N(-d2) — the BS-limit oracle
+    for the PDE digital support."""
+    sqrt_t = jnp.sqrt(t)
+    d1 = (jnp.log(s / k) + (r + 0.5 * vol * vol) * t) / (vol * sqrt_t)
+    d2 = d1 - vol * sqrt_t
+    inv_sqrt2 = 1.0 / jnp.sqrt(2.0)
+    n_d2 = jax.scipy.special.erfc(-d2 * inv_sqrt2) / 2.0   # N(d2)
+    prob = 1.0 - n_d2 if is_put(option_type) else n_d2
+    return jnp.exp(-r * t) * prob
+
+
+def _price_fn(option_type: str):
+    """Closed-form dispatch over the four payoff kinds."""
+    if is_digital(option_type):
+        import functools
+
+        return functools.partial(digital_price, option_type=option_type)
+    return put_price if is_put(option_type) else call_price
 
 
 def put_to_call_parity(p, s, k, r, t) -> Array:

@@ -282,7 +282,13 @@ def vega_weights(targets: "CalibrationTargets",
     mean 1 (pure rescaling of the SSE; keeps cfg.tol meaningful).
     """
     from heston_tpu.models import bs
+    from heston_tpu.ops import operators
 
+    if operators.is_digital(targets.option_type):
+        raise ValueError(
+            "vega_weights is vanilla-only (BS vega/implied-vol have no "
+            "meaning for cash-or-nothing digital quotes); use explicit "
+            "weights for digital chains")
     ks = np.asarray(targets.strikes, np.float64)
     ts = np.asarray(targets.maturities, np.float64)
     ps = np.asarray(targets.prices, np.float64)

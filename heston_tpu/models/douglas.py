@@ -142,9 +142,8 @@ def prepare_instance(
                                        ops_d.a2_id, ops_d.a2_iu1,
                                        ops_d.a2_iu2),
         )
-    u0 = jnp.maximum(
-        operators.intrinsic_value(grid.vec_s[None, :], strike, option_type),
-        0.0) * jnp.ones(
+    u0 = operators.grid_payoff(
+        grid.vec_s[None, :], strike, option_type) * jnp.ones(
         (spec.m2 + 1, 1), grid.vec_s.dtype
     )
     if spec.barrier is not None:
@@ -213,7 +212,7 @@ def apply_dividend(u: Array, vec_s: Array, amount, pct,
 
 
 def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
-             b_rate, american: bool):
+             b_rate, american: bool, projected: bool = False):
     """One ADI step (Douglas / Craig-Sneyd / modified Craig-Sneyd);
     n is the 1-based (possibly traced) step index. `b_rate` is the
     boundary-vector scaling rate (r_f for calls, r_d for puts —
@@ -294,6 +293,32 @@ def _do_step(n, u, lam, inst: PreparedInstance, solver: SolverConfig,
         raise ValueError(f"unknown scheme: {solver.scheme!r}")
 
     if american:
+        if projected:
+            # STATIC-PIN scheme for the DISCONTINUOUS digital obstacle
+            # (the at-exercise-paid one-touch). Two facts drive it:
+            # (1) the Ikonen-Toivanen lambda is O(1/h^2) at the payoff
+            # jump and its explicit dt*lam source leaks through the
+            # implicit solves (measured: 34% overshoot above the 0/1
+            # payoff at the reference's N=20; plain max-projection still
+            # 2.4x — the floor RECTIFIES the non-monotone central-
+            # convection ringing every step). (2) For r_d >= 0 the
+            # active set is STATIC: wherever the payoff is 1, immediate
+            # exercise is uniquely optimal (holding is worth at most
+            # E[e^{-r_d tau}] < 1), so the LCP degenerates to a
+            # Dirichlet problem — pin u = 1 on full-payoff nodes
+            # (cell-averaged u0 == 1 exactly there) and project the
+            # rest onto the BOX [payoff, 1]: the value is also bounded
+            # above by the unit cash, so clipping the v=0 row's
+            # persistent ringing (no diffusion there keeps the price
+            # jump sharp for all time) is exact — DESIGN.md §11 has the
+            # measured comparison. lambda stays 0 (the risk epilogue
+            # reconstructs it from complementarity on the active set —
+            # greeks._surface_risk).
+            pin = inst.u0 == 1.0
+            u_new = jnp.where(pin, inst.u0,
+                              jnp.minimum(jnp.maximum(u_bar, inst.u0),
+                                          1.0))
+            return u_new, lam
         u_new = jnp.maximum(u_bar - dt * lam, inst.u0)
         lam_new = jnp.maximum(0.0, lam + (inst.u0 - u_bar) / dt)
         lam_new = lam_new.at[..., :, -1].set(0.0)   # lambda(s_max) = 0
@@ -394,13 +419,14 @@ def run_time_loop(
     u = inst.u0
     lam = jnp.zeros_like(u)
     views = _phase_views(inst, solver)
+    projected = operators.is_digital(option_type)
 
     def run_range(phase, n0, n1, carry):
         inst_p, solver_p = views[phase]
 
         def body(n, c):
             return _do_step(n, c[0], c[1], inst_p, solver_p, b_rate,
-                            american)
+                            american, projected)
 
         if n1 <= n0:
             return carry
@@ -443,13 +469,14 @@ def solve_with_tracking(
     u = inst.u0
     lam = jnp.zeros_like(u)
     views = _phase_views(inst, solver)
+    projected = operators.is_digital(option_type)
 
     def scan_range(phase, n0, n1, carry):
         inst_p, solver_p = views[phase]
 
         def body(carry_, n):
             out = _do_step(n, carry_[0], carry_[1], inst_p, solver_p,
-                           b_rate, american)
+                           b_rate, american, projected)
             return out, out
         ns_ = jnp.arange(n0, n1)
         carry, hist = lax.scan(body, carry, ns_)
@@ -633,7 +660,8 @@ def _price_batch_impl(
             # sweeps waste 127/128 lanes on a single instance
             return fused_single.fused_price_single(
                 spec, solver, strikes[0], s0, kappa, eta, sigma, rho,
-                v0, r_d, r_f, american=american, option_type=option_type,
+                v0, r_d, r_f, american=american, dividends=dividends,
+                option_type=option_type,
             ).reshape(1)
         if fused_do.use_fused(spec, solver):
             return fused_do.fused_price_batch(

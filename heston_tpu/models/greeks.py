@@ -32,7 +32,7 @@ RISK_KEYS = ("price", "delta", "gamma", "theta", "vega_v0", "vanna",
 
 
 def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, vv, idx_s, idx_v,
-                  nsf=None):
+                  nsf=None, active=None):
     """price / delta / gamma / theta / vega_v0 / vanna / volga for ONE
     instance read off its solution surface with the discretization's own
     stencils (delta = w_beta, gamma = w_delta, vega = w_beta in v,
@@ -73,6 +73,14 @@ def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, vv, idx_s, idx_v,
           + operators.a2_multiply(ops, u)
           + ops.b * jnp.exp(b_rate * solver.delta_t * nsf)
           + lam)
+    if active is not None:
+        # PROJECTED-scheme obstacles (American digitals) carry NO
+        # multiplier surface; reconstruct it from complementarity on
+        # the active set (u == payoff exactly where the projection
+        # bound): lambda = max(0, -(L U + b)) there, so theta reads 0
+        # in the stopping region instead of a spurious +r_d
+        du = du + jnp.where(active, jnp.maximum(0.0, -du),
+                            jnp.zeros_like(du))
     gamma_i = dm[0] * row[i - 1] + d0[0] * row[i] + dp[0] * row[i + 1]
     delta_i = bm[0] * row[i - 1] + b0[0] * row[i] + bp[0] * row[i + 1]
 
@@ -257,6 +265,18 @@ def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
     vv = grid_mod.make_v_nodes(spec.m2, spec.v_max, v0,
                                spec.v_max / spec.d_div)
     risk = functools.partial(_surface_risk, spec, solver, b_rate)
+    if american and operators.is_digital(option_type):
+        # projected digitals: active set = exact payoff equality (the
+        # projection writes u0 bitwise where it binds; the compensation
+        # field is zeroed there so the launch output preserves it)
+        u0_b = jax.vmap(
+            lambda v, k: operators.grid_payoff(v[None, :], k, option_type)
+            * jnp.ones((spec.m2 + 1, 1), v.dtype))(vec_s_b, ks)
+        if spec.barrier is not None:
+            u0_b = jax.vmap(spec.barrier.mask_payoff)(u0_b)
+        active_b = surf == u0_b
+        return jax.vmap(risk, in_axes=(0, 0, 0, 0, None, 0, 0, 0, 0))(
+            surf, lam, ops_b, vec_s_b, vv, idx_s, idx_v, nsf, active_b)
     return jax.vmap(risk, in_axes=(0, 0, 0, 0, None, 0, 0, 0))(
         surf, lam, ops_b, vec_s_b, vv, idx_s, idx_v, nsf)
 
@@ -332,9 +352,13 @@ def batch_greeks(
                 u, lam = douglas.run_time_loop(
                     inst, sol_g, b_rate, american, dividends,
                     option_type, with_lambda=True)
+                active = (u == inst.u0 if american
+                          and operators.is_digital(option_type)
+                          else None)
                 return risk(u, lam, inst.ops, inst.grid.vec_s,
                             inst.grid.vec_v, inst.idx_s, inst.idx_v,
-                            jnp.asarray(sol_g.n_steps, dtype))
+                            jnp.asarray(sol_g.n_steps, dtype),
+                            active)
 
             return jax.vmap(one)(ks_g)
 

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from heston_tpu.ops.operators import is_put
+from heston_tpu.ops.operators import is_digital, is_put
 
 Array = jnp.ndarray
 
@@ -80,10 +80,37 @@ def put_price(
     return c - s0 + strike * jnp.exp(-r * t)
 
 
+def digital_price(
+    s0, strike, v0, kappa, eta, sigma, rho, r, t,
+    n_quad: int = 256, u_max: float = 200.0,
+    option_type: str = "digital_call",
+) -> Array:
+    """European cash-or-nothing digital under Heston (framework
+    extension; the reference prices vanilla calls only): the digital
+    call paying 1{S_T > K} is e^{-rT} * P2 — the SAME risk-neutral
+    exercise probability P2 as the vanilla decomposition
+    S0*P1 - K*e^{-rT}*P2; the digital put is e^{-rT} * (1 - P2)."""
+    u, w = _gl_nodes(n_quad, u_max)
+    u = jnp.asarray(u)
+    w = jnp.asarray(w)
+    k_log = jnp.log(jnp.asarray(strike, jnp.result_type(float)))
+    cf2 = _cf(u, t, s0, v0, kappa, eta, sigma, rho, r)
+    integ2 = jnp.real(jnp.exp(-1j * u * k_log) * cf2 / (1j * u))
+    p2 = 0.5 + (w @ integ2) / jnp.pi
+    if is_put(option_type):
+        p2 = 1.0 - p2
+    return jnp.exp(-r * t) * p2
+
+
 def price_chain(s0, strikes: Array, v0, kappa, eta, sigma, rho, r, t,
                 n_quad: int = 256, option_type: str = "call") -> Array:
-    """Vmapped semi-analytic chain pricing."""
-    base = put_price if is_put(option_type) else call_price
+    """Vmapped semi-analytic chain pricing (vanillas and digitals)."""
+    if is_digital(option_type):
+        base = functools.partial(digital_price, option_type=option_type)
+    elif is_put(option_type):
+        base = put_price
+    else:
+        base = call_price
     fn = lambda k: base(s0, k, v0, kappa, eta, sigma, rho, r, t,
                         n_quad=n_quad)
     return jax.vmap(fn)(strikes)

@@ -369,9 +369,9 @@ def _euro_mc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
                                barrier_level=barrier_level,
                                barrier_level_hi=barrier_level_hi)
     disc = jnp.exp(-r_d * t)
-    intrinsic = operators.intrinsic_value(s_fin, strike, option_type)
     weight = (1.0 - surv) if knock_in else surv
-    payoff = disc * jnp.maximum(intrinsic, 0.0) * weight
+    payoff = disc * operators.payoff_value(
+        s_fin, strike, option_type) * weight
     return _mc_mean_ci(payoff, num_paths, antithetic)
 
 
@@ -442,8 +442,7 @@ def _lsmc_impl(key, s0, v0, strike, r_d, r_f, kappa, eta, sigma, rho, t,
     disc = jnp.exp(-r_d * dt)
 
     def exercise_value(s):
-        return jnp.maximum(
-            operators.intrinsic_value(s, strike, option_type), 0.0)
+        return operators.payoff_value(s, strike, option_type)
 
     # terminal cashflow (per path, valued AT maturity)
     cf = exercise_value(s_path[-1])

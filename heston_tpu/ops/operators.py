@@ -135,18 +135,93 @@ def build_a1_bands(grid: Grid, r_d, r_f, option_type: str = "call"):
     return ml, md, mu
 
 
+OPTION_TYPES = ("call", "put", "digital_call", "digital_put")
+
+
+def _validate_option_type(option_type: str) -> str:
+    if option_type not in OPTION_TYPES:
+        raise ValueError(f"unknown option_type: {option_type!r}; "
+                         f"expected one of {OPTION_TYPES}")
+    return option_type
+
+
 def is_put(option_type: str) -> bool:
-    """Validated option-type dispatch — THE predicate every option_type
+    """Validated PUT-SIDE dispatch — THE predicate every option_type
     branch must use (scattered string comparisons with inconsistent
-    unknown-value fallbacks let typos silently price the wrong product)."""
-    if option_type not in ("call", "put"):
-        raise ValueError(f"unknown option_type: {option_type!r}")
-    return option_type == "put"
+    unknown-value fallbacks let typos silently price the wrong product).
+
+    True for payoffs that are in the money BELOW the strike (put,
+    digital_put): they share the put far-field conventions — the s = 0
+    column carries value (apply_dividend copies column 0 instead of
+    zeroing; A1 row 0 carries the -r_d/2 reaction)."""
+    return _validate_option_type(option_type) in ("put", "digital_put")
+
+
+def is_digital(option_type: str) -> bool:
+    """Cash-or-nothing payoff: pays 1 in the money at expiry/exercise
+    (framework extension — the reference prices vanilla calls only).
+    An AMERICAN digital is the at-exercise-paid one-touch: the LCP
+    floor is the 0/1 payoff itself."""
+    return _validate_option_type(option_type).startswith("digital")
+
+
+def is_injection_free(option_type: str) -> bool:
+    """True when the scheme needs NO boundary injection vectors
+    (b1 = b2 = 0): every payoff except the vanilla call. Puts and
+    digitals get their far fields from the full -r_d reaction instead
+    (see build_a2_bands); the vanilla call keeps the reference's
+    injected linear-in-s far field."""
+    return _validate_option_type(option_type) != "call"
 
 
 def intrinsic_value(vec_s, strike, option_type: str):
-    """Signed intrinsic (s - K for calls, K - s for puts), not floored."""
+    """Signed intrinsic (s - K for calls, K - s for puts), not floored.
+    Vanilla only — digital payoffs have no signed intrinsic; use
+    payoff_value."""
+    if is_digital(option_type):
+        raise ValueError("intrinsic_value is vanilla-only; "
+                         "use payoff_value for digitals")
     return strike - vec_s if is_put(option_type) else vec_s - strike
+
+
+def payoff_value(vec_s, strike, option_type: str):
+    """Floored terminal payoff at arbitrary spots: max(±(s-K), 0) for
+    vanillas, the 0/1 cash-or-nothing indicator for digitals
+    (call pays 1{s > K}, put pays 1{s < K} — strict, the standard
+    cash-or-nothing convention). Pointwise — the Monte-Carlo payoff;
+    PDE grids use grid_payoff."""
+    if is_digital(option_type):
+        ind = (vec_s < strike) if is_put(option_type) else (vec_s > strike)
+        return ind.astype(vec_s.dtype)
+    return jnp.maximum(intrinsic_value(vec_s, strike, option_type), 0.0)
+
+
+def grid_payoff(vec_s, strike, option_type: str):
+    """Terminal payoff AT THE GRID NODES (the PDE initial condition and
+    the American exercise floor; s along the last axis).
+
+    Vanillas: the pointwise payoff (reference-faithful). Digitals:
+    CELL-AVERAGED indicator (Tavella-Randall smoothing; Pooley,
+    Vetzal & Forsyth 2003) — point-sampling a discontinuity costs an
+    O(h) quantization error at the strike cell that destroys the
+    scheme's convergence order; averaging the indicator over each
+    node's dual cell [s_{i-1/2}, s_{i+1/2}] restores it. One clipped
+    affine expression serves every node:
+    call = clip((s_{i+1/2} - K) / (s_{i+1/2} - s_{i-1/2}), 0, 1),
+    put the mirror — their sum is EXACTLY 1 at every node, so the
+    discrete cash parity digital_call + digital_put = all-cash is
+    preserved."""
+    if not is_digital(option_type):
+        return payoff_value(vec_s, strike, option_type)
+    n = vec_s.shape[-1]
+    ids = jnp.arange(n)
+    sp = shift(vec_s, +1, -1)
+    sm = shift(vec_s, -1, -1)
+    hi = jnp.where(ids == n - 1, vec_s, 0.5 * (vec_s + sp))
+    lo = jnp.where(ids == 0, vec_s, 0.5 * (vec_s + sm))
+    den = jnp.where(hi == lo, jnp.ones_like(hi), hi - lo)
+    num = (strike - lo) if is_put(option_type) else (hi - strike)
+    return jnp.clip(num / den, 0.0, 1.0)
 
 
 def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str,
@@ -194,9 +269,10 @@ def build_a2_bands(grid: Grid, r_d, kappa, eta, sigma, variant: str,
     u1 = jnp.zeros(m2 + 1, dtype)
     u2 = jnp.zeros(m2 + 1, dtype)
 
-    # reaction term: rows 0..m2-2 (calls, reference-faithful) or all rows
-    # (puts and top-knocked barrier calls — see docstring)
-    full_react = (is_put(option_type)
+    # reaction term: rows 0..m2-2 (vanilla calls, reference-faithful) or
+    # all rows (puts, digitals and top-knocked barrier calls — every
+    # injection-free payoff, see docstring)
+    full_react = (is_injection_free(option_type)
                   or (barrier is not None and barrier.knock_top))
     n_react = m2 + 1 if full_react else m2 - 1
     d = d.at[:n_react].add(-0.5 * r_d)
@@ -246,10 +322,10 @@ def boundary_rate(r_d, r_f, option_type: str = "call"):
     far field's e^{-r_f tau}; unobservable in every reference test
     (they all set r_f = 0) and kept for parity.
 
-    Puts have NO injection vectors at all (b1 = b2 = 0, see
-    build_boundary_vectors) so the rate never matters; r_d is returned
-    for definiteness."""
-    return r_d if is_put(option_type) else r_f
+    Puts and digitals have NO injection vectors at all (b1 = b2 = 0,
+    see build_boundary_vectors) so the rate never matters; r_d is
+    returned for definiteness."""
+    return r_d if is_injection_free(option_type) else r_f
 
 
 def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
@@ -290,7 +366,11 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
         z = jnp.zeros(shape, dtype)
         return z, z, z
 
-    if is_put(option_type):
+    if is_injection_free(option_type):
+        # puts AND digitals: far fields emerge from the full -r_d
+        # reaction (digital call at s_max: A1 row-m1 -r_d/2 + the full
+        # A2 reaction -r_d/2 decay the flat payoff 1 to exactly
+        # e^{-r_d tau}, the cash-or-nothing far field)
         b1 = jnp.zeros(shape, dtype)
         b2 = jnp.zeros(shape, dtype)
     else:

@@ -295,7 +295,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  n_events: int = 0, n_tangents: int = 0,
                  put: bool = False, per_lane_steps: bool = False,
                  scheme: str = "do",
-                 barrier_pos: "Optional[tuple[int, ...]]" = None):
+                 barrier_pos: "Optional[tuple[int, ...]]" = None,
+                 digital: bool = False):
     """div_plan: optional static tuple of (seg_start, seg_end,
     n_events_after) triples. When given, the launch runs those time-loop
     segments with dividend re-maps between them. Each re-map is linear
@@ -464,9 +465,25 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         smax_mask = (s_ids != ns - 1).astype(dtype)   # [ns, nv]
         if american:
             # payoff is v-independent: reconstruct from the s-grid
-            intrinsic = (kk_ref[0][None, :] - vecs_ref[:] if put
-                         else vecs_ref[:] - kk_ref[0][None, :])
-            u0row = jnp.maximum(intrinsic, 0.0)
+            if digital:
+                # cell-averaged digital indicator — EXACTLY
+                # operators.grid_payoff's clipped affine form, so the
+                # floor matches the XLA path's (the one-touch LCP);
+                # padded-lane den guard keeps 0-padded s columns finite
+                vs = vecs_ref[:]                      # [ns, T]
+                kk = kk_ref[0][None, :]
+                sp = jnp.concatenate([vs[1:], jnp.zeros_like(vs[:1])], 0)
+                sm = jnp.concatenate([jnp.zeros_like(vs[:1]), vs[:-1]], 0)
+                _si = lax.broadcasted_iota(jnp.int32, (ns, 1), 0)
+                hi = jnp.where(_si == ns - 1, vs, 0.5 * (vs + sp))
+                lo = jnp.where(_si == 0, vs, 0.5 * (vs + sm))
+                den = jnp.where(hi == lo, jnp.ones_like(hi), hi - lo)
+                num = (kk - lo) if put else (hi - kk)
+                u0row = jnp.clip(num / den, 0.0, 1.0)
+            else:
+                intrinsic = (kk_ref[0][None, :] - vecs_ref[:] if put
+                             else vecs_ref[:] - kk_ref[0][None, :])
+                u0row = jnp.maximum(intrinsic, 0.0)
             if barrier_pos:
                 # knocked column(s): Dirichlet 0 from the payoff onward
                 # — the exercise floor must not resurrect them
@@ -532,10 +549,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         react_s2 = jnp.where(_s_iota == 0, a1qd_ref[0][None, :],
                              react_row[None, :])          # [ns, T]
         _v_iota = lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-        # A2 reaction rows: 0..m2-2 (calls) / all (puts AND top-knocked
-        # barriers) — exactly the rows build_a2_bands adds -r_d/2 to
+        # A2 reaction rows: 0..m2-2 (vanilla calls) / all (puts,
+        # digitals AND top-knocked barriers) — exactly the rows
+        # build_a2_bands adds -r_d/2 to
         knock_top = bool(barrier_pos) and (ns - 1) in barrier_pos
-        n_react = nv if (put or knock_top) else nv - 2
+        n_react = nv if (put or digital or knock_top) else nv - 2
         react_v2 = jnp.where(_v_iota < n_react, react_row[None, :],
                              jnp.zeros_like(react_row)[None, :])
 
@@ -804,7 +822,27 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # folded into the output at the end of the launch). The
             # small-scale terms (z2, dt*lam, comp) are summed first —
             # their roundings are at eps*|z2| ~ 1e-8, negligible.
-            if american:
+            if american and digital:
+                # STATIC-PIN + BOX projection for the 0/1 obstacle (see
+                # douglas._do_step): pin u = payoff on full-payoff
+                # nodes (cell-averaged u0 == 1 exactly), project the
+                # rest onto [payoff, 1] — the value is bounded above by
+                # the unit cash for r_d >= 0, so clipping the ringing's
+                # positive lobes is exact; lam_c stays 0 and the
+                # compensation resets wherever either bound binds
+                t_inc = z2 + comp
+                q, err = two_sum(u, t_inc)
+                pin = u0 == 1.0
+                qm = jnp.maximum(q, u0)
+                u_new = jnp.where(pin, u0, jnp.minimum(qm, 1.0))
+                interior = jnp.logical_and(
+                    jnp.logical_and(q > u0, qm < 1.0),
+                    jnp.logical_not(pin))
+                comp_new = jnp.where(interior, err,
+                                     jnp.zeros_like(err))
+                lam_arg = None
+                lam_new = lam_c
+            elif american:
                 t_inc = (z2 - dt * lam_c) + comp
                 q, err = two_sum(u, t_inc)       # q + err = u_bar - dt*lam
                 u_new = jnp.maximum(q, u0)
@@ -919,7 +957,20 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 else:
                     dubar = du + dz2p
 
-                if american:
+                if american and digital:
+                    # static-pin + box: pinned/clipped nodes are
+                    # constants (tangent 0); elsewhere the exact
+                    # min(max(.)) JVP (0.5 on ties), branching on the
+                    # SAME primal values (q, qm); dlam stays 0
+                    dm = jnp.where(q > u0, dubar,
+                                   jnp.where(q < u0, 0.0, 0.5 * dubar))
+                    du_new = jnp.where(
+                        u0 == 1.0, 0.0,
+                        jnp.where(qm < 1.0, dm,
+                                  jnp.where(qm > 1.0, 0.0, 0.5 * dm)))
+                    new_dus.append(du_new)
+                    new_dlams.append(dlams[k])
+                elif american:
                     # match XLA's maximum-JVP exactly (0.5 weight on
                     # ties), branching on the SAME compensated primal
                     # values (q, lam_arg) the state update used
@@ -1060,7 +1111,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
                   n_tiles: int = 1, tile: int = TILE, n_tangents: int = 0,
                   put: bool = False, per_lane_steps: bool = False,
                   scheme: str = "do",
-                  barrier_pos: "Optional[tuple[int, ...]]" = None):
+                  barrier_pos: "Optional[tuple[int, ...]]" = None,
+                  digital: bool = False):
     """pallas_call for the WHOLE batch: tiles are iterated by the pallas
     grid within one launch (Mosaic pipelines the per-tile HBM<->VMEM
     traffic; scratch is re-initialized per tile by the kernel).
@@ -1072,7 +1124,8 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, unroll,
                           div_plan, n_events, n_tangents, put,
-                          per_lane_steps, scheme, barrier_pos)
+                          per_lane_steps, scheme, barrier_pos,
+                          digital=digital)
 
     big_spec = lambda: pl.BlockSpec((ns, nv, tile), lambda t: (0, 0, t),
                                     memory_space=pltpu.VMEM,
@@ -1168,9 +1221,9 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
             solver.delta_t, nsf, solver.a2_variant,
             option_type, k, barrier)
         dtype = g.vec_s.dtype
-        u0 = jnp.maximum(
-            operators.intrinsic_value(g.vec_s[None, :], k, option_type),
-            0.0) * jnp.ones((spec.m2 + 1, 1), dtype)
+        u0 = operators.grid_payoff(
+            g.vec_s[None, :], k, option_type) * jnp.ones(
+            (spec.m2 + 1, 1), dtype)
         if barrier is not None:
             # knocked at expiry too: Dirichlet 0 from the payoff onward
             # (the rule shared with douglas.prepare_instance)
@@ -1214,11 +1267,13 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         rate = operators.boundary_rate(r_d, r_f, option_type)
         efac = jnp.exp(jnp.asarray(
             -rate * solver.delta_t * (nsf - 1.0), dtype))
-        if put or (barrier is not None and barrier.knock_top):
-            # no injection vectors for puts or top-knocked barriers —
-            # the up-out/double-out far s boundary IS the Dirichlet-0
-            # barrier (operators.build_boundary_vectors); down-out keeps
-            # the vanilla vectors (its far boundary is the usual s_max)
+        if (operators.is_injection_free(option_type)
+                or (barrier is not None and barrier.knock_top)):
+            # no injection vectors for puts/digitals or top-knocked
+            # barriers — the up-out/double-out far s boundary IS the
+            # Dirichlet-0 barrier (operators.build_boundary_vectors);
+            # down-out CALLS keep the vanilla vectors (their far
+            # boundary is the usual s_max)
             b1val = jnp.zeros((), dtype)
             b2row = jnp.zeros_like(g.vec_s)
         else:
@@ -1436,6 +1491,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     _TANGENT_KEYS) plus state tangents are taken as zeros. Returns
     (u, lam, [du_k...])."""
     put = operators.is_put(option_type)
+    dig = operators.is_digital(option_type)
     barrier = getattr(spec, "barrier", None)
     bpos = _barrier_positions(spec)
     K = len(tangents)
@@ -1516,7 +1572,7 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                     american, dtype.name, interpret, unroll, plan,
                     len(events), n_tiles, tile, K, put,
                     per_lane_steps=per_lane, scheme=ph["scheme"],
-                    barrier_pos=bpos)
+                    barrier_pos=bpos, digital=dig)
                 sa = state_args()
                 outs = chunk_call(n0a, n1a, rfa, sa[0],
                                   *( [sa[1]] if american else [] ), *inv,
@@ -1529,7 +1585,8 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                                  interpret, unroll, n_tiles=n_tiles,
                                  tile=tile, n_tangents=K, put=put,
                                  per_lane_steps=per_lane,
-                                 scheme=ph["scheme"], barrier_pos=bpos)
+                                 scheme=ph["scheme"], barrier_pos=bpos,
+                                 digital=dig)
             n0a = jnp.asarray([ph["local_lo"]], jnp.int32)
             n1a = jnp.asarray([ph["local_end"]], jnp.int32)
             sa = state_args()

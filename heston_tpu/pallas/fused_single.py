@@ -28,9 +28,11 @@ The step itself is the same DELTA-FORM Douglas/Craig-Sneyd algebra as
 fused_do._make_kernel (solve for the increment z; u enters once per
 step), with the same boundary coefficients, American lambda projection
 (ref: src/device_solver.hpp:358-372) and put conventions — pinned
-against the XLA path by tests/test_pallas.py. Dividend re-maps are not
-supported here (books with schedules go through the batched kernel);
-price_batch auto-dispatches batch==1 no-dividend solves to this kernel.
+against the XLA path by tests/test_pallas.py. Dividend schedules run
+in-kernel as segmented fori_loops with re-maps between segments (the
+batched kernel's plan machinery, transposed to the 2-D layout — see
+`_make_kernel.remap`); price_batch auto-dispatches every batch==1
+solve to this kernel.
 """
 
 from __future__ import annotations
@@ -51,24 +53,27 @@ from heston_tpu.pallas import fused_do
 def use_single(spec, solver, batch: int, dividends=None,
                n_tangents: int = 0) -> bool:
     """Dispatch predicate for the latency kernel: one option, pallas
-    engine, DO/CS/MCS/HV scheme, no dividend schedule, no tangent surfaces
-    (Jacobian passes are batched by construction and belong on the
-    throughput kernel). The working set is tiny at reference grids
-    (~30 [nv, ns] fields ~ 1 MiB at the golden grid) but the PCR cascade
-    keeps 2*ceil(log2(ns)) factor fields live, so truly fine grids
-    (m1 >= ~500 convergence studies) are gated against the same
-    device-derived VMEM budget as the batched kernel."""
+    engine, DO/CS/MCS/HV scheme, no tangent surfaces (Jacobian passes
+    are batched by construction and belong on the throughput kernel).
+    Dividend schedules run in-kernel as segment re-maps (same plan
+    machinery as the batched kernel). The working set is tiny at
+    reference grids (~30 [nv, ns] fields ~ 1 MiB at the golden grid)
+    but the PCR cascade keeps 2*ceil(log2(ns)) factor fields live, so
+    truly fine grids (m1 >= ~500 convergence studies) are gated against
+    the same device-derived VMEM budget as the batched kernel."""
     if not (batch == 1
             and solver.solver_engine == "pallas"
             and solver.scheme in ("do", "cs", "mcs", "hv")
-            and (dividends is None or len(dividends) == 0)
             and n_tangents == 0):
         return False
     nv_pad = -8 * (-(spec.m2 + 1) // 8)
     ns_pad = -128 * (-(spec.m1 + 1) // 128)
     field = nv_pad * ns_pad * fused_do._live_dtype_bytes()
     n_fields = 16 + 2 * _pcr_levels(spec.m1 + 1)
-    return n_fields * field <= fused_do._vmem_budget_bytes()
+    # remap inputs are [1, ns] rows — 4 per event, a sub-1% correction
+    n_events = 0 if dividends is None else len(dividends)
+    extra = 4 * n_events * ns_pad * 8 * fused_do._live_dtype_bytes()
+    return n_fields * field + extra <= fused_do._vmem_budget_bytes()
 
 
 def _shift_lane(x, k, fill=0.0):
@@ -104,13 +109,19 @@ def _pcr_levels(ns: int) -> int:
 
 def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, put: bool, scheme: str = "do",
-                 barrier_pos=None):
+                 barrier_pos=None, div_plan=None, n_events: int = 0,
+                 digital: bool = False):
     """Single-instance kernel body. Refs (all VMEM unless noted):
     n0/n1/rf SMEM scalars; u [nv, ns] (+ lam if american, aliased
     outputs); six A1 rank-2 band rows [1, ns]; vfl/vfac + A0 v-stencil +
     A2 bands [nv, 1]; sfac + A0 s-stencil + b2 row + vec_s [1, ns];
-    b1 scalar + strike [1, 1]; scratch d/e [nv, ns] + penta factor
-    columns [nv, 1]."""
+    b1 scalar + strike [1, 1]; remap i0/w0/i1/w1 rows [1, ns] (4 per
+    event); scratch d/e [nv, ns] + penta factor columns [nv, 1].
+
+    `div_plan`: optional static tuple of (seg_start, seg_end, k_events)
+    — the time loop runs as fori_loop segments with dividend re-maps
+    between them, same plan structure as fused_do._make_kernel
+    (ref: src/solver.hpp:1120-1190's segmented dividend loop)."""
     nv, ns = m2 + 1, m1 + 1
     dt = delta_t
     td = theta * delta_t
@@ -130,6 +141,8 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
          al2_ref, al1_ref, ad_ref, au1_ref, au2_ref,
          b1v_ref, b2r_ref, vecs_ref, kk_ref) = rest[:24]
         rest = rest[24:]
+        r_refs = rest[: 4 * n_events]
+        rest = rest[4 * n_events:]
         uo_ref = rest.pop(0)
         lamo_ref = rest.pop(0) if american else None
         (d_ref, e_ref, pgm_ref, phm_ref, pm_ref, pc_ref, pc2_ref) = rest
@@ -159,10 +172,26 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     (v_ids == r) & (s_ids == col)).astype(dtype)
         bottom2d = ((v_ids == nv - 1) & (s_ids >= 1)).astype(dtype)
         smax_mask = (s_ids != ns - 1).astype(dtype)
+        s_iota1 = lax.broadcasted_iota(jnp.int32, (1, ns), 1)
         if american:
-            intrinsic = (kk_ref[0, 0] - vecs_ref[:] if put
-                         else vecs_ref[:] - kk_ref[0, 0])
-            u0 = jnp.maximum(intrinsic, 0.0) * jnp.ones((nv, 1), dtype)
+            if digital:
+                # cell-averaged digital indicator (operators.grid_payoff's
+                # clipped affine form — keeps the one-touch floor equal
+                # to the XLA path's); s is the lane axis here
+                vs = vecs_ref[:]                        # [1, ns]
+                kk = kk_ref[0, 0]
+                sp = _shift_lane(vs, 1)
+                sm = _shift_lane(vs, -1)
+                hi = jnp.where(s_iota1 == ns - 1, vs, 0.5 * (vs + sp))
+                lo = jnp.where(s_iota1 == 0, vs, 0.5 * (vs + sm))
+                den = jnp.where(hi == lo, jnp.ones_like(hi), hi - lo)
+                num = (kk - lo) if put else (hi - kk)
+                u0row = jnp.clip(num / den, 0.0, 1.0)
+            else:
+                intrinsic = (kk_ref[0, 0] - vecs_ref[:] if put
+                             else vecs_ref[:] - kk_ref[0, 0])
+                u0row = jnp.maximum(intrinsic, 0.0)
+            u0 = u0row * jnp.ones((nv, 1), dtype)
             if barrier_pos:
                 # knocked column(s): the exercise floor must not
                 # resurrect them (input u0 / boundary fields arrive
@@ -183,14 +212,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         # absolute per step in f32. Reactions read off the band rows:
         # a1qd[0] (row-0; 0 calls / -r_d/2 puts), a1qd[m1] = -r_d/2
         # elsewhere; A2 rows 0..m2-2 (calls) / all (puts).
-        s_iota1 = lax.broadcasted_iota(jnp.int32, (1, ns), 1)
         react_s = jnp.where(s_iota1 == 0, a1qd_ref[0, 0],
                             a1qd_ref[0, ns - 1])           # [1, ns]
         v_iota1 = lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-        # puts AND top-knocked barriers take the full reaction (matches
-        # operators.build_a2_bands)
+        # puts, digitals AND top-knocked barriers take the full reaction
+        # (matches operators.build_a2_bands)
         _ktop = bool(barrier_pos) and (ns - 1) in barrier_pos
-        n_react = nv if (put or _ktop) else nv - 2
+        n_react = nv if (put or digital or _ktop) else nv - 2
         react_v = jnp.where(v_iota1 < n_react, a1qd_ref[0, ns - 1],
                             jnp.zeros((), dtype))          # [nv, 1]
 
@@ -371,6 +399,19 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # compensated state update (see fused_do._make_kernel.step):
             # the single u-scale add per step is 2Sum-captured into a
             # carried compensation field
+            if american and digital:
+                # static-pin + box projection onto [payoff, 1] for the
+                # 0/1 obstacle (see douglas._do_step); lam stays 0
+                q, err = two_sum(u, z2 + comp)
+                pin = u0 == 1.0
+                qm = jnp.maximum(q, u0)
+                u_new = jnp.where(pin, u0, jnp.minimum(qm, 1.0))
+                interior = jnp.logical_and(
+                    jnp.logical_and(q > u0, qm < 1.0),
+                    jnp.logical_not(pin))
+                comp_new = jnp.where(interior, err,
+                                     jnp.zeros_like(err))
+                return (u_new, lam_c, comp_new)
             if american:
                 t_inc = (z2 - dt * lam_c) + comp
                 q, err = two_sum(u, t_inc)
@@ -382,10 +423,54 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             q, err = two_sum(u, z2 + comp)
             return (q, lam_c, err)
 
-        u_c, lam_c, comp_c = lax.fori_loop(
-            n0, n1, step,
-            (u_ref[:], lam_ref[:] if american else jnp.zeros((), dtype),
-             jnp.zeros_like(u_ref[:])))
+        def remap(x, e_idx):
+            """x <- contract(x, R_e) over the s (lane) axis, returning
+            (value, err). Same rank-structured matrix and DIFFERENCE
+            FORM as fused_do._make_kernel.remap (see there for the f32
+            rationale), transposed to this kernel's [nv, ns] layout:
+            source column c is a lane one-hot contraction -> [nv, 1],
+            the per-target weight row rc is [1, ns], and the
+            accumulation is a dense [nv, ns] block op per source
+            column."""
+            i0 = r_refs[4 * e_idx][:]
+            w0 = r_refs[4 * e_idx + 1][:]
+            i1 = r_refs[4 * e_idx + 2][:]
+            w1 = r_refs[4 * e_idx + 3][:]
+            wsum = jnp.where(w0 + w1 > 0.5, jnp.ones_like(w0),
+                             jnp.zeros_like(w0))             # exact {0,1}
+
+            def contract(c, acc):
+                cf = c.astype(i0.dtype)
+                rc = (w0 * (i0 == cf).astype(dtype)
+                      + w1 * (i1 == cf).astype(dtype))       # [1, ns]
+                oh = (s_iota1 == c).astype(dtype)            # [1, ns]
+                xc = jnp.sum(x * oh, axis=1, keepdims=True)  # [nv, 1]
+                return acc + rc * (xc - x)
+
+            acc = lax.fori_loop(0, ns, contract, jnp.zeros_like(x))
+            return two_sum(wsum * x, acc)
+
+        carry = (u_ref[:],
+                 lam_ref[:] if american else jnp.zeros((), dtype),
+                 jnp.zeros_like(u_ref[:]))
+        if div_plan is None:
+            carry = lax.fori_loop(n0, n1, step, carry)
+        else:
+            e_idx = 0
+            for (seg_a, seg_b, k_events) in div_plan:
+                if seg_b > seg_a:
+                    carry = lax.fori_loop(seg_a, seg_b, step, carry)
+                for _ in range(k_events):
+                    # linear + parameter-independent: applies identically
+                    # to u and the compensation (which must ride the
+                    # remap — see fused_do._make_kernel); the u remap's
+                    # captured rounding e2 joins the remapped comp
+                    u_c, lam_c, comp_c = carry
+                    u_c, e2 = remap(u_c, e_idx)
+                    comp_c = remap(comp_c, e_idx)[0] + e2
+                    carry = (u_c, lam_c, comp_c)
+                    e_idx += 1
+        u_c, lam_c, comp_c = carry
         uo_ref[:] = u_c + comp_c
         if american:
             lamo_ref[:] = lam_c
@@ -396,11 +481,12 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 @functools.lru_cache(maxsize=None)
 def _single_call(m1: int, m2: int, theta: float, delta_t: float,
                  american: bool, put: bool, dtype_name: str,
-                 interpret: bool, scheme: str = "do", barrier_pos=None):
+                 interpret: bool, scheme: str = "do", barrier_pos=None,
+                 div_plan=None, n_events: int = 0, digital: bool = False):
     nv, ns = m2 + 1, m1 + 1
     dtype = jnp.dtype(dtype_name)
     kernel = _make_kernel(m1, m2, theta, delta_t, american, put, scheme,
-                          barrier_pos)
+                          barrier_pos, div_plan, n_events, digital)
 
     full = lambda: pl.BlockSpec((nv, ns), lambda: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -422,6 +508,7 @@ def _single_call(m1: int, m2: int, theta: float, delta_t: float,
         + [srow()] * 3 + [vcol()] * 3       # A0 stencils
         + [vcol()] * 5                      # A2 bands
         + [one(), srow(), srow(), one()]    # b1, b2 row, vec_s, strike
+        + [srow()] * (4 * n_events)         # remap i0/w0/i1/w1 per event
     )
     out_specs = [full()] * n_state
     out_shapes = [jax.ShapeDtypeStruct((nv, ns), dtype)] * n_state
@@ -459,16 +546,20 @@ def fused_price_single(
     r_d,
     r_f,
     american: bool = False,
+    dividends=None,
     interpret: Optional[bool] = None,
     option_type: str = "call",
 ):
     """Price ONE option through the latency kernel; returns a scalar.
     Same field assembly as the batched kernel (shared
     fused_do._prepare_batched at batch 1), reshaped to the 2-D layout.
+    Dividend schedules run in-kernel (segmented fori_loop + re-maps,
+    shared fused_do._chunk_dividend_plan / _build_remap_fields).
     Jit-wrap the caller."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     put = operators.is_put(option_type)
+    dig = operators.is_digital(option_type)
     ks = jnp.asarray(strike).reshape(1)
     (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = fused_do._prepare_batched(spec, solver, ks, s0, kappa, eta,
@@ -498,26 +589,60 @@ def fused_price_single(
     # (theta=1, delta_t/2) — same two-phase structure as the batched
     # engine (fused_do._run_chunks); the boundary fields stay the main
     # phase's so the damp sub-steps' e^{rate*(dt/2)*k} scaling lands on
-    # the same absolute times
+    # the same absolute times. Dividend events of a phase turn its
+    # launch into a plan kernel (static segment bounds + in-kernel
+    # re-maps), chunked at MAX_EVENTS_PER_LAUNCH like the batched path.
     R = (min(solver.rannacher_steps, solver.n_steps)
          if solver.rannacher_steps else 0)
     phases = []
     if R:
-        phases.append((1.0, solver.delta_t / 2.0, "do", 1, 2 * R + 1))
+        phases.append(dict(theta=1.0, delta_t=solver.delta_t / 2.0,
+                           scheme="do", n_lo=1, n_hi=R,
+                           to_local=lambda n: 2 * n - 1,
+                           local_lo=1, local_end=2 * R + 1))
     if R < solver.n_steps:
-        phases.append((solver.theta, solver.delta_t, solver.scheme,
-                       R + 1, solver.n_steps + 1))
+        phases.append(dict(theta=solver.theta, delta_t=solver.delta_t,
+                           scheme=solver.scheme, n_lo=R + 1,
+                           n_hi=solver.n_steps,
+                           to_local=lambda n: n,
+                           local_lo=R + 1,
+                           local_end=solver.n_steps + 1))
     bpos = fused_do._barrier_positions(spec)
-    for theta_p, dt_p, scheme_p, n_lo, n_end in phases:
-        call = _single_call(spec.m1, spec.m2, theta_p, dt_p,
-                            american, put, dtype.name, interpret,
-                            scheme_p, barrier_pos=bpos)
+    barrier = getattr(spec, "barrier", None)
+
+    def launch(call, n_lo, n_end, extra):
+        nonlocal u2, lam2
         args = [jnp.asarray([n_lo], jnp.int32),
                 jnp.asarray([n_end], jnp.int32), rfa, u2]
         if american:
             args.append(lam2)
-        outs = call(*args, *inv)
+        outs = call(*args, *inv, *extra)
         u2 = outs[0]
         if american:
             lam2 = outs[1]
+
+    for ph in phases:
+        phase_events = (
+            dividends is not None and len(dividends) > 0
+            and any(dividends.events_for_step(n, solver.delta_t)
+                    for n in range(ph["n_lo"], ph["n_hi"] + 1)))
+        if phase_events:
+            for plan, events in fused_do._chunk_dividend_plan(
+                    solver, dividends, n_lo=ph["n_lo"], n_hi=ph["n_hi"],
+                    to_local=ph["to_local"], local_end=ph["local_end"]):
+                rmf = fused_do._build_remap_fields(
+                    vec_s, events, dtype, option_type, barrier=barrier)
+                r_args = [srow(f[0]) for ev in rmf for f in ev]
+                call = _single_call(
+                    spec.m1, spec.m2, ph["theta"], ph["delta_t"],
+                    american, put, dtype.name, interpret, ph["scheme"],
+                    barrier_pos=bpos, div_plan=plan,
+                    n_events=len(events), digital=dig)
+                launch(call, 0, 0, r_args)   # bounds unused: static plan
+        else:
+            call = _single_call(spec.m1, spec.m2, ph["theta"],
+                                ph["delta_t"], american, put, dtype.name,
+                                interpret, ph["scheme"], barrier_pos=bpos,
+                                digital=dig)
+            launch(call, ph["local_lo"], ph["local_end"], [])
     return u2[idx_v[0], idx_s[0]]

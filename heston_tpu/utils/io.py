@@ -111,9 +111,14 @@ def export_calibration_fit(path, result, s0: float, t: float, r_d: float,
     (ref: src/heston_calibration.cpp:2800-2860). Without it every point
     uses the scalar `t`."""
     from heston_tpu.models import bs  # lazy: jax import
+    from heston_tpu.ops import operators
 
     import jax.numpy as jnp
 
+    if operators.is_digital(option_type):
+        raise ValueError(
+            "export_calibration_fit inverts BS implied vols — "
+            "vanilla chains only (digital quotes have no IV column)")
     path = Path(path)
     strikes = np.asarray(result.strikes)
     market = np.asarray(result.market_prices)

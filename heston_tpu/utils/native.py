@@ -230,7 +230,11 @@ def price_batch_cpu(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         _ptr(f["bv_wp"]), _ptr(f["a1_ml"]), _ptr(f["a1_md"]),
         _ptr(f["a1_mu"]), _ptr(f["a2_l2"]), _ptr(f["a2_l1"]),
         _ptr(f["a2_d"]), _ptr(f["a2_u1"]), _ptr(f["a2_u2"]),
-        _ptr(f["b1"]), _ptr(f["b2"]), 1 if american else 0, _ptr(u0),
+        _ptr(f["b1"]), _ptr(f["b2"]),
+        # American mode: 2 = static-pin + box projection (discontinuous
+        # digital obstacle — see douglas._do_step), 1 = Ikonen-Toivanen
+        ((2 if operators.is_digital(option_type) else 1)
+         if american else 0), _ptr(u0),
         len(ev), ev_step.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _ptr(ev_amt), _ptr(ev_pct), _ptr(vec_s),
         1 if operators.is_put(option_type) else 0, _ptr(u), _ptr(lam),

@@ -84,7 +84,7 @@ def test_native_batch_matches_xla_all_variants(params):
     ks = jnp.array([85.0, 100.0, 115.0])
     args = (100.0, params.kappa, params.eta, params.sigma, params.rho,
             params.v0, params.r_d, params.r_f)
-    for ot in ("call", "put"):
+    for ot in ("call", "put", "digital_call", "digital_put"):
         for kw in (dict(), dict(american=True),
                    dict(dividends=GOLDEN_DIVIDENDS),
                    dict(american=True, dividends=GOLDEN_DIVIDENDS)):

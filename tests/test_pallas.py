@@ -378,6 +378,10 @@ def test_use_fused_cs_mcs_tangent_budget():
     dict(scheme="cs"),
     dict(scheme="mcs"),
     dict(scheme="hv"),
+    dict(dividends=GOLDEN_DIVIDENDS),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS),
+    dict(american=True, dividends=GOLDEN_DIVIDENDS, option_type="put"),
+    dict(scheme="hv", dividends=GOLDEN_DIVIDENDS),
 ])
 def test_single_option_kernel_matches_xla(params, kw):
     """The latency kernel (2-D [nv, ns] layout + log-depth PCR along s,
