@@ -199,6 +199,9 @@ def main(argv=None):
     p.add_argument("--param-jacobian", action="store_true",
                    help="also output the five model-parameter "
                         "sensitivities per option")
+    p.add_argument("--rates", action="store_true",
+                   help="also output the rate sensitivities rho_rd / "
+                        "rho_rf per option (framework extension)")
     p.add_argument("--maturities", type=float, nargs="+", default=None,
                    help="per-strike maturities (same count as --strikes) "
                         "for a mixed-maturity book — priced in ONE fused "
@@ -439,7 +442,8 @@ def main(argv=None):
             params.sigma, params.rho, params.v0, params.r_d, params.r_f,
             american=args.american, dividends=divs,
             option_type=args.option_type,
-            param_jacobian=args.param_jacobian, group_steps=groups)
+            param_jacobian=args.param_jacobian, group_steps=groups,
+            rates=args.rates)
         inv = np.argsort(order, kind="stable")  # back to input order
         for i in range(len(strikes)):
             j = int(inv[i])
@@ -453,6 +457,9 @@ def main(argv=None):
                 row.update(zip(("d_kappa", "d_eta", "d_sigma", "d_rho",
                                 "d_v0"),
                                [float(v) for v in out["param_jacobian"][j]]))
+            if args.rates:
+                row["rho_rd"] = float(out["rho_rd"][j])
+                row["rho_rf"] = float(out["rho_rf"][j])
             print(json.dumps(row))
         if args.csv:
             ordered = {k: np.asarray(out[k])[inv]
@@ -460,6 +467,9 @@ def main(argv=None):
             if args.param_jacobian:
                 ordered["param_jacobian"] = np.asarray(
                     out["param_jacobian"])[inv]
+            if args.rates:
+                ordered["rho_rd"] = np.asarray(out["rho_rd"])[inv]
+                ordered["rho_rf"] = np.asarray(out["rho_rf"])[inv]
             hio.export_book_risk(
                 args.csv, np.asarray(args.strikes, dtype=float), ordered,
                 metadata=dict(s0=args.spot, american=args.american,

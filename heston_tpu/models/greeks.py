@@ -31,6 +31,87 @@ RISK_KEYS = ("price", "delta", "gamma", "theta", "vega_v0", "vanna",
              "volga")
 
 
+def _book_prices(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
+                 r_d, r_f, american, dividends, option_type,
+                 group_steps=()):
+    """Price a (possibly mixed-maturity) book on the configured engine:
+    ONE fused launch with per-lane step counts when the fused kernel
+    applies, else the XLA path per maturity group. The rates-rho FD
+    bumps and their exact-AD fallback both linearize through THIS
+    function so every engine prices the same formulation."""
+    import dataclasses
+
+    from heston_tpu.pallas import fused_do
+
+    if group_steps:
+        nsteps_per = jnp.concatenate([
+            jnp.full(e - a, n, jnp.int32) for a, e, n in group_steps])
+    else:
+        nsteps_per = None
+    if solver.solver_engine == "pallas" and fused_do.use_fused(
+            spec, solver):
+        return fused_do.fused_price_batch(
+            spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            american=american, dividends=dividends,
+            option_type=option_type, n_steps_per=nsteps_per)
+    if group_steps:
+        return jnp.concatenate([
+            douglas.price_batch(
+                spec, dataclasses.replace(
+                    solver, solver_engine="scan", n_steps=n,
+                    maturity=n * solver.delta_t),
+                ks[a:e], s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+                american=american, dividends=dividends,
+                option_type=option_type)
+            for a, e, n in group_steps])
+    xsol = dataclasses.replace(solver, solver_engine="scan")
+    return douglas.price_batch(
+        spec, xsol, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+        american=american, dividends=dividends, option_type=option_type)
+
+
+def _rates_rho(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
+               r_d, r_f, american, dividends, option_type,
+               group_steps=()):
+    """Book-level rate sensitivities (d price / d r_d, d / d r_f) —
+    framework extension (the reference has no rate greeks).
+
+    The fused kernel's tangent set covers the five Heston parameters
+    only (rates move the A1 Q-rows AND the boundary e^{rate dt n}
+    scaling, which the forward-mode kernel treats as constants), so:
+    * fused engine: CENTRAL FD, two bumped fused launches per rate —
+      the reference's own bump convention applied to rates
+      (ref: src/jacobian_computation.cpp:204-364); eps is dtype-aware
+      (truncation O(eps^2) vs the engine's rounding floor).
+    * XLA engines: EXACT forward-mode AD (jax.linearize over the two
+      rates; two tangent solves reusing the primal factorizations).
+    """
+    from heston_tpu.pallas import fused_do
+
+    dtype = jnp.result_type(float)
+    args = (spec, solver, ks, s0, kappa, eta, sigma, rho, v0)
+    tail = dict(american=american, dividends=dividends,
+                option_type=option_type, group_steps=group_steps)
+    if solver.solver_engine == "pallas" and fused_do.use_fused(
+            spec, solver):
+        eps = jnp.asarray(2e-3 if dtype == jnp.float32 else 1e-5, dtype)
+        rd = jnp.asarray(r_d, dtype)
+        rf = jnp.asarray(r_f, dtype)
+        rho_rd = (_book_prices(*args, rd + eps, rf, **tail)
+                  - _book_prices(*args, rd - eps, rf, **tail)) / (2 * eps)
+        rho_rf = (_book_prices(*args, rd, rf + eps, **tail)
+                  - _book_prices(*args, rd, rf - eps, **tail)) / (2 * eps)
+        return rho_rd, rho_rf
+
+    def price_fn(rates):
+        return _book_prices(*args, rates[0], rates[1], **tail)
+
+    x = jnp.stack([jnp.asarray(r_d, dtype), jnp.asarray(r_f, dtype)])
+    _, jvp_fn = jax.linearize(price_fn, x)
+    cols = jax.vmap(jvp_fn)(jnp.eye(2, dtype=dtype))
+    return cols[0], cols[1]
+
+
 def _surface_risk(spec, solver, b_rate, u, lam, ops, vs, vv, idx_s, idx_v,
                   nsf=None, active=None):
     """price / delta / gamma / theta / vega_v0 / vanna / volga for ONE
@@ -189,19 +270,22 @@ def price_and_greeks(
 
             xla_solver = dataclasses.replace(solver, solver_engine="scan")
 
-            # delta and rho_rd share ONE linearized primal solve (the
-            # kernel carries no s-grid-motion or rate tangents)
-            def price_s0_rd(x):
+            # delta and the two rate rhos share ONE linearized primal
+            # solve (the kernel carries no s-grid-motion or rate
+            # tangents)
+            def price_s0_rates(x):
                 return douglas.price_option(
                     spec, xla_solver, strike, x[0], kappa, eta, sigma,
-                    rho, v0, x[1], r_f, american=american,
+                    rho, v0, x[1], x[2], american=american,
                     dividends=dividends, option_type=option_type)
 
             _, jvp_fn = jax.linearize(
-                price_s0_rd,
+                price_s0_rates,
                 jnp.stack([jnp.asarray(s0, dtype),
-                           jnp.asarray(r_d, dtype)]))
-            delta, rho_rd = jax.vmap(jvp_fn)(jnp.eye(2, dtype=dtype))
+                           jnp.asarray(r_d, dtype),
+                           jnp.asarray(r_f, dtype)]))
+            delta, rho_rd, rho_rf = jax.vmap(jvp_fn)(
+                jnp.eye(3, dtype=dtype))
             return {
                 "price": base[0],
                 "delta": delta,
@@ -211,22 +295,23 @@ def price_and_greeks(
                 "d_rho": jac[0, 3],
                 "vega_v0": jac[0, 4],
                 "rho_rd": rho_rd,
+                "rho_rf": rho_rf,
             }
 
     # same formulation as the fused branch: vega_v0 is the surface
     # v-stencil at the inserted v0 node (douglas.price_and_v0_stencil),
     # NOT a grid-motion tangent — so the greeks are engine-independent
     def price_fn(x):
-        s0_, kappa_, eta_, sigma_, rho_, r_d_ = x
+        s0_, kappa_, eta_, sigma_, rho_, r_d_, r_f_ = x
         return douglas.price_and_v0_stencil(
             spec, solver, strike, s0_, kappa_, eta_, sigma_, rho_, v0,
-            r_d_, r_f, american=american, dividends=dividends,
+            r_d_, r_f_, american=american, dividends=dividends,
             option_type=option_type)
 
     x = jnp.stack([jnp.asarray(v, dtype)
-                   for v in (s0, kappa, eta, sigma, rho, r_d)])
+                   for v in (s0, kappa, eta, sigma, rho, r_d, r_f)])
     price, jvp_fn, vega_v0 = jax.linearize(price_fn, x, has_aux=True)
-    grads = jax.vmap(jvp_fn)(jnp.eye(6, dtype=x.dtype))
+    grads = jax.vmap(jvp_fn)(jnp.eye(7, dtype=x.dtype))
     return {
         "price": price,
         "delta": grads[0],
@@ -236,6 +321,7 @@ def price_and_greeks(
         "d_rho": grads[4],
         "vega_v0": vega_v0,
         "rho_rd": grads[5],
+        "rho_rf": grads[6],
     }
 
 
@@ -284,7 +370,7 @@ def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
 @functools.partial(
     jax.jit, static_argnames=("spec", "solver", "american", "dividends",
                               "option_type", "param_jacobian",
-                              "group_steps"))
+                              "group_steps", "rates"))
 def batch_greeks(
     spec: GridSpec,
     solver: SolverConfig,
@@ -296,6 +382,7 @@ def batch_greeks(
     option_type: str = "call",
     param_jacobian: bool = False,
     group_steps=(),
+    rates: bool = False,
 ) -> Dict[str, jax.Array]:
     """Book-level risk in ONE batched solve: price, delta, gamma,
     calendar theta, vega_v0, vanna and volga for every option, read off
@@ -316,7 +403,12 @@ def batch_greeks(
     reference's CalibrationPoint packing applied to risk,
     ref: src/heston_calibration.cpp:2165-2213). With the fused engine
     the whole book still runs in ONE launch (per-lane step counts);
-    the XLA fallback prices per maturity group."""
+    the XLA fallback prices per maturity group.
+
+    rates=True adds the rate sensitivities rho_rd = dP/dr_d and
+    rho_rf = dP/dr_f per option (framework extension; see _rates_rho —
+    exact AD on the XLA engines, central FD bumped fused launches on
+    the pallas engine)."""
     import dataclasses
 
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
@@ -402,6 +494,12 @@ def batch_greeks(
                     american=american, dividends=dividends,
                     option_type=option_type)
         out["param_jacobian"] = jac
+    if rates:
+        rho_rd, rho_rf = _rates_rho(
+            spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
+            american, dividends, option_type, group_steps)
+        out["rho_rd"] = rho_rd
+        out["rho_rf"] = rho_rf
     return out
 
 

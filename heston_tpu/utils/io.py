@@ -69,7 +69,8 @@ def export_book_risk(path, strikes, risk: dict, metadata=None,
         maturities = np.asarray(maturities)
     cols = ["strike"] + (["maturity"] if maturities is not None else [])
     value_cols = ["price", "delta", "gamma", "theta"]
-    value_cols += [k for k in ("vega_v0", "vanna", "volga") if k in risk]
+    value_cols += [k for k in ("vega_v0", "vanna", "volga",
+                               "rho_rd", "rho_rf") if k in risk]
     cols += value_cols
     jac = risk.get("param_jacobian")
     if jac is not None:

@@ -213,6 +213,35 @@ def test_digital_mc_confirms_pde(params):
     assert am <= 1.0 + 1e-9
 
 
+def test_digital_book_risk_engines_agree(params):
+    """batch_greeks on an American digital book: the fused epilogue's
+    complementarity lambda (active set = exact payoff equality) matches
+    the XLA fallback per greek, and theta reads ~0 where the pin binds
+    (a deep-ITM one-touch is constant in time)."""
+    from heston_tpu.models import greeks
+
+    p = params
+    spec = GridSpec(m1=20, m2=10)
+    sol = SolverConfig(n_steps=6)
+    pal = dataclasses.replace(sol, solver_engine="pallas")
+    ks = jnp.array([90.0, 100.0, 120.0], jnp.float64)
+    args = tuple(jnp.float64(a) for a in _args(p))
+    out_x = greeks.batch_greeks(spec, sol, ks, *args, american=True,
+                                option_type="digital_call",
+                                param_jacobian=True)
+    out_f = greeks.batch_greeks(spec, pal, ks, *args, american=True,
+                                option_type="digital_call",
+                                param_jacobian=True)
+    for k in out_x:
+        np.testing.assert_allclose(
+            np.array(out_f[k]), np.array(out_x[k]), rtol=0, atol=1e-9,
+            err_msg=k)
+    # K=90 < s0=100: the spot node is pinned at payoff 1 — price exactly
+    # 1, theta exactly 0 (complementarity kills the spurious +r_d)
+    assert float(out_x["price"][0]) == 1.0
+    assert abs(float(out_x["theta"][0])) < 1e-12
+
+
 def test_digital_guards():
     """Vanilla-only consumers reject digitals loudly."""
     from heston_tpu.models.calibration import (CalibrationTargets,

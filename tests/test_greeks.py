@@ -304,3 +304,69 @@ def test_batch_vega_matches_v0_stencil(params):
     # rho < 0 the ATM call vanna is negative too
     assert float(out["volga"][0]) < 0.0
     assert float(out["vanna"][0]) < 0.0
+
+
+def test_rates_rho_book(params):
+    """batch_greeks(rates=True): the XLA exact-AD rate rhos match
+    single-option AD per strike, a central-FD cross-check, and the
+    fused engine's bumped-launch FD at its truncation tolerance
+    (framework extension — the reference has no rate greeks)."""
+    import dataclasses
+
+    from heston_tpu.models import douglas
+
+    p = params
+    ks = jnp.array([90.0, 100.0, 110.0])
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    out = greeks.batch_greeks(SPEC, SOLVER, ks, *args, rates=True)
+    # per-strike agreement with the single-option linearize
+    for i, k in enumerate(ks):
+        one = greeks.price_and_greeks(SPEC, SOLVER, float(k), *args)
+        np.testing.assert_allclose(float(out["rho_rd"][i]),
+                                   float(one["rho_rd"]), rtol=1e-9)
+        np.testing.assert_allclose(float(out["rho_rf"][i]),
+                                   float(one["rho_rf"]), rtol=1e-9)
+    # FD cross-check of the r_f column (AD exactness)
+    eps = 1e-6
+
+    def price_rf(rf):
+        return np.array(douglas.price_batch(
+            SPEC, SOLVER, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, rf))
+
+    fd = (price_rf(p.r_f + eps) - price_rf(p.r_f - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.array(out["rho_rf"]), fd, rtol=0,
+                               atol=2e-4)
+    # fused engine: central-FD bumped launches, O(eps^2) truncation
+    pal = dataclasses.replace(SOLVER, solver_engine="pallas")
+    out_f = greeks.batch_greeks(SPEC, pal, ks, *args, rates=True)
+    np.testing.assert_allclose(np.array(out_f["rho_rd"]),
+                               np.array(out["rho_rd"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.array(out_f["rho_rf"]),
+                               np.array(out["rho_rf"]),
+                               rtol=1e-4, atol=1e-4)
+    # financial sanity: for a call, d/dr_d > 0 (forward up) at ATM
+    assert float(out["rho_rd"][1]) > 0.0
+
+
+def test_rates_rho_mixed_book(params):
+    """rates=True composes with group_steps: each maturity group's rate
+    rhos equal a dedicated uniform-book pass at that maturity."""
+    p = params
+    args = (100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d, p.r_f)
+    ks = jnp.array([95.0, 105.0, 95.0, 105.0])
+    gs = ((0, 2, 5), (2, 4, 10))
+    out = greeks.batch_greeks(SPEC, SOLVER, ks, *args,
+                              group_steps=gs, rates=True)
+    import dataclasses
+
+    for (a, e, n) in gs:
+        sol_g = dataclasses.replace(SOLVER, n_steps=n,
+                                    maturity=n * SOLVER.delta_t)
+        want = greeks.batch_greeks(SPEC, sol_g, ks[a:e], *args,
+                                   rates=True)
+        np.testing.assert_allclose(np.array(out["rho_rd"][a:e]),
+                                   np.array(want["rho_rd"]), rtol=1e-9)
+        np.testing.assert_allclose(np.array(out["rho_rf"][a:e]),
+                                   np.array(want["rho_rf"]), rtol=1e-9)
