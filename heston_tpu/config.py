@@ -178,6 +178,100 @@ class DividendSchedule:
         return out
 
 
+@dataclasses.dataclass(frozen=True)
+class RateSchedule:
+    """Piecewise-constant term structures for r_d and r_f (framework
+    extension — the reference prices at flat rates only).
+
+    `times` are strictly-increasing breakpoints in CALENDAR time from
+    the valuation date (t = 0 today, t = maturity at expiry); segment i
+    covers [times[i-1], times[i]) with rates r_d[i] / r_f[i], so
+    len(r_d) == len(r_f) == len(times) + 1. The whole schedule is
+    STATIC (plain floats, like DividendSchedule): per-step rates are
+    resolved at trace time, each PDE step sampling the curve at the
+    step's calendar midpoint t = maturity - (n - 1/2)*delta_t — exact
+    for curves whose breakpoints align with step boundaries, nearest-
+    step rounding otherwise.
+
+    NOTE the coordinate difference vs DividendSchedule: dividend dates
+    live on the PDE's own step axis (the reference's window convention,
+    ref: src/solver.hpp:363), while rate times are calendar — a mixed-
+    maturity book shares ONE calendar curve, so the same schedule maps
+    to different step windows per maturity group.
+
+    When a RateSchedule is passed, the scalar r_d / r_f arguments of
+    the pricing entry points are IGNORED for the PDE coefficients and
+    discounting (they remain inert positional slots)."""
+
+    times: Tuple[float, ...]
+    r_d: Tuple[float, ...]
+    r_f: Tuple[float, ...]
+
+    def __post_init__(self):
+        if not (len(self.r_d) == len(self.r_f) == len(self.times) + 1):
+            raise ValueError(
+                "RateSchedule needs len(r_d) == len(r_f) == "
+                f"len(times) + 1; got times={len(self.times)}, "
+                f"r_d={len(self.r_d)}, r_f={len(self.r_f)}")
+        if any(t2 <= t1 for t1, t2 in zip(self.times, self.times[1:])):
+            raise ValueError(
+                f"RateSchedule times must be strictly increasing; "
+                f"got {self.times}")
+        if self.times and self.times[0] <= 0.0:
+            raise ValueError(
+                f"RateSchedule times must be > 0; got {self.times}")
+
+    def value_at(self, t: float) -> Tuple[float, float]:
+        """(r_d, r_f) at calendar time t (right-continuous; t < times[0]
+        takes segment 0, t >= times[-1] the last segment)."""
+        i = 0
+        for brk in self.times:
+            if t < brk:
+                break
+            i += 1
+        return self.r_d[i], self.r_f[i]
+
+    def step_rates(self, n_steps: int, delta_t: float,
+                   maturity: float) -> Tuple[Tuple[float, float], ...]:
+        """Per-PDE-step (r_d, r_f), index n = 1..n_steps (entry n-1).
+        Step n marches tau (time-to-expiry) over [(n-1)*dt, n*dt] =
+        calendar [maturity - n*dt, maturity - (n-1)*dt]; the curve is
+        sampled at the step's calendar midpoint."""
+        return tuple(
+            self.value_at(maturity - (n - 0.5) * delta_t)
+            for n in range(1, n_steps + 1))
+
+    def step_segments(self, n_steps: int, delta_t: float,
+                      maturity: float):
+        """Group consecutive equal-rate steps: tuple of
+        (n_lo, n_hi, r_d, r_f) with 1-based INCLUSIVE step ranges
+        covering 1..n_steps in ascending order."""
+        per = self.step_rates(n_steps, delta_t, maturity)
+        segs = []
+        lo = 1
+        for n in range(2, n_steps + 1):
+            if per[n - 1] != per[lo - 1]:
+                segs.append((lo, n - 1) + per[lo - 1])
+                lo = n
+        segs.append((lo, n_steps) + per[lo - 1])
+        return tuple(segs)
+
+    def average_rates(self, maturity: float) -> Tuple[float, float]:
+        """(1/T * integral of r_d, 1/T * integral of r_f) over calendar
+        [0, maturity] — the flat-rate equivalents. For EUROPEAN payoffs
+        under Heston, deterministic rates enter only through the
+        discount factor and the forward, both functions of these
+        integrals alone, so the continuum curve price EQUALS the
+        flat-average price (the test oracle for this feature)."""
+        knots = [0.0] + [min(t, maturity) for t in self.times
+                         if t < maturity] + [maturity]
+        i_d = i_f = 0.0
+        for k, (t0, t1) in enumerate(zip(knots, knots[1:])):
+            i_d += self.r_d[k] * (t1 - t0)
+            i_f += self.r_f[k] * (t1 - t0)
+        return i_d / maturity, i_f / maturity
+
+
 # The golden-test dividend schedule (ref: src/solver.cpp:788-790)
 GOLDEN_DIVIDENDS = DividendSchedule(
     dates=(0.2, 0.4, 0.6, 0.8),

@@ -30,6 +30,7 @@ calibration Jacobian). The reference's one-team-per-option batching
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -60,6 +61,18 @@ class DampOps(NamedTuple):
     a2_fac: banded.PentaFactor
 
 
+class SegmentOps(NamedTuple):
+    """Operator/factorization set for ONE rate-schedule segment (arrays
+    only — the static segment structure (step ranges, boundary rates)
+    is re-derived from (solver, rate_schedule) where needed so the
+    pytree stays vmap-clean)."""
+
+    ops: operators.HestonOperators
+    a1_fac: banded.TridiagFactor
+    a2_fac: banded.PentaFactor
+    damp: Optional[DampOps] = None
+
+
 class PreparedInstance(NamedTuple):
     """Everything one option instance needs to run the DO time loop."""
 
@@ -72,46 +85,32 @@ class PreparedInstance(NamedTuple):
     idx_v: Array     # variance node index (int32 scalar)
     damp: Optional[DampOps] = None   # rannacher_steps > 0 only
     barrier: object = None           # spec.barrier (knock-out re-knock)
+    # piecewise-constant RateSchedule only: one SegmentOps per rate
+    # segment, ascending; () when pricing at flat rates. The top-level
+    # ops/facs then hold the LAST segment's set (the operators at
+    # valuation time tau = T — what the theta epilogue differentiates).
+    rate_segments: tuple = ()
 
 
-def prepare_instance(
-    spec: GridSpec,
-    solver: SolverConfig,
-    strike,
-    s0,
-    kappa,
-    eta,
-    sigma,
-    rho,
-    v0,
-    r_d,
-    r_f,
-    option_type: str = "call",
-) -> PreparedInstance:
-    """Build grid, operators, factorizations and payoff for one option."""
-    grid = make_grid(spec, s0, strike, v0)
+def _build_op_set(grid, solver: SolverConfig, kappa, eta, sigma, rho,
+                  r_d, r_f, option_type, strike, barrier,
+                  boundary_anchor=None, need_damp=None) -> SegmentOps:
+    """Operators + factorizations (+ optional Rannacher damp set) for
+    one (rate, anchor) pair — the per-segment unit of prepare_instance."""
     ops = operators.build_operators(
-        grid,
-        kappa,
-        eta,
-        sigma,
-        rho,
-        r_d,
-        r_f,
-        solver.theta,
-        solver.delta_t,
-        solver.n_steps,
-        solver.a2_variant,
-        option_type,
-        strike,
-        spec.barrier,
+        grid, kappa, eta, sigma, rho, r_d, r_f,
+        solver.theta, solver.delta_t, solver.n_steps,
+        solver.a2_variant, option_type, strike, barrier,
+        boundary_anchor,
     )
     a1_fac = banded.tridiag_factor(ops.a1_iml, ops.a1_imd, ops.a1_imu)
     a2_fac = banded.penta_factor(
         ops.a2_il2, ops.a2_il1, ops.a2_id, ops.a2_iu1, ops.a2_iu2
     )
     damp = None
-    if solver.rannacher_steps:
+    if need_damp is None:
+        need_damp = bool(solver.rannacher_steps)
+    if need_damp:
         if solver.rannacher_steps < 0:
             raise ValueError(
                 f"rannacher_steps must be >= 0; got "
@@ -142,6 +141,91 @@ def prepare_instance(
                                        ops_d.a2_id, ops_d.a2_iu1,
                                        ops_d.a2_iu2),
         )
+    return SegmentOps(ops=ops, a1_fac=a1_fac, a2_fac=a2_fac, damp=damp)
+
+
+def _segment_structure(solver: SolverConfig, rate_schedule,
+                       option_type: str):
+    """STATIC per-segment structure for a RateSchedule: a tuple of
+    (n_lo, n_hi, r_d, r_f, b_rate, anchor), 1-based inclusive main-step
+    ranges ascending over 1..n_steps. All plain Python floats (resolved
+    at trace time).
+
+    The anchor generalizes the flat-rate boundary scaling exactly: with
+    I(tau) the running integral of the STEP-PIECEWISE boundary rate
+    (operators.boundary_rate per step), the injected boundary value at
+    step n must be b_raw * exp(I(n*dt) - I((N-1)*dt)). Within segment k
+    the stepper multiplies e^{b_rate_k*dt*n}, so the segment's vectors
+    are baked with anchor_k = exp(-b_rate_k*dt*min(n_hi_k, N-1)
+    - tail_k), tail_k the integral over the LATER segments' steps up to
+    N-1. A single segment reduces to the flat formula
+    e^{-rate*dt*(N-1)} identically."""
+    N = solver.n_steps
+    dt = solver.delta_t
+    segs = rate_schedule.step_segments(N, dt, solver.maturity)
+    per = rate_schedule.step_rates(N, dt, solver.maturity)
+    brate = [operators.boundary_rate(rd, rf, option_type)
+             for rd, rf in per]          # index n-1, n = 1..N
+    out = []
+    for (n_lo, n_hi, rd, rf) in segs:
+        br = operators.boundary_rate(rd, rf, option_type)
+        tail = dt * sum(brate[m - 1] for m in range(n_hi + 1, N))
+        anchor = math.exp(-br * dt * min(n_hi, N - 1) - tail)
+        out.append((n_lo, n_hi, rd, rf, br, anchor))
+    return tuple(out)
+
+
+def prepare_instance(
+    spec: GridSpec,
+    solver: SolverConfig,
+    strike,
+    s0,
+    kappa,
+    eta,
+    sigma,
+    rho,
+    v0,
+    r_d,
+    r_f,
+    option_type: str = "call",
+    rate_schedule=None,
+) -> PreparedInstance:
+    """Build grid, operators, factorizations and payoff for one option.
+
+    rate_schedule: optional config.RateSchedule (piecewise-constant
+    term structures; framework extension). When set, the scalar
+    r_d / r_f arguments are IGNORED: one SegmentOps set is built per
+    rate segment (the time loop swaps operator sets at the static
+    segment boundaries — run_time_loop), and the top-level ops hold the
+    LAST segment's set (valuation-time operators)."""
+    grid = make_grid(spec, s0, strike, v0)
+    if rate_schedule is not None:
+        R = min(solver.rannacher_steps, solver.n_steps) \
+            if solver.rannacher_steps else 0
+        structure = _segment_structure(solver, rate_schedule, option_type)
+        seg_ops = tuple(
+            _build_op_set(grid, solver, kappa, eta, sigma, rho,
+                          seg_rd, seg_rf, option_type, strike,
+                          spec.barrier, boundary_anchor=anchor,
+                          need_damp=bool(R) and n_lo <= R)
+            for (n_lo, n_hi, seg_rd, seg_rf, _, anchor) in structure)
+        last = seg_ops[-1]
+        u0 = operators.grid_payoff(
+            grid.vec_s[None, :], strike, option_type) * jnp.ones(
+            (spec.m2 + 1, 1), grid.vec_s.dtype)
+        if spec.barrier is not None:
+            u0 = spec.barrier.mask_payoff(u0)
+        return PreparedInstance(
+            grid=grid, ops=last.ops, a1_fac=last.a1_fac,
+            a2_fac=last.a2_fac, u0=u0,
+            idx_s=find_node(grid.vec_s, s0),
+            idx_v=find_node(grid.vec_v, v0),
+            damp=seg_ops[0].damp, barrier=spec.barrier,
+            rate_segments=seg_ops,
+        )
+    built = _build_op_set(grid, solver, kappa, eta, sigma, rho, r_d, r_f,
+                          option_type, strike, spec.barrier)
+    ops, a1_fac, a2_fac, damp = built
     u0 = operators.grid_payoff(
         grid.vec_s[None, :], strike, option_type) * jnp.ones(
         (spec.m2 + 1, 1), grid.vec_s.dtype
@@ -392,6 +476,82 @@ def _phase_views(inst: PreparedInstance, solver: SolverConfig):
     return views
 
 
+def _loop_views(inst: PreparedInstance, solver: SolverConfig, b_rate,
+                dividends, option_type: str, rate_schedule):
+    """(acts, views) for the plan executors: the phase plan with run
+    entries rewritten to ('run', key, n0, n1) and
+    views[key] = (inst_view, solver_view, b_rate).
+
+    Flat rates: keys are the phase names, views from _phase_views, the
+    caller's b_rate everywhere. With a RateSchedule, run ranges are
+    additionally split at the STATIC rate-segment boundaries, keys are
+    (phase, segment_index), each view carries that segment's operator
+    set (inst.rate_segments) and boundary rate. The damp phase's
+    sub-steps 2n-1, 2n belong to main step n, so a main segment
+    [a, b] owns damp-local [2a-1, 2b]."""
+    acts = _phase_plan(solver, dividends)
+    if rate_schedule is None:
+        views = {ph: v + (b_rate,)
+                 for ph, v in _phase_views(inst, solver).items()}
+        return acts, views
+    structure = _segment_structure(solver, rate_schedule, option_type)
+    if len(inst.rate_segments) != len(structure):
+        raise ValueError(
+            "PreparedInstance was built with a different rate schedule "
+            f"({len(inst.rate_segments)} operator segments vs "
+            f"{len(structure)} in the plan) — rebuild it via "
+            "prepare_instance(..., rate_schedule=...)")
+    views = {}
+    for si, ((_, _, _, _, br, _), seg) in enumerate(
+            zip(structure, inst.rate_segments)):
+        views[("main", si)] = (
+            inst._replace(ops=seg.ops, a1_fac=seg.a1_fac,
+                          a2_fac=seg.a2_fac),
+            solver, br)
+        if seg.damp is not None:
+            views[("damp", si)] = (
+                inst._replace(ops=seg.damp.ops, a1_fac=seg.damp.a1_fac,
+                              a2_fac=seg.damp.a2_fac),
+                solver.damping_solver(), br)
+    seg_hi = [s[1] for s in structure]
+
+    def seg_of_main(n):
+        for i, hi in enumerate(seg_hi):
+            if n <= hi:
+                return i
+        return len(seg_hi) - 1
+
+    out = []
+    for act in acts:
+        if act[0] != "run":
+            out.append(act)
+            continue
+        _, phase, n0, n1 = act
+        if phase == "damp":
+            def to_main(k):
+                return (k + 1) // 2
+
+            def local_start(n):
+                return 2 * n - 1
+        else:
+            def to_main(k):
+                return k
+
+            def local_start(n):
+                return n
+        if n1 <= n0:     # empty range — executors skip it; key arbitrary
+            out.append(("run", (phase, seg_of_main(max(to_main(n0), 1))),
+                        n0, n1))
+            continue
+        k = n0
+        while k < n1:
+            si = seg_of_main(to_main(k))
+            end = min(n1, local_start(seg_hi[si] + 1))
+            out.append(("run", (phase, si), k, end))
+            k = end
+    return out, views
+
+
 def run_time_loop(
     inst: PreparedInstance,
     solver: SolverConfig,
@@ -400,6 +560,7 @@ def run_time_loop(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     with_lambda: bool = False,
+    rate_schedule=None,
 ):
     """Run all N DO steps (with dividend re-maps between segments, and
     the Rannacher start-up sub-steps when solver.rannacher_steps > 0);
@@ -412,20 +573,22 @@ def run_time_loop(
     preserved by every operator).
 
     `b_rate` scales the boundary vectors through time (r_f for calls —
-    what every reference path passes — r_d for puts).
+    what every reference path passes — r_d for puts); with a
+    `rate_schedule` the per-segment boundary rates override it.
     `with_lambda=True` returns (u, lambda_surface) — the Ikonen-Toivanen
     multiplier is needed by e.g. the American theta epilogue
     (dU/dtau = L U + b + lambda)."""
     u = inst.u0
     lam = jnp.zeros_like(u)
-    views = _phase_views(inst, solver)
+    acts, views = _loop_views(inst, solver, b_rate, dividends,
+                              option_type, rate_schedule)
     projected = operators.is_digital(option_type)
 
-    def run_range(phase, n0, n1, carry):
-        inst_p, solver_p = views[phase]
+    def run_range(key, n0, n1, carry):
+        inst_p, solver_p, br = views[key]
 
         def body(n, c):
-            return _do_step(n, c[0], c[1], inst_p, solver_p, b_rate,
+            return _do_step(n, c[0], c[1], inst_p, solver_p, br,
                             american, projected)
 
         if n1 <= n0:
@@ -435,10 +598,10 @@ def run_time_loop(
         return lax.fori_loop(n0, n1, body, carry)
 
     carry = (u, lam)
-    for act in _phase_plan(solver, dividends):
+    for act in acts:
         if act[0] == "run":
-            _, phase, n0, n1 = act
-            carry = run_range(phase, n0, n1, carry)
+            _, key, n0, n1 = act
+            carry = run_range(key, n0, n1, carry)
         else:
             _, amount, pct = act
             carry = (apply_dividend(carry[0], inst.grid.vec_s, amount,
@@ -456,6 +619,7 @@ def solve_with_tracking(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ):
     """Run the time loop recording the full price surface (and the American
     lambda-multiplier surface) after every step — the TPU equivalent of the
@@ -468,15 +632,17 @@ def solve_with_tracking(
 
     u = inst.u0
     lam = jnp.zeros_like(u)
-    views = _phase_views(inst, solver)
+    acts, views = _loop_views(inst, solver, b_rate, dividends,
+                              option_type, rate_schedule)
     projected = operators.is_digital(option_type)
 
-    def scan_range(phase, n0, n1, carry):
-        inst_p, solver_p = views[phase]
+    def scan_range(key, n0, n1, carry):
+        inst_p, solver_p, br = views[key]
+        phase = key[0] if isinstance(key, tuple) else key
 
         def body(carry_, n):
             out = _do_step(n, carry_[0], carry_[1], inst_p, solver_p,
-                           b_rate, american, projected)
+                           br, american, projected)
             return out, out
         ns_ = jnp.arange(n0, n1)
         carry, hist = lax.scan(body, carry, ns_)
@@ -489,12 +655,12 @@ def solve_with_tracking(
     chunks_u = [u[None]]
     chunks_lam = [lam[None]]
     carry = (u, lam)
-    for act in _phase_plan(solver, dividends):
+    for act in acts:
         if act[0] == "run":
-            _, phase, n0, n1 = act
+            _, key, n0, n1 = act
             if n1 <= n0:
                 continue
-            carry, hist = scan_range(phase, n0, n1, carry)
+            carry, hist = scan_range(key, n0, n1, carry)
             chunks_u.append(hist[0])
             chunks_lam.append(hist[1])
         else:
@@ -540,6 +706,7 @@ def price_option(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> Array:
     """Price a single option; returns a scalar. Pure & vmappable.
 
@@ -547,15 +714,21 @@ def price_option(
     calls only): put payoff and injection-free put boundaries — the far
     fields emerge from the full -r_d reaction (operators.build_a1_bands
     / build_a2_bands; b1 = b2 = 0); American puts — the canonical
-    early-exercise case — run through the same lambda-multiplier LCP."""
+    early-exercise case — run through the same lambda-multiplier LCP.
+
+    rate_schedule: optional config.RateSchedule (piecewise-constant
+    term structures for r_d / r_f — framework extension; the reference
+    prices at flat rates only). When set, the scalar r_d / r_f
+    arguments are IGNORED; the time loop swaps per-segment operator
+    sets at the static segment boundaries."""
     _validate_barrier_book(spec, s0, strike)
     inst = prepare_instance(
         spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type,
+        option_type, rate_schedule=rate_schedule,
     )
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type)
+                      option_type, rate_schedule=rate_schedule)
     return u[inst.idx_v, inst.idx_s]
 
 
@@ -574,6 +747,7 @@ def price_and_v0_stencil(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ):
     """(price, dPrice/dv0) from ONE solve: the v0 sensitivity is the
     discretization's own 3-point v-derivative stencil at the inserted v0
@@ -591,11 +765,11 @@ def price_and_v0_stencil(
 
     inst = prepare_instance(
         spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type,
+        option_type, rate_schedule=rate_schedule,
     )
     b_rate = operators.boundary_rate(r_d, r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type)
+                      option_type, rate_schedule=rate_schedule)
     vv = inst.grid.vec_v
     j = jnp.clip(inst.idx_v, 1, spec.m2 - 1)
     h0 = vv[j] - vv[j - 1]
@@ -617,22 +791,24 @@ def price_surface(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ):
     """Full terminal surface + grid (for exports / inspection)."""
     inst = prepare_instance(
         spec, solver, strike, s0, params.kappa, params.eta, params.sigma,
         params.rho, params.v0, params.r_d, params.r_f, option_type,
+        rate_schedule=rate_schedule,
     )
     b_rate = operators.boundary_rate(params.r_d, params.r_f, option_type)
     u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type)
+                      option_type, rate_schedule=rate_schedule)
     return u, inst.grid
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "solver", "american", "dividends",
-                     "option_type"),
+                     "option_type", "rate_schedule"),
 )
 def _price_batch_impl(
     spec: GridSpec,
@@ -649,8 +825,9 @@ def _price_batch_impl(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> Array:
-    if solver.solver_engine == "pallas":
+    if solver.solver_engine == "pallas" and rate_schedule is None:
         from heston_tpu.pallas import fused_do, fused_single
 
         if fused_single.use_single(spec, solver, strikes.shape[0],
@@ -676,7 +853,7 @@ def _price_batch_impl(
         return price_option(
             spec, solver, k, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
             american=american, dividends=dividends,
-            option_type=option_type,
+            option_type=option_type, rate_schedule=rate_schedule,
         )
 
     return jax.vmap(one)(strikes)
@@ -697,6 +874,7 @@ def price_batch(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> Array:
     """Batched pricing over a strike vector (the reference's one-team-per-
     option parallelism, ref: src/device_solver.hpp:53-185, as a vmap).
@@ -704,13 +882,20 @@ def price_batch(
     solver_engine="pallas" routes to the fused whole-time-loop TPU kernel
     (heston_tpu.pallas.fused_do); "scan"/"pcr" run the XLA path.
 
+    rate_schedule: optional config.RateSchedule (piecewise-constant
+    term structures; framework extension) — the scalar r_d / r_f are
+    then ignored. Rate-schedule books currently run on the XLA path
+    (the fused kernels bake flat-rate constants); the pallas engine
+    falls through rather than mispricing.
+
     The barrier-book validation runs HERE, outside the jitted impl — a
     guard inside the jit only ever sees tracers and silently skips
     (caught in review: the gap-spot rejection never fired)."""
     _validate_barrier_book(spec, s0, strikes)
     return _price_batch_impl(
         spec, solver, strikes, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        american=american, dividends=dividends, option_type=option_type)
+        american=american, dividends=dividends, option_type=option_type,
+        rate_schedule=rate_schedule)
 
 
 def price_knock_in(
@@ -768,10 +953,12 @@ def price_batch_params(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> Array:
     """Convenience wrapper taking a HestonParams dataclass."""
     return price_batch(
         spec, solver, strikes, s0, params.kappa, params.eta, params.sigma,
         params.rho, params.v0, params.r_d, params.r_f,
         american=american, dividends=dividends, option_type=option_type,
+        rate_schedule=rate_schedule,
     )

@@ -330,7 +330,7 @@ def boundary_rate(r_d, r_f, option_type: str = "call"):
 
 def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
                            option_type: str = "call", strike=None,
-                           barrier=None):
+                           barrier=None, anchor=None):
     """Boundary injection vectors b1 (S-direction) and b2 (V-direction).
 
     Calls: includes the reference's flat-index placement of b1 at
@@ -347,6 +347,16 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
     injection-free also sidesteps the reference's boundary time-scaling
     orientation quirk (see boundary_rate). `strike` is accepted for API
     symmetry but unused.
+
+    anchor: optional override of the baked time-scaling anchor
+    e^{-rate*dt*(n_steps-1)} — used by piecewise-constant rate
+    schedules, where each rate segment's boundary vectors carry its own
+    anchor exp(-integral of the boundary rate from the segment-local
+    step origin to (n_steps-1)*dt) so the stepper's within-segment
+    e^{rate*dt*n} factor lands every step on
+    exp(-[I((N-1)dt) - I(tau)]), I the running integral of the
+    step-piecewise boundary rate (the flat-rate formula's exact
+    generalization; see models.douglas.prepare_instance).
     """
     m1, m2 = grid.m1, grid.m2
     s = grid.vec_s
@@ -354,7 +364,10 @@ def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,
     shape = (m2 + 1, m1 + 1)
 
     rate = boundary_rate(r_d, r_f, option_type)
-    efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
+    if anchor is None:
+        efac = jnp.exp(jnp.asarray(-rate * delta_t * (n_steps - 1), dtype))
+    else:
+        efac = jnp.asarray(anchor, dtype)
 
     if barrier is not None and barrier.knock_top:
         # a top-knocked (up-out / double-out) far s boundary IS the
@@ -409,12 +422,17 @@ def build_operators(
     option_type: str = "call",
     strike=None,
     barrier=None,
+    boundary_anchor=None,
 ) -> HestonOperators:
     """Assemble every operator for one option instance (pure / vmappable).
 
     barrier: a config.Barrier — knock-out options are injection-free
     (b1 = b2 = 0; the knocked boundary column starts at 0 and every
-    operator keeps it there, see build_boundary_vectors)."""
+    operator keeps it there, see build_boundary_vectors).
+
+    boundary_anchor: optional override of the boundary vectors' baked
+    time-scaling anchor (rate-schedule segments; see
+    build_boundary_vectors)."""
     m1, m2 = grid.m1, grid.m2
     s, v = grid.vec_s, grid.vec_v
     dtype = s.dtype
@@ -450,7 +468,8 @@ def build_operators(
 
     # --- boundaries ---
     b1, b2, b = build_boundary_vectors(grid, r_d, r_f, n_steps, delta_t,
-                                       option_type, strike, barrier)
+                                       option_type, strike, barrier,
+                                       boundary_anchor)
 
     return HestonOperators(
         a0_c=a0_c,
