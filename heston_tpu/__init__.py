@@ -27,6 +27,7 @@ from heston_tpu.config import (
     GridSpec,
     SolverConfig,
     DividendSchedule,
+    RateSchedule,
     CalibrationConfig,
     GOLDEN_DIVIDENDS,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "GridSpec",
     "SolverConfig",
     "DividendSchedule",
+    "RateSchedule",
     "CalibrationConfig",
     "GOLDEN_DIVIDENDS",
     "price_batch",

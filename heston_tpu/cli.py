@@ -36,6 +36,40 @@ def _parse_dividends(name):
     raise SystemExit(f"unknown dividend schedule: {name}")
 
 
+def _parse_rate_schedule(args):
+    """Optional piecewise-constant rate curve from --rate-times /
+    --rate-rd / --rate-rf (framework extension; overrides --r-d/--r-f)."""
+    if args.rate_times is None and args.rate_rd is None \
+            and args.rate_rf is None:
+        return None
+    from heston_tpu.config import RateSchedule
+
+    times = tuple(args.rate_times or ())
+    rd = args.rate_rd
+    rf = args.rate_rf
+    if rd is None:
+        raise SystemExit("--rate-rd is required with a rate curve")
+    if rf is None:
+        rf = [0.0] * len(rd)
+    try:
+        return RateSchedule(times=times, r_d=tuple(rd), r_f=tuple(rf))
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+
+
+def _add_rate_curve(p):
+    p.add_argument("--rate-times", type=float, nargs="*", default=None,
+                   help="calendar breakpoints of a piecewise-constant "
+                        "rate curve (strictly increasing, > 0); segment "
+                        "i covers [t_{i-1}, t_i)")
+    p.add_argument("--rate-rd", type=float, nargs="+", default=None,
+                   help="per-segment domestic rates "
+                        "(len = len(--rate-times) + 1); overrides --r-d")
+    p.add_argument("--rate-rf", type=float, nargs="+", default=None,
+                   help="per-segment foreign rates (default all 0); "
+                        "overrides --r-f")
+
+
 def _add_common(p):
     p.add_argument("--m1", type=int, default=50)
     p.add_argument("--m2", type=int, default=25)
@@ -111,6 +145,7 @@ def main(argv=None):
     p.add_argument("--knock-in", action="store_true",
                    help="knock-IN via in-out parity (European only; "
                         "requires --barrier-kind/--barrier-level)")
+    _add_rate_curve(p)
 
     p = sub.add_parser("calibrate", help="run a calibration scenario")
     _add_common(p)
@@ -224,6 +259,7 @@ def main(argv=None):
                    help="also export the American lambda-multiplier surface "
                         "(<csv>.lambda.csv), the reference's lambda-tracking "
                         "plots (ref: src/solver.cpp:688-718)")
+    _add_rate_curve(p)
 
     args = parser.parse_args(argv)
 
@@ -252,6 +288,7 @@ def main(argv=None):
 
         strikes = jnp.asarray(args.strikes)
         divs = _parse_dividends(args.dividends)
+        rates = _parse_rate_schedule(args)
         # route through price_batch_params so the standard dispatch gate
         # applies (DO/CS/MCS/HV fused kernel, VMEM fit, XLA fallback)
         engine = "pallas" if args.engine == "pallas" else "scan"
@@ -265,6 +302,9 @@ def main(argv=None):
                 raise SystemExit(
                     "--knock-in is European only (early exercise breaks "
                     "in-out parity)")
+            if rates is not None:
+                raise SystemExit(
+                    "--knock-in does not take a rate curve yet")
             prices = douglas.price_knock_in(
                 spec, sol_p, strikes, args.spot, *params.bumpable(),
                 params.r_d, params.r_f, dividends=divs,
@@ -273,7 +313,7 @@ def main(argv=None):
             prices = douglas.price_batch_params(
                 spec, sol_p, strikes, args.spot, params,
                 american=args.american, dividends=divs,
-                option_type=args.option_type)
+                option_type=args.option_type, rate_schedule=rates)
         for k, v in zip(args.strikes, np.asarray(prices)):
             print(json.dumps({"strike": k, "price": float(v)}))
 
@@ -480,6 +520,7 @@ def main(argv=None):
 
     elif args.cmd == "surface":
         divs = _parse_dividends(args.dividends)
+        rates = _parse_rate_schedule(args)
         # everything below MUST run under one jit: these library fns are
         # plain traced code, and eager lax.scan/fori_loop through the TPU
         # tunnel dispatches per-op (minutes instead of seconds)
@@ -489,13 +530,15 @@ def main(argv=None):
             inst = douglas.prepare_instance(
                 spec, solver, args.strike, args.spot, params.kappa,
                 params.eta, params.sigma, params.rho, params.v0,
-                params.r_d, params.r_f, args.option_type)
+                params.r_d, params.r_f, args.option_type,
+                rate_schedule=rates)
             b_rate = operators.boundary_rate(params.r_d, params.r_f,
                                              args.option_type)
             surfaces, lambdas = jax.jit(
                 lambda: douglas.solve_with_tracking(
                     inst, solver, b_rate, american=args.american,
-                    dividends=divs, option_type=args.option_type))()
+                    dividends=divs, option_type=args.option_type,
+                    rate_schedule=rates))()
             u, grid = surfaces[-1], inst.grid
             lam_path = hio.export_surface(
                 str(args.csv) + ".lambda.csv", grid,
@@ -506,7 +549,7 @@ def main(argv=None):
                 lambda: douglas.price_surface(
                     spec, solver, args.strike, args.spot, params,
                     american=args.american, dividends=divs,
-                    option_type=args.option_type))()
+                    option_type=args.option_type, rate_schedule=rates))()
             lam_path = None
         path = hio.export_surface(args.csv, grid, np.asarray(u),
                                   metadata={"strike": args.strike,

@@ -30,7 +30,6 @@ calibration Jacobian). The reference's one-team-per-option batching
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -146,33 +145,11 @@ def _build_op_set(grid, solver: SolverConfig, kappa, eta, sigma, rho,
 
 def _segment_structure(solver: SolverConfig, rate_schedule,
                        option_type: str):
-    """STATIC per-segment structure for a RateSchedule: a tuple of
-    (n_lo, n_hi, r_d, r_f, b_rate, anchor), 1-based inclusive main-step
-    ranges ascending over 1..n_steps. All plain Python floats (resolved
-    at trace time).
-
-    The anchor generalizes the flat-rate boundary scaling exactly: with
-    I(tau) the running integral of the STEP-PIECEWISE boundary rate
-    (operators.boundary_rate per step), the injected boundary value at
-    step n must be b_raw * exp(I(n*dt) - I((N-1)*dt)). Within segment k
-    the stepper multiplies e^{b_rate_k*dt*n}, so the segment's vectors
-    are baked with anchor_k = exp(-b_rate_k*dt*min(n_hi_k, N-1)
-    - tail_k), tail_k the integral over the LATER segments' steps up to
-    N-1. A single segment reduces to the flat formula
-    e^{-rate*dt*(N-1)} identically."""
-    N = solver.n_steps
-    dt = solver.delta_t
-    segs = rate_schedule.step_segments(N, dt, solver.maturity)
-    per = rate_schedule.step_rates(N, dt, solver.maturity)
-    brate = [operators.boundary_rate(rd, rf, option_type)
-             for rd, rf in per]          # index n-1, n = 1..N
-    out = []
-    for (n_lo, n_hi, rd, rf) in segs:
-        br = operators.boundary_rate(rd, rf, option_type)
-        tail = dt * sum(brate[m - 1] for m in range(n_hi + 1, N))
-        anchor = math.exp(-br * dt * min(n_hi, N - 1) - tail)
-        out.append((n_lo, n_hi, rd, rf, br, anchor))
-    return tuple(out)
+    """STATIC per-segment structure for a RateSchedule — see
+    operators.rate_segment_structure (shared with the fused kernel)."""
+    return operators.rate_segment_structure(
+        solver.n_steps, solver.delta_t, solver.maturity, rate_schedule,
+        option_type)
 
 
 def prepare_instance(
@@ -827,14 +804,15 @@ def _price_batch_impl(
     option_type: str = "call",
     rate_schedule=None,
 ) -> Array:
-    if solver.solver_engine == "pallas" and rate_schedule is None:
+    if solver.solver_engine == "pallas":
         from heston_tpu.pallas import fused_do, fused_single
 
-        if fused_single.use_single(spec, solver, strikes.shape[0],
-                                   dividends):
+        if rate_schedule is None and fused_single.use_single(
+                spec, solver, strikes.shape[0], dividends):
             # batch of ONE: the latency kernel (2-D [nv, ns] layout,
             # log-depth PCR along s) — the batched kernel's sequential
-            # sweeps waste 127/128 lanes on a single instance
+            # sweeps waste 127/128 lanes on a single instance. Curve
+            # books take the batched kernel (per-segment launches).
             return fused_single.fused_price_single(
                 spec, solver, strikes[0], s0, kappa, eta, sigma, rho,
                 v0, r_d, r_f, american=american, dividends=dividends,
@@ -844,7 +822,7 @@ def _price_batch_impl(
             return fused_do.fused_price_batch(
                 spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
                 r_d, r_f, american=american, dividends=dividends,
-                option_type=option_type,
+                option_type=option_type, rate_schedule=rate_schedule,
             )
         # grid too large for the fused kernel's VMEM working set —
         # fall through to the XLA path
@@ -884,9 +862,11 @@ def price_batch(
 
     rate_schedule: optional config.RateSchedule (piecewise-constant
     term structures; framework extension) — the scalar r_d / r_f are
-    then ignored. Rate-schedule books currently run on the XLA path
-    (the fused kernels bake flat-rate constants); the pallas engine
-    falls through rather than mispricing.
+    then ignored. Curve books run at fused-kernel speed too: one launch
+    per static rate segment, each with its own operator fields and
+    boundary anchor (fused_do.fused_price_batch); batch-of-one curve
+    books take the batched kernel (the PCR latency kernel bakes
+    flat-rate constants).
 
     The barrier-book validation runs HERE, outside the jitted impl — a
     guard inside the jit only ever sees tracers and silently skips

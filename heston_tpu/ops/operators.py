@@ -31,6 +31,7 @@ i + j*(m1+1) of the reference reshaped to 2-D.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import numpy as np
@@ -326,6 +327,35 @@ def boundary_rate(r_d, r_f, option_type: str = "call"):
     see build_boundary_vectors) so the rate never matters; r_d is
     returned for definiteness."""
     return r_d if is_injection_free(option_type) else r_f
+
+
+def rate_segment_structure(n_steps: int, delta_t: float, maturity: float,
+                           rate_schedule, option_type: str = "call"):
+    """STATIC per-segment structure for a config.RateSchedule: a tuple
+    of (n_lo, n_hi, r_d, r_f, b_rate, anchor) — 1-based inclusive step
+    ranges ascending over 1..n_steps, all plain Python floats (resolved
+    at trace time). Shared by the XLA time loop (models.douglas) and
+    the fused kernel's per-segment launches (pallas.fused_do).
+
+    The anchor generalizes the flat-rate boundary scaling exactly: with
+    I(tau) the running integral of the STEP-PIECEWISE boundary rate
+    (boundary_rate per step), the injected boundary value at step n
+    must be b_raw * exp(I(n*dt) - I((N-1)*dt)). Within segment k the
+    stepper multiplies e^{b_rate_k*dt*n}, so the segment's vectors are
+    baked with anchor_k = exp(-b_rate_k*dt*min(n_hi_k, N-1) - tail_k),
+    tail_k the integral over the LATER segments' steps up to N-1. A
+    single segment reduces to the flat formula e^{-rate*dt*(N-1)}
+    identically."""
+    per = rate_schedule.step_rates(n_steps, delta_t, maturity)
+    brate = [boundary_rate(rd, rf, option_type) for rd, rf in per]
+    out = []
+    for (n_lo, n_hi, rd, rf) in rate_schedule.step_segments(
+            n_steps, delta_t, maturity):
+        br = boundary_rate(rd, rf, option_type)
+        tail = delta_t * sum(brate[m - 1] for m in range(n_hi + 1, n_steps))
+        anchor = math.exp(-br * delta_t * min(n_hi, n_steps - 1) - tail)
+        out.append((n_lo, n_hi, rd, rf, br, anchor))
+    return tuple(out)
 
 
 def build_boundary_vectors(grid: Grid, r_d, r_f, n_steps: int, delta_t: float,

@@ -1200,11 +1200,15 @@ def _segment_call(m1: int, m2: int, theta: float, delta_t: float,
 
 
 def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
-                     r_d, r_f, option_type="call", nsteps=None):
+                     r_d, r_f, option_type="call", nsteps=None,
+                     anchor=None):
     """vmap the existing operator assembly over the book, then transpose
     every field to batch-last tiles. `nsteps`: optional per-option step
     counts (mixed-maturity books) — they scale each option's boundary
-    data through its OWN e^{-rate dt (n_i - 1)} factor."""
+    data through its OWN e^{-rate dt (n_i - 1)} factor. `anchor`:
+    optional static override of that baked boundary time-scaling factor
+    (rate-schedule segments, see operators.rate_segment_structure;
+    uniform books only — callers gate per-lane + schedule off)."""
     put = operators.is_put(option_type)
     barrier = getattr(spec, "barrier", None)
     if nsteps is None:
@@ -1219,7 +1223,7 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         ops = operators.build_operators(
             g, kappa, eta, sigma, rho, r_d, r_f, solver.theta,
             solver.delta_t, nsf, solver.a2_variant,
-            option_type, k, barrier)
+            option_type, k, barrier, anchor)
         dtype = g.vec_s.dtype
         u0 = operators.grid_payoff(
             g.vec_s[None, :], k, option_type) * jnp.ones(
@@ -1265,8 +1269,11 @@ def _prepare_batched(spec, solver, strikes, s0, kappa, eta, sigma, rho, v0,
         # boundary data: b1 scalar + bottom-row values, scaled through
         # time at operators.boundary_rate (r_f calls / r_d puts)
         rate = operators.boundary_rate(r_d, r_f, option_type)
-        efac = jnp.exp(jnp.asarray(
-            -rate * solver.delta_t * (nsf - 1.0), dtype))
+        if anchor is None:
+            efac = jnp.exp(jnp.asarray(
+                -rate * solver.delta_t * (nsf - 1.0), dtype))
+        else:
+            efac = jnp.asarray(anchor, dtype)
         if (operators.is_injection_free(option_type)
                 or (barrier is not None and barrier.knock_top)):
             # no injection vectors for puts/digitals or top-knocked
@@ -1412,16 +1419,18 @@ def _chunk_dividend_plan(solver, dividends, n_lo=1, n_hi=None,
 
 
 def _assemble(spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
-              r_d, r_f, option_type="call", nsteps_p=None):
+              r_d, r_f, option_type="call", nsteps_p=None, anchor=None):
     """Build every kernel input field (batch-last, s-major) plus the
     extraction indices for a padded strike vector. Also returns the
     vmapped HestonOperators so surface consumers (fused_surface_batch ->
     batch_greeks' theta epilogue) don't re-run the whole assembly.
     `nsteps_p`: padded per-option step counts — adds the "nst" field the
-    per-lane-steps kernel consumes."""
+    per-lane-steps kernel consumes. `anchor`: boundary time-scaling
+    override for rate-schedule segments (see _prepare_batched)."""
     (ops, u0, a1pq, vfull, scol, vrow, b1val, b2row, vec_s, idx_s, idx_v
      ) = _prepare_batched(spec, solver, strikes_p, s0, kappa, eta, sigma,
-                          rho, v0, r_d, r_f, option_type, nsteps_p)
+                          rho, v0, r_d, r_f, option_type, nsteps_p,
+                          anchor)
 
     # batch goes LAST (the lane axis); the pallas grid walks tile-blocks.
     # Big fields are s-major in the kernel: [s, v, options].
@@ -1485,17 +1494,32 @@ def _pad_strikes(spec, strikes, n_tangents=0, strict=True, nsteps=None,
 
 def _run_chunks(spec, solver, american, dividends, dtype, interpret,
                 unroll, n_tiles, tile, fields, vec_s, tangents=(),
-                option_type="call"):
+                option_type="call", rate_segments=None):
     """Run the (possibly dividend-segmented) time loop as chunk launches.
     `tangents`: optional list of K dicts of 2-D tangent fields (keys =
     _TANGENT_KEYS) plus state tangents are taken as zeros. Returns
-    (u, lam, [du_k...])."""
+    (u, lam, [du_k...]).
+
+    `rate_segments`: optional tuple of (n_lo, n_hi, b_rate, seg_fields)
+    — ascending inclusive MAIN-step ranges covering 1..n_steps, one per
+    piecewise-constant rate segment (operators.rate_segment_structure).
+    Each phase window is additionally split at the segment boundaries
+    and every piece launches with ITS segment's operator fields and
+    boundary rate; state (u, lam) crosses launches through the aliased
+    outputs exactly as it does for dividend chunks. Uniform books only
+    (callers gate per-lane + schedule off); tangent launches don't
+    support segments (the fused Jacobian falls back to XLA)."""
     put = operators.is_put(option_type)
     dig = operators.is_digital(option_type)
     barrier = getattr(spec, "barrier", None)
     bpos = _barrier_positions(spec)
     K = len(tangents)
     per_lane = "nst" in fields
+    if rate_segments and (per_lane or K):
+        raise ValueError(
+            "rate_segments compose with neither per-lane step counts "
+            "nor tangent launches — callers must route those to the "
+            "XLA path")
     inv_base = [fields[k] for k in _INV_KEYS]
     rfa = jnp.asarray([fields["rf_val"]], dtype)
     u = fields["u"]
@@ -1551,49 +1575,67 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     for ph in phases:
         if ph["local_end"] <= ph["local_lo"]:
             continue
-        inv = inv_base + ([ph["nst"]] if per_lane else [])
-        phase_events = (
-            dividends is not None and len(dividends) > 0
-            and any(dividends.events_for_step(n, solver.delta_t)
-                    for n in range(ph["n_lo"], ph["n_hi"] + 1)))
-        if phase_events:
-            n0a = jnp.asarray([0], jnp.int32)   # unused by plan kernels
-            n1a = jnp.asarray([0], jnp.int32)
-            nst_per = ph["nst"][0] if per_lane else None
-            for plan, events in _chunk_dividend_plan(
-                    solver, dividends, n_lo=ph["n_lo"], n_hi=ph["n_hi"],
-                    to_local=ph["to_local"], local_end=ph["local_end"]):
-                rmf = _build_remap_fields(vec_s, events, dtype,
-                                          option_type, nsteps=nst_per,
-                                          barrier=barrier)
-                r_args = [jnp.moveaxis(f, 0, -1) for ev in rmf for f in ev]
-                chunk_call = _segment_call(
-                    spec.m1, spec.m2, ph["theta"], ph["delta_t"],
-                    american, dtype.name, interpret, unroll, plan,
-                    len(events), n_tiles, tile, K, put,
-                    per_lane_steps=per_lane, scheme=ph["scheme"],
-                    barrier_pos=bpos, digital=dig)
-                sa = state_args()
-                outs = chunk_call(n0a, n1a, rfa, sa[0],
-                                  *( [sa[1]] if american else [] ), *inv,
-                                  *r_args, *sa[(2 if american else 1):],
-                                  *tg)
-                u, lam, dus, dlams = unpack_outs(outs)
+        # split the phase window at the static rate-segment boundaries;
+        # the default is one piece spanning the whole phase
+        if rate_segments:
+            pieces = []
+            for (s_lo, s_hi, br, f_seg) in rate_segments:
+                lo = max(ph["n_lo"], s_lo)
+                hi = min(ph["n_hi"], s_hi)
+                if lo > hi:
+                    continue
+                pieces.append((lo, hi, [f_seg[k] for k in _INV_KEYS],
+                               jnp.asarray([br], dtype)))
         else:
-            call = _segment_call(spec.m1, spec.m2, ph["theta"],
-                                 ph["delta_t"], american, dtype.name,
-                                 interpret, unroll, n_tiles=n_tiles,
-                                 tile=tile, n_tangents=K, put=put,
-                                 per_lane_steps=per_lane,
-                                 scheme=ph["scheme"], barrier_pos=bpos,
-                                 digital=dig)
-            n0a = jnp.asarray([ph["local_lo"]], jnp.int32)
-            n1a = jnp.asarray([ph["local_end"]], jnp.int32)
-            sa = state_args()
-            outs = call(n0a, n1a, rfa, sa[0],
-                        *( [sa[1]] if american else [] ), *inv,
-                        *sa[(2 if american else 1):], *tg)
-            u, lam, dus, dlams = unpack_outs(outs)
+            pieces = [(ph["n_lo"], ph["n_hi"],
+                       inv_base + ([ph["nst"]] if per_lane else []),
+                       rfa)]
+        for (lo, hi, inv, rfa_p) in pieces:
+            local_lo = ph["to_local"](lo)
+            local_end = ph["to_local"](hi + 1)
+            phase_events = (
+                dividends is not None and len(dividends) > 0
+                and any(dividends.events_for_step(n, solver.delta_t)
+                        for n in range(lo, hi + 1)))
+            if phase_events:
+                n0a = jnp.asarray([0], jnp.int32)  # unused by plan kernels
+                n1a = jnp.asarray([0], jnp.int32)
+                nst_per = ph["nst"][0] if per_lane else None
+                for plan, events in _chunk_dividend_plan(
+                        solver, dividends, n_lo=lo, n_hi=hi,
+                        to_local=ph["to_local"], local_end=local_end):
+                    rmf = _build_remap_fields(vec_s, events, dtype,
+                                              option_type, nsteps=nst_per,
+                                              barrier=barrier)
+                    r_args = [jnp.moveaxis(f, 0, -1)
+                              for ev in rmf for f in ev]
+                    chunk_call = _segment_call(
+                        spec.m1, spec.m2, ph["theta"], ph["delta_t"],
+                        american, dtype.name, interpret, unroll, plan,
+                        len(events), n_tiles, tile, K, put,
+                        per_lane_steps=per_lane, scheme=ph["scheme"],
+                        barrier_pos=bpos, digital=dig)
+                    sa = state_args()
+                    outs = chunk_call(n0a, n1a, rfa_p, sa[0],
+                                      *( [sa[1]] if american else [] ),
+                                      *inv, *r_args,
+                                      *sa[(2 if american else 1):], *tg)
+                    u, lam, dus, dlams = unpack_outs(outs)
+            else:
+                call = _segment_call(spec.m1, spec.m2, ph["theta"],
+                                     ph["delta_t"], american, dtype.name,
+                                     interpret, unroll, n_tiles=n_tiles,
+                                     tile=tile, n_tangents=K, put=put,
+                                     per_lane_steps=per_lane,
+                                     scheme=ph["scheme"], barrier_pos=bpos,
+                                     digital=dig)
+                n0a = jnp.asarray([local_lo], jnp.int32)
+                n1a = jnp.asarray([local_end], jnp.int32)
+                sa = state_args()
+                outs = call(n0a, n1a, rfa_p, sa[0],
+                            *( [sa[1]] if american else [] ), *inv,
+                            *sa[(2 if american else 1):], *tg)
+                u, lam, dus, dlams = unpack_outs(outs)
     if not american:
         # the kernel carries no multiplier state for European books; hand
         # back the zero field so consumers (fused_surface_batch) always
@@ -1628,6 +1670,7 @@ def fused_price_batch(
     unroll: bool = False,
     option_type: str = "call",
     n_steps_per: Optional[jnp.ndarray] = None,
+    rate_schedule=None,
 ) -> jnp.ndarray:
     """Drop-in replacement for models.douglas.price_batch running the time
     loop in the fused Pallas kernel. Jit-wrap the caller.
@@ -1641,21 +1684,49 @@ def fused_price_batch(
     (solver.n_steps must be max(n_steps_per)). Composes with dividend
     schedules: events keep their shared step index and lanes already
     past maturity get identity remap rows (see _build_remap_fields).
-    Bitwise-equal to pricing each maturity group in its own launch."""
+    Bitwise-equal to pricing each maturity group in its own launch.
+
+    rate_schedule: optional config.RateSchedule — the scalar r_d / r_f
+    are then IGNORED; the time loop runs as one launch per static rate
+    segment, each with its own operator fields, boundary rate, and
+    boundary anchor (the XLA path's exact running-integral convention —
+    see operators.rate_segment_structure). Not composable with
+    n_steps_per (a calendar curve maps to different step windows per
+    maturity; mixed books price per group on the XLA path)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if rate_schedule is not None and n_steps_per is not None:
+        raise ValueError(
+            "rate_schedule does not compose with per-lane step counts — "
+            "price mixed-maturity curve books per maturity group")
     b = strikes.shape[0]
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
         spec, strikes, strict=not interpret, nsteps=n_steps_per,
         extra_fields=_scheme_extra_fields(solver.scheme))
-    fields, vec_s, idx_s, idx_v, _ = _assemble(
-        spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type, nsteps_p)
+    rate_segments = None
+    if rate_schedule is not None:
+        structure = operators.rate_segment_structure(
+            solver.n_steps, solver.delta_t, solver.maturity,
+            rate_schedule, option_type)
+        rate_segments = []
+        for (n_lo, n_hi, seg_rd, seg_rf, br, anchor) in structure:
+            f_seg, vec_s, idx_s, idx_v, _ = _assemble(
+                spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
+                seg_rd, seg_rf, option_type, nsteps_p, anchor)
+            rate_segments.append((n_lo, n_hi, br, f_seg))
+        rate_segments = tuple(rate_segments)
+        fields = dict(rate_segments[0][3])   # u/lam state (rate-free)
+        fields["rf_val"] = rate_segments[0][2]
+    else:
+        fields, vec_s, idx_s, idx_v, _ = _assemble(
+            spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
+            r_d, r_f, option_type, nsteps_p)
+        fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     dtype = fields["u"].dtype
-    fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     u, _, _ = _run_chunks(spec, solver, american, dividends, dtype,
                           interpret, unroll, n_tiles, tile, fields, vec_s,
-                          option_type=option_type)
+                          option_type=option_type,
+                          rate_segments=rate_segments)
     return _extract(u, idx_s, idx_v, b)
 
 

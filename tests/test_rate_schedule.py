@@ -234,19 +234,50 @@ def test_tracking_with_schedule():
 
 
 def test_price_batch_engines_agree_and_vmap():
+    """The fused kernel's per-segment launches == the XLA path, for the
+    full composition (curve x American x dividends x Rannacher)."""
     spec = GridSpec(m1=M1, m2=M2)
     ks = jnp.linspace(80.0, 120.0, 5)
     args = (100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0, 0.0, 0.0)
-    outs = {}
-    for engine in ("scan", "pallas"):
-        solver = SolverConfig(n_steps=N, solver_engine=engine)
-        outs[engine] = np.array(douglas.price_batch(
-            spec, solver, ks, *args, rate_schedule=RS,
-            american=True, dividends=GOLDEN_DIVIDENDS))
-    # pallas falls back to the XLA path for schedules (documented)
-    np.testing.assert_allclose(outs["pallas"], outs["scan"], rtol=0,
-                               atol=1e-12)
-    assert np.all(np.diff(outs["scan"]) < 0)       # calls decrease in K
+    for rann in (0, 2):
+        outs = {}
+        for engine in ("scan", "pallas"):
+            solver = SolverConfig(n_steps=N, solver_engine=engine,
+                                  rannacher_steps=rann)
+            outs[engine] = np.array(douglas.price_batch(
+                spec, solver, ks, *args, rate_schedule=RS,
+                american=True, dividends=GOLDEN_DIVIDENDS))
+        np.testing.assert_allclose(outs["pallas"], outs["scan"], rtol=0,
+                                   atol=1e-10)
+        assert np.all(np.diff(outs["scan"]) < 0)   # calls decrease in K
+
+
+def test_fused_kernel_curve_all_variants():
+    """fused_price_batch(rate_schedule=...) == XLA at 1e-10 in interpret
+    mode for euro / american / dividends, calls and puts, plus the
+    mixed-maturity + schedule rejection."""
+    import jax as _jax
+    from heston_tpu.pallas import fused_do
+
+    spec = GridSpec(m1=M1, m2=M2)
+    solver = SolverConfig(n_steps=N)
+    ks = jnp.linspace(85.0, 115.0, 4)
+    args = (100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0, 0.0, 0.0)
+    for kw in (dict(), dict(american=True),
+               dict(dividends=GOLDEN_DIVIDENDS),
+               dict(option_type="put", american=True)):
+        want = np.array(douglas.price_batch(
+            spec, SolverConfig(n_steps=N, solver_engine="scan"), ks,
+            *args, rate_schedule=RS, **kw))
+        got = np.array(_jax.jit(
+            lambda k: fused_do.fused_price_batch(
+                spec, solver, k, *args, interpret=True,
+                rate_schedule=RS, **kw))(ks))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+    with pytest.raises(ValueError, match="per-lane"):
+        fused_do.fused_price_batch(
+            spec, solver, ks, *args, interpret=True, rate_schedule=RS,
+            n_steps_per=jnp.array([N, N, N - 2, N - 2]))
 
 
 def test_mismatched_instance_schedule_raises():
@@ -257,6 +288,22 @@ def test_mismatched_instance_schedule_raises():
         P.v0, 0.025, 0.0)       # flat instance
     with pytest.raises(ValueError, match="rate schedule"):
         douglas.run_time_loop(inst, solver, 0.0, rate_schedule=RS)
+
+
+def test_cli_rate_curve(capsys):
+    import json
+    from heston_tpu import cli
+
+    base = ["price", "--strikes", "100", "--m1", "12", "--m2", "8",
+            "--n-steps", "4"]
+    assert cli.main(base + ["--r-d", "0.02"]) == 0
+    flat = json.loads(capsys.readouterr().out)["price"]
+    curve_args = ["--rate-times", "0.5", "--rate-rd", "0.02", "0.02"]
+    assert cli.main(base + curve_args) == 0
+    curve = json.loads(capsys.readouterr().out)["price"]
+    assert abs(curve - flat) < 1e-12        # constant curve == flat
+    with pytest.raises(SystemExit):
+        cli.main(base + ["--rate-times", "0.5", "--rate-rd", "0.02"])
 
 
 def test_boundary_anchor_override():
