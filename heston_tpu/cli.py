@@ -183,6 +183,7 @@ def main(argv=None):
     p.add_argument("--option-type", default="call",
                    choices=["call", "put", "digital_call",
                             "digital_put"])
+    _add_rate_curve(p)
 
     p = sub.add_parser("iv", help="implied vol(s) from price(s) "
                                   "(Newton + bisection; escrowed-dividend "
@@ -244,6 +245,7 @@ def main(argv=None):
                         "come from n-steps/maturity")
     p.add_argument("--csv", default=None,
                    help="also write the book risk report as CSV")
+    _add_rate_curve(p)
 
     p = sub.add_parser("surface", help="export a price surface CSV")
     _add_common(p)
@@ -362,7 +364,8 @@ def main(argv=None):
 
         divs = _parse_dividends(args.dividends)
         gkw = dict(american=args.american, dividends=divs,
-                   option_type=args.option_type)
+                   option_type=args.option_type,
+                   rate_schedule=_parse_rate_schedule(args))
         out = dict(greeks_mod.price_and_greeks(
             spec, solver, args.strike, args.spot, params.kappa,
             params.eta, params.sigma, params.rho, params.v0,
@@ -476,6 +479,11 @@ def main(argv=None):
                 sol_r, n_steps=n_max, maturity=n_max / spy)
             if len(groups) == 1:
                 groups = ()
+        rates_curve = _parse_rate_schedule(args)
+        if rates_curve is not None and (groups or args.rates):
+            raise SystemExit(
+                "a rate curve composes with neither --maturities nor "
+                "--rates (see batch_greeks)")
         out = greeks_mod.batch_greeks(
             spec, sol_r,
             jnp.asarray(strikes), args.spot, params.kappa, params.eta,
@@ -483,7 +491,7 @@ def main(argv=None):
             american=args.american, dividends=divs,
             option_type=args.option_type,
             param_jacobian=args.param_jacobian, group_steps=groups,
-            rates=args.rates)
+            rates=args.rates, rate_schedule=rates_curve)
         inv = np.argsort(order, kind="stable")  # back to input order
         for i in range(len(strikes)):
             j = int(inv[i])

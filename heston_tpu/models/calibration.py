@@ -148,7 +148,7 @@ def jacobian_and_prices(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "solver", "american", "dividends", "eps",
-                     "option_type", "v0_mode"),
+                     "option_type", "v0_mode", "rate_schedule"),
 )
 def jacobian_and_prices_ad(
     spec: GridSpec,
@@ -163,6 +163,7 @@ def jacobian_and_prices_ad(
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
     v0_mode: str = "stencil",
+    rate_schedule=None,
 ) -> Tuple[Array, Array]:
     """EXACT forward-mode Jacobian for the host LM loop — drop-in for
     `jacobian_and_prices`. Required in float32, where a 1e-6 FD bump
@@ -173,11 +174,16 @@ def jacobian_and_prices_ad(
     v0_mode: "stencil" (default) takes the v0 column from the surface
     v-stencil (douglas.price_and_v0_stencil — one fewer tangent, far
     better f32 conditioning); "ad" differentiates through the v0 grid
-    motion (kept for cross-checks)."""
+    motion (kept for cross-checks).
+
+    rate_schedule: optional config.RateSchedule (curve books) — the
+    scalar r_d / r_f are then ignored and the tangents run the XLA
+    linearize path (the forward-mode kernel bakes flat-rate
+    constants)."""
     if v0_mode not in ("stencil", "ad"):
         raise ValueError(f"unknown v0_mode: {v0_mode!r}")
     stencil = v0_mode == "stencil"
-    if solver.solver_engine == "pallas":
+    if solver.solver_engine == "pallas" and rate_schedule is None:
         from heston_tpu.pallas import fused_do
 
         n_tg = fused_do.JAC_TANGENTS if stencil else 5
@@ -197,7 +203,7 @@ def jacobian_and_prices_ad(
                 return douglas.price_and_v0_stencil(
                     spec, solver, k, s0, tv4[0], tv4[1], tv4[2], tv4[3],
                     v0, r_d, r_f, american=american, dividends=dividends,
-                    option_type=option_type)
+                    option_type=option_type, rate_schedule=rate_schedule)
             pr, dv = jax.vmap(one)(strikes)
             return pr, dv
 
@@ -211,7 +217,7 @@ def jacobian_and_prices_ad(
             return douglas.price_option(
                 spec, solver, k, s0, tv[0], tv[1], tv[2], tv[3], tv[4],
                 r_d, r_f, american=american, dividends=dividends,
-                option_type=option_type)
+                option_type=option_type, rate_schedule=rate_schedule)
         return jax.vmap(price_one)(strikes)
 
     base, jvp_fn = jax.linearize(fleet, theta_vec)

@@ -31,6 +31,18 @@ RISK_KEYS = ("price", "delta", "gamma", "theta", "vega_v0", "vanna",
              "volga")
 
 
+def _terminal_b_rate(solver, option_type, r_d, r_f, rate_schedule=None):
+    """Boundary rate at valuation time tau = T: the scalar rate for flat
+    books, the LAST calendar segment's for curve books (the theta
+    epilogue applies e^{b_rate*dt*N} against ops.b's baked anchor — see
+    operators.rate_segment_structure for why the pairing is exact)."""
+    if rate_schedule is None:
+        return operators.boundary_rate(r_d, r_f, option_type)
+    return operators.rate_segment_structure(
+        solver.n_steps, solver.delta_t, solver.maturity, rate_schedule,
+        option_type)[-1][4]
+
+
 def _book_prices(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
                  r_d, r_f, american, dividends, option_type,
                  group_steps=()):
@@ -218,6 +230,7 @@ def pde_theta(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> jax.Array:
     """Calendar theta dPrice/dt (per year, negative for long options) from
     the PDE itself: at the terminal surface, dU/dtau = (A0+A1+A2)U + b +
@@ -228,12 +241,12 @@ def pde_theta(
     return batch_greeks(
         spec, solver, jnp.asarray(strike)[None], s0, kappa, eta, sigma,
         rho, v0, r_d, r_f, american=american, dividends=dividends,
-        option_type=option_type)["theta"][0]
+        option_type=option_type, rate_schedule=rate_schedule)["theta"][0]
 
 
 @functools.partial(
     jax.jit, static_argnames=("spec", "solver", "american", "dividends",
-                              "option_type"))
+                              "option_type", "rate_schedule"))
 def price_and_greeks(
     spec: GridSpec,
     solver: SolverConfig,
@@ -243,6 +256,7 @@ def price_and_greeks(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> Dict[str, jax.Array]:
     """Price + (delta, vega_v0, and the five model-parameter sensitivities)
     for one option via forward-mode AD.
@@ -251,10 +265,16 @@ def price_and_greeks(
     from the fused kernel's forward-mode variant (one launch,
     fused_do.fused_theta_jacobian); delta needs s-grid-motion tangents
     (the spot moves the grid itself) that the kernel does not carry, so
-    its single tangent runs through the XLA path."""
+    its single tangent runs through the XLA path.
+
+    rate_schedule: optional config.RateSchedule (curve books) — the
+    scalar r_d / r_f are then ignored, everything runs the XLA
+    linearize path, and rho_rd / rho_rf are OMITTED from the result
+    (the curve is static trace-time data; bump the schedule and reprice
+    for curve sensitivities)."""
     dtype = jnp.result_type(float)
 
-    if solver.solver_engine == "pallas":
+    if solver.solver_engine == "pallas" and rate_schedule is None:
         from heston_tpu.pallas import fused_do
 
         if fused_do.use_fused(spec, solver,
@@ -306,13 +326,14 @@ def price_and_greeks(
         return douglas.price_and_v0_stencil(
             spec, solver, strike, s0_, kappa_, eta_, sigma_, rho_, v0,
             r_d_, r_f_, american=american, dividends=dividends,
-            option_type=option_type)
+            option_type=option_type, rate_schedule=rate_schedule)
 
     x = jnp.stack([jnp.asarray(v, dtype)
                    for v in (s0, kappa, eta, sigma, rho, r_d, r_f)])
     price, jvp_fn, vega_v0 = jax.linearize(price_fn, x, has_aux=True)
-    grads = jax.vmap(jvp_fn)(jnp.eye(7, dtype=x.dtype))
-    return {
+    n_tg = 5 if rate_schedule is not None else 7
+    grads = jax.vmap(jvp_fn)(jnp.eye(7, dtype=x.dtype)[:n_tg])
+    out = {
         "price": price,
         "delta": grads[0],
         "d_kappa": grads[1],
@@ -320,22 +341,28 @@ def price_and_greeks(
         "d_sigma": grads[3],
         "d_rho": grads[4],
         "vega_v0": vega_v0,
-        "rho_rd": grads[5],
-        "rho_rf": grads[6],
     }
+    if rate_schedule is None:
+        out["rho_rd"] = grads[5]
+        out["rho_rf"] = grads[6]
+    return out
 
 
 def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
                     r_d, r_f, american=False, dividends=None,
-                    option_type="call", nst=None):
+                    option_type="call", nst=None, rate_schedule=None):
     """Fused-surface book risk: one kernel launch for the surfaces + the
     stencil/theta epilogues; THE single implementation behind
     batch_greeks' fused branch and the sharded mixed-maturity risk exec
     (parallel.sharded._risk_exec_mixed) — keep them in sync by keeping
-    them the same code. `nst`: optional per-option int step counts."""
+    them the same code. `nst`: optional per-option int step counts.
+    `rate_schedule`: optional curve — per-segment fused launches; the
+    theta epilogue differentiates the LAST segment's operators (the
+    valuation-time set) at its boundary rate."""
     from heston_tpu.pallas import fused_do
 
-    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+    b_rate = _terminal_b_rate(solver, option_type, r_d, r_f,
+                              rate_schedule)
     dtype = jnp.result_type(float)
     nsf = (jnp.full(ks.shape, solver.n_steps, dtype) if nst is None
            else jnp.asarray(nst).astype(dtype))
@@ -343,7 +370,8 @@ def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
         fused_do.fused_surface_batch(
             spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d,
             r_f, american=american, dividends=dividends,
-            option_type=option_type, n_steps_per=nst))
+            option_type=option_type, n_steps_per=nst,
+            rate_schedule=rate_schedule))
     # the v grid is strike-independent (v0 insertion only), so one
     # vector serves the whole batch
     from heston_tpu.ops import grid as grid_mod
@@ -370,7 +398,7 @@ def fused_book_risk(spec, solver, ks, s0, kappa, eta, sigma, rho, v0,
 @functools.partial(
     jax.jit, static_argnames=("spec", "solver", "american", "dividends",
                               "option_type", "param_jacobian",
-                              "group_steps", "rates"))
+                              "group_steps", "rates", "rate_schedule"))
 def batch_greeks(
     spec: GridSpec,
     solver: SolverConfig,
@@ -383,6 +411,7 @@ def batch_greeks(
     param_jacobian: bool = False,
     group_steps=(),
     rates: bool = False,
+    rate_schedule=None,
 ) -> Dict[str, jax.Array]:
     """Book-level risk in ONE batched solve: price, delta, gamma,
     calendar theta, vega_v0, vanna and volga for every option, read off
@@ -408,10 +437,29 @@ def batch_greeks(
     rates=True adds the rate sensitivities rho_rd = dP/dr_d and
     rho_rf = dP/dr_f per option (framework extension; see _rates_rho —
     exact AD on the XLA engines, central FD bumped fused launches on
-    the pallas engine)."""
+    the pallas engine).
+
+    rate_schedule: optional config.RateSchedule (curve books; framework
+    extension) — the scalar r_d / r_f are then ignored. Composes with
+    everything here EXCEPT group_steps (one calendar curve maps to
+    different step windows per maturity) and rates=True (the curve is
+    static trace-time data; scalar-rate sensitivities are undefined —
+    bump the curve and reprice instead)."""
     import dataclasses
 
-    b_rate = operators.boundary_rate(r_d, r_f, option_type)
+    if rate_schedule is not None and group_steps:
+        raise ValueError(
+            "rate_schedule does not compose with group_steps — risk "
+            "mixed-maturity curve books per maturity group (each group "
+            "re-derives its own segment windows from the calendar "
+            "curve)")
+    if rate_schedule is not None and rates:
+        raise ValueError(
+            "rates=True is undefined for curve books (the scalar "
+            "r_d / r_f are ignored) — bump the RateSchedule and "
+            "reprice for curve sensitivities")
+    b_rate = _terminal_b_rate(solver, option_type, r_d, r_f,
+                              rate_schedule)
 
     from heston_tpu.models.calibration import validate_group_steps
     from heston_tpu.pallas import fused_do
@@ -433,17 +481,20 @@ def batch_greeks(
         out = fused_book_risk(
             spec, solver, ks, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
             american=american, dividends=dividends,
-            option_type=option_type, nst=nsteps_per)
+            option_type=option_type, nst=nsteps_per,
+            rate_schedule=rate_schedule)
     else:
         risk = functools.partial(_surface_risk, spec, solver, b_rate)
         def one_group(sol_g, ks_g):
             def one(k):
                 inst = douglas.prepare_instance(
                     spec, sol_g, k, s0, kappa, eta, sigma, rho, v0,
-                    r_d, r_f, option_type)
+                    r_d, r_f, option_type,
+                    rate_schedule=rate_schedule)
                 u, lam = douglas.run_time_loop(
                     inst, sol_g, b_rate, american, dividends,
-                    option_type, with_lambda=True)
+                    option_type, with_lambda=True,
+                    rate_schedule=rate_schedule)
                 active = (u == inst.u0 if american
                           and operators.is_digital(option_type)
                           else None)
@@ -467,8 +518,17 @@ def batch_greeks(
     if param_jacobian:
         tv = jnp.stack([jnp.asarray(v, dtype)
                         for v in (kappa, eta, sigma, rho, v0)])
-        if fused_do.use_fused(spec, solver,
-                              n_tangents=fused_do.JAC_TANGENTS):
+        if rate_schedule is not None:
+            # the forward-mode kernel bakes flat-rate constants; the
+            # XLA linearize path composes with curve segment swaps
+            from heston_tpu.models import calibration as calib
+
+            jac, _ = calib.jacobian_and_prices_ad(
+                spec, solver, ks, s0, tv, r_d, r_f, american=american,
+                dividends=dividends, option_type=option_type,
+                rate_schedule=rate_schedule)
+        elif fused_do.use_fused(spec, solver,
+                                n_tangents=fused_do.JAC_TANGENTS):
             _, jac = fused_do.fused_theta_jacobian(
                 spec, solver, ks, s0, tv, r_d, r_f,
                 american=american, dividends=dividends,
@@ -512,6 +572,7 @@ def gamma(
     american: bool = False,
     dividends: Optional[DividendSchedule] = None,
     option_type: str = "call",
+    rate_schedule=None,
 ) -> jax.Array:
     """d2Price/dS0^2 from the non-uniform central second-difference of the
     SOLUTION SURFACE at the spot node (the same w_delta stencil the
@@ -526,4 +587,4 @@ def gamma(
     return batch_greeks(
         spec, solver, jnp.asarray(strike)[None], s0, kappa, eta, sigma,
         rho, v0, r_d, r_f, american=american, dividends=dividends,
-        option_type=option_type)["gamma"][0]
+        option_type=option_type, rate_schedule=rate_schedule)["gamma"][0]

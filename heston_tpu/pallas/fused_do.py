@@ -1644,6 +1644,34 @@ def _run_chunks(spec, solver, american, dividends, dtype, interpret,
     return u, lam, dus
 
 
+def _assemble_rate_segments(spec, solver, strikes_p, s0, kappa, eta,
+                            sigma, rho, v0, option_type, nsteps_p,
+                            rate_schedule):
+    """One `_assemble` pass per rate segment. Returns (rate_segments,
+    fields, vec_s, idx_s, idx_v, ops): rate_segments feeds
+    _run_chunks(rate_segments=...); fields carries segment 0's arrays
+    for the u/lam launch state (the payoff is rate-free) with rf_val =
+    segment 0's boundary rate; ops is the LAST segment's operator set
+    (valuation-time tau = T — the theta epilogue's convention, matching
+    douglas.prepare_instance)."""
+    if nsteps_p is not None:
+        raise ValueError(
+            "rate_schedule does not compose with per-lane step counts — "
+            "price mixed-maturity curve books per maturity group")
+    structure = operators.rate_segment_structure(
+        solver.n_steps, solver.delta_t, solver.maturity, rate_schedule,
+        option_type)
+    rate_segments = []
+    for (n_lo, n_hi, seg_rd, seg_rf, br, anchor) in structure:
+        f_seg, vec_s, idx_s, idx_v, ops = _assemble(
+            spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
+            seg_rd, seg_rf, option_type, nsteps_p, anchor)
+        rate_segments.append((n_lo, n_hi, br, f_seg))
+    fields = dict(rate_segments[0][3])
+    fields["rf_val"] = rate_segments[0][2]
+    return tuple(rate_segments), fields, vec_s, idx_s, idx_v, ops
+
+
 def _extract(u, idx_s, idx_v, b):
     """Price extraction U[idx_s, idx_v] per option (s-major layout) as a
     one-hot contraction — a vmapped scalar gather scalarizes into
@@ -1695,28 +1723,16 @@ def fused_price_batch(
     maturity; mixed books price per group on the XLA path)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    if rate_schedule is not None and n_steps_per is not None:
-        raise ValueError(
-            "rate_schedule does not compose with per-lane step counts — "
-            "price mixed-maturity curve books per maturity group")
     b = strikes.shape[0]
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
         spec, strikes, strict=not interpret, nsteps=n_steps_per,
         extra_fields=_scheme_extra_fields(solver.scheme))
     rate_segments = None
     if rate_schedule is not None:
-        structure = operators.rate_segment_structure(
-            solver.n_steps, solver.delta_t, solver.maturity,
-            rate_schedule, option_type)
-        rate_segments = []
-        for (n_lo, n_hi, seg_rd, seg_rf, br, anchor) in structure:
-            f_seg, vec_s, idx_s, idx_v, _ = _assemble(
+        rate_segments, fields, vec_s, idx_s, idx_v, _ = (
+            _assemble_rate_segments(
                 spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
-                seg_rd, seg_rf, option_type, nsteps_p, anchor)
-            rate_segments.append((n_lo, n_hi, br, f_seg))
-        rate_segments = tuple(rate_segments)
-        fields = dict(rate_segments[0][3])   # u/lam state (rate-free)
-        fields["rf_val"] = rate_segments[0][2]
+                option_type, nsteps_p, rate_schedule))
     else:
         fields, vec_s, idx_s, idx_v, _ = _assemble(
             spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
@@ -1742,6 +1758,7 @@ def fused_surface_batch(
     unroll: bool = False,
     option_type: str = "call",
     n_steps_per: Optional[jnp.ndarray] = None,
+    rate_schedule=None,
 ):
     """Like fused_price_batch but returns the full terminal surfaces
     (u [B, nv, ns]) and American lambda-multiplier surfaces (lam, same
@@ -1753,21 +1770,35 @@ def fused_surface_batch(
 
     n_steps_per: optional per-option step counts — a mixed-maturity
     book's surfaces (every maturity) come back from ONE launch, each
-    lane frozen at its own terminal step (see fused_price_batch)."""
+    lane frozen at its own terminal step (see fused_price_batch).
+
+    rate_schedule: optional config.RateSchedule — per-segment launches
+    as in fused_price_batch; the returned HestonOperators are the LAST
+    segment's (the operator set at valuation time tau = T, what the
+    theta epilogue differentiates — matching douglas.prepare_instance's
+    convention)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b = strikes.shape[0]
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
         spec, strikes, strict=not interpret, nsteps=n_steps_per,
         extra_fields=_scheme_extra_fields(solver.scheme))
-    fields, vec_s, idx_s, idx_v, ops = _assemble(
-        spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type, nsteps_p)
+    rate_segments = None
+    if rate_schedule is not None:
+        rate_segments, fields, vec_s, idx_s, idx_v, ops = (
+            _assemble_rate_segments(
+                spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
+                option_type, nsteps_p, rate_schedule))
+    else:
+        fields, vec_s, idx_s, idx_v, ops = _assemble(
+            spec, solver, strikes_p, s0, kappa, eta, sigma, rho, v0,
+            r_d, r_f, option_type, nsteps_p)
+        fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     dtype = fields["u"].dtype
-    fields["rf_val"] = operators.boundary_rate(r_d, r_f, option_type)
     u, lam, _ = _run_chunks(spec, solver, american, dividends, dtype,
                             interpret, unroll, n_tiles, tile, fields,
-                            vec_s, option_type=option_type)
+                            vec_s, option_type=option_type,
+                            rate_segments=rate_segments)
     to_bvs = lambda x: jnp.moveaxis(x, -1, 0)[:b].swapaxes(1, 2)
     ops_b = jax.tree_util.tree_map(lambda x: x[:b], ops)
     return to_bvs(u), to_bvs(lam), ops_b, vec_s[:b], idx_s[:b], idx_v[:b]

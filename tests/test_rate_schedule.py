@@ -290,6 +290,88 @@ def test_mismatched_instance_schedule_raises():
         douglas.run_time_loop(inst, solver, 0.0, rate_schedule=RS)
 
 
+def test_book_risk_with_schedule():
+    """batch_greeks composes with curves: engine equivalence (the fused
+    per-segment surfaces == XLA), exact constant-curve reduction incl.
+    the param Jacobian, theta vs a tracking finite difference, and the
+    documented rejections."""
+    from heston_tpu.models import greeks
+
+    spec = GridSpec(m1=M1, m2=M2)
+    ks = jnp.linspace(85.0, 115.0, 4)
+    args = (100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0, 0.0, 0.0)
+    outs = {}
+    for engine in ("scan", "pallas"):
+        solver = SolverConfig(n_steps=N, solver_engine=engine)
+        outs[engine] = greeks.batch_greeks(
+            spec, solver, ks, *args, american=True,
+            dividends=GOLDEN_DIVIDENDS, param_jacobian=True,
+            rate_schedule=RS)
+    for key, want in outs["scan"].items():
+        np.testing.assert_allclose(
+            np.array(outs["pallas"][key]), np.array(want), rtol=0,
+            atol=1e-9, err_msg=key)
+
+    # constant curve == flat scalars, bitwise formulation
+    solver = SolverConfig(n_steps=N)
+    flat_sched = RateSchedule(times=(0.5,), r_d=(0.025,) * 2,
+                              r_f=(0.01,) * 2)
+    flat_args = (100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0)
+    want = greeks.batch_greeks(spec, solver, ks, *flat_args, 0.025, 0.01,
+                               param_jacobian=True)
+    got = greeks.batch_greeks(spec, solver, ks, *flat_args, 0.0, 0.0,
+                              param_jacobian=True,
+                              rate_schedule=flat_sched)
+    for key, w in want.items():
+        np.testing.assert_allclose(np.array(got[key]), np.array(w),
+                                   rtol=0, atol=1e-11, err_msg=key)
+
+    with pytest.raises(ValueError, match="group_steps"):
+        greeks.batch_greeks(spec, solver, ks, *args, rate_schedule=RS,
+                            group_steps=((0, 2, N), (2, 4, N - 2)))
+    with pytest.raises(ValueError, match="rates"):
+        greeks.batch_greeks(spec, solver, ks, *args, rate_schedule=RS,
+                            rates=True)
+
+
+def test_theta_with_schedule_vs_tracking_fd():
+    """The curve theta epilogue (last segment's operators + boundary
+    rate) agrees with the tracking surface's backward difference
+    -(u_N - u_{N-1})/dt to O(dt)."""
+    from heston_tpu.models import greeks
+
+    spec = GridSpec(m1=40, m2=20)
+    solver = SolverConfig(n_steps=32)
+    th = float(greeks.pde_theta(
+        spec, solver, 100.0, 100.0, P.kappa, P.eta, P.sigma, P.rho,
+        P.v0, 0.0, 0.0, rate_schedule=RS))
+    inst = douglas.prepare_instance(
+        spec, solver, 100.0, 100.0, P.kappa, P.eta, P.sigma, P.rho,
+        P.v0, 0.0, 0.0, rate_schedule=RS)
+    surf, _ = douglas.solve_with_tracking(inst, solver, 0.0,
+                                          rate_schedule=RS)
+    fd = -float((surf[-1] - surf[-2])[inst.idx_v, inst.idx_s]
+                / solver.delta_t)
+    assert abs(th - fd) < 0.05 * max(abs(th), 1.0)
+
+
+def test_price_and_greeks_with_schedule():
+    from heston_tpu.models import greeks
+
+    spec = GridSpec(m1=M1, m2=M2)
+    solver = SolverConfig(n_steps=N)
+    flat_sched = RateSchedule(times=(0.5,), r_d=(0.025,) * 2,
+                              r_f=(0.01,) * 2)
+    args = (100.0, 100.0, P.kappa, P.eta, P.sigma, P.rho, P.v0)
+    want = greeks.price_and_greeks(spec, solver, *args, 0.025, 0.01)
+    got = greeks.price_and_greeks(spec, solver, *args, 0.0, 0.0,
+                                  rate_schedule=flat_sched)
+    assert "rho_rd" not in got and "rho_rf" not in got   # documented
+    for key, val in got.items():
+        np.testing.assert_allclose(np.array(val), np.array(want[key]),
+                                   rtol=0, atol=1e-11, err_msg=key)
+
+
 def test_cli_rate_curve(capsys):
     import json
     from heston_tpu import cli
