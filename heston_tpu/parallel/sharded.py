@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -50,16 +51,81 @@ def _auto_jacobian_mode(mode):
     return "fd" if jax.config.read("jax_enable_x64") else "ad"
 
 
+def ensure_distributed(**kwargs) -> None:
+    """Multi-host entry: initialize `jax.distributed` from the standard
+    coordinator environment (JAX_COORDINATOR_ADDRESS / PROCESS_ID /
+    NUM_PROCESSES, or cloud auto-detection) exactly once; a no-op in a
+    single-process world or when the caller already initialized it.
+
+    Call this before `make_mesh()` in a multi-host deployment: afterwards
+    `jax.devices()` returns ALL processes' devices and the mesh's psum
+    reductions span hosts over DCN. The only cross-host traffic in this
+    framework is the 5x5+5 LM normal-equation reduction once per
+    iteration (SURVEY.md §5) — a few hundred bytes, so DCN latency is
+    irrelevant; everything bandwidth-heavy stays chip-local."""
+    if jax.process_count() > 1:
+        return  # already initialized by us or the caller
+    if not (kwargs or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        return  # single-process world: nothing to do
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:  # pragma: no cover - double-init race
+        if "already" not in str(exc).lower():
+            raise
+
+
+def host_major_devices(devices=None):
+    """All devices ordered host-major (process_index, then device id) so a
+    1-D batch shard decomposes into one contiguous block per host, and
+    validated: every process must contribute the same device count (a
+    ragged world would silently skew the per-shard batch split)."""
+    devices = list(jax.devices() if devices is None else devices)
+    devices.sort(key=lambda d: (d.process_index, getattr(d, "id", 0)))
+    counts = {}
+    for d in devices:
+        counts[d.process_index] = counts.get(d.process_index, 0) + 1
+    if len(set(counts.values())) > 1:
+        raise ValueError(
+            f"uneven devices per process: {counts} — the batch shard "
+            "split assumes equal contributions")
+    return devices
+
+
 def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
-    """1-D mesh over all (or the given) devices; the single axis shards the
-    option book."""
-    devices = jax.devices() if devices is None else devices
-    return Mesh(np.array(devices), (axis_name,))
+    """1-D mesh over all (or the given) devices — host-major, so in a
+    multi-host world (after `ensure_distributed()`) each host owns one
+    contiguous block of the option book; the single axis shards the
+    book."""
+    return Mesh(np.array(host_major_devices(devices)), (axis_name,))
+
+
+# When True (or whenever jax.process_count() > 1), batch placement goes
+# through make_array_from_callback — the API that assembles a global array
+# from per-process addressable shards, required once no process addresses
+# every device. Flipped on by tests/dryrun to exercise the multi-host data
+# path on the virtual single-process mesh.
+_FORCE_GLOBAL_BUILD = False
+
+
+def set_multihost_data_path(flag: bool) -> None:
+    global _FORCE_GLOBAL_BUILD
+    _FORCE_GLOBAL_BUILD = bool(flag)
 
 
 def shard_batch(x: jax.Array, mesh: Mesh) -> jax.Array:
-    """Place a batch-axis array with one shard per device."""
-    return jax.device_put(x, NamedSharding(mesh, P(AXIS)))
+    """Place a batch-axis array with one shard per device.
+
+    Single-process: plain device_put. Multi-process: every host holds the
+    (small) global book, and each process materializes only the shards it
+    addresses via make_array_from_callback — device_put of a global array
+    onto a partially-addressable sharding is not legal there."""
+    sharding = NamedSharding(mesh, P(AXIS))
+    if _FORCE_GLOBAL_BUILD or jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(x, sharding)
 
 
 def _pad_to(x: jnp.ndarray, mult: int) -> Tuple[jnp.ndarray, int]:

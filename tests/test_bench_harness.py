@@ -1,0 +1,80 @@
+"""bench.py artifact-pipeline indestructibility (VERDICT r3 #1).
+
+Round 3 lost its entire driver bench artifact to a backend-init hang
+(BENCH_r03.json: rc=124, parsed=null). These tests run the REAL bench.py
+supervisor against a child faked (via HESTON_BENCH_FAKE_HANG — a pure
+protocol path that never imports jax) into every failure mode that
+matters, and assert that a parseable aggregate JSON line still lands and
+the process exits 0 so the driver's `timeout` never fires first.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+BENCH = str(Path(__file__).resolve().parent.parent / "bench.py")
+
+
+def _run(fake, probe_s, deadline_s, timeout=60):
+    env = dict(os.environ,
+               HESTON_BENCH_FAKE_HANG=fake,
+               HESTON_BENCH_PROBE_S=str(probe_s),
+               HESTON_BENCH_DEADLINE_S=str(deadline_s))
+    env.pop("HESTON_BENCH_CHILD", None)
+    res = subprocess.run([sys.executable, BENCH], capture_output=True,
+                         text=True, env=env, timeout=timeout)
+    lines = [ln for ln in res.stdout.splitlines() if ln.strip()]
+    assert lines, f"no output at all; stderr={res.stderr[-500:]}"
+    final = json.loads(lines[-1])
+    return res, lines, final
+
+
+def test_healthy_fake_run_aggregates_partials():
+    res, lines, final = _run("ok", probe_s=30, deadline_s=60)
+    assert res.returncode == 0
+    assert final["value"] == 0.5
+    assert final["vs_baseline"] == 0.02 / 0.5
+    assert final["selftest_rmse_euro"] == 1e-6
+    assert "outage" not in final
+    # each metric was ALSO streamed as its own JSON line before the
+    # aggregate (the driver keeps tail — partial lines survive a crash)
+    streamed = [json.loads(ln) for ln in lines[:-1]
+                if ln.startswith("{")]
+    assert any("selftest_rmse_euro" in d for d in streamed)
+    assert any(d.get("metric") == "fake_headline" for d in streamed)
+
+
+def test_backend_init_hang_yields_outage_record():
+    """The round-3 killer: child hangs before any output (backend init
+    stuck in a C call). The supervisor's probe window must convert that
+    into a structured outage aggregate within seconds, rc=0."""
+    res, _, final = _run("init", probe_s=2, deadline_s=30)
+    assert res.returncode == 0
+    assert final["value"] is None
+    assert final["vs_baseline"] is None
+    assert "probe window" in final["outage"]
+    assert "unavailable" in final["metric"]
+
+
+def test_mid_run_hang_flushes_partials():
+    """Child hangs AFTER some metrics were measured: the global deadline
+    must kill it and the aggregate must still carry every metric already
+    streamed (round 3 lost already-measured numbers to exactly this)."""
+    res, lines, final = _run("mid", probe_s=30, deadline_s=5, timeout=90)
+    assert res.returncode == 0
+    assert "deadline" in final["outage"]
+    # the partials measured before the hang survived into the aggregate
+    assert final["selftest_rmse_euro"] == 1e-6
+    assert final["value"] == 0.5      # headline landed before the hang
+    assert final["metric"] == "fake_headline"
+
+
+def test_child_crash_yields_partial_aggregate():
+    res, _, final = _run("crash", probe_s=30, deadline_s=60)
+    assert res.returncode == 0
+    assert final["child_rc"] == 3
+    assert final["selftest_rmse_euro"] == 1e-6
+    assert final["value"] is None
+    assert "error" in final
