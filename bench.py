@@ -178,6 +178,7 @@ class StageBudget:
         if time.time() - self.t0 + est_s + self.margin > self.deadline:
             emit({f"{name}_skipped": "deadline"})
             return None
+        emit({"stage": name, "t_s": round(time.time() - self.t0, 1)})
         try:
             return fn()
         except Exception as exc:  # soft-fail: one stage must not erase
@@ -221,9 +222,16 @@ def child_main():
         SolverConfig,
     )
     from heston_tpu.models import douglas
-    from heston_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    # The persistent XLA cache is the only way the full surface fits one
+    # deadline window (cold compiles total tens of minutes) — but axon
+    # cache HITS have been observed to wedge the backend for some
+    # executables (DESIGN.md 5.6). HESTON_BENCH_CACHE=0 runs cold for
+    # A/B-ing that failure mode.
+    if os.environ.get("HESTON_BENCH_CACHE", "1") != "0":
+        from heston_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     dev = jax.devices()[0]  # backend init: supervisor probe covers a hang
     emit({"device_kind": dev.device_kind, "platform": dev.platform})
@@ -445,6 +453,7 @@ def _run_selftest_arms(spec, solver, p, dtype, arms):
 
     ks = np.linspace(75.0, 125.0, 64)
     for tag, kw in arms:
+        emit({"arm": tag})
         kw = dict(kw)
         rep = {k: kw.pop(k) for k in ("scheme", "rannacher_steps")
                if k in kw}

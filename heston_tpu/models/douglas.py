@@ -699,14 +699,33 @@ def price_option(
     arguments are IGNORED; the time loop swaps per-segment operator
     sets at the static segment boundaries."""
     _validate_barrier_book(spec, s0, strike)
-    inst = prepare_instance(
-        spec, solver, strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f,
-        option_type, rate_schedule=rate_schedule,
-    )
-    b_rate = operators.boundary_rate(r_d, r_f, option_type)
-    u = run_time_loop(inst, solver, b_rate, american, dividends,
-                      option_type, rate_schedule=rate_schedule)
-    return u[inst.idx_v, inst.idx_s]
+    run = _price_option_exec(spec, solver, american, dividends,
+                             option_type, rate_schedule)
+    return run(strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f)
+
+
+@functools.lru_cache(maxsize=None)
+def _price_option_exec(spec, solver, american, dividends, option_type,
+                       rate_schedule):
+    """Cached jitted executable per static config: direct (eager) calls
+    to price_option otherwise compile every lax loop piecemeal per call,
+    land nothing in the persistent compilation cache, and re-pay the
+    whole cost on the next call — measured as the dominant wall-clock of
+    eager-calling tests on this 1-CPU host. Nested jit is transparent
+    under callers' jit/vmap/jacfwd."""
+
+    @jax.jit
+    def run(strike, s0, kappa, eta, sigma, rho, v0, r_d, r_f):
+        inst = prepare_instance(
+            spec, solver, strike, s0, kappa, eta, sigma, rho, v0,
+            r_d, r_f, option_type, rate_schedule=rate_schedule,
+        )
+        b_rate = operators.boundary_rate(r_d, r_f, option_type)
+        u = run_time_loop(inst, solver, b_rate, american, dividends,
+                          option_type, rate_schedule=rate_schedule)
+        return u[inst.idx_v, inst.idx_s]
+
+    return run
 
 
 def price_and_v0_stencil(

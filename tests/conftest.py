@@ -19,6 +19,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache for the suite: this host has ONE CPU and
+# the suite is compile-bound (a cold full run is tens of minutes of
+# XLA:CPU compiles; VERDICT r3 weak #3). XLA:CPU executables serialize/
+# deserialize reliably (the cache-hit wedge documented in DESIGN.md 5.6
+# is an axon-runtime phenomenon), so after the first populating run the
+# suite re-jits from disk in seconds — including across the per-module
+# clear_caches() purges below and across processes/rounds. Opt out with
+# HESTON_TEST_CACHE=0.
+if os.environ.get("HESTON_TEST_CACHE", "1") != "0":
+    from pathlib import Path
+
+    _cache_dir = os.environ.get(
+        "HESTON_TEST_CACHE_DIR",
+        str(Path.home() / ".cache" / "heston_tpu_xla_tests"))
+    Path(_cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # cache EVERYTHING: the suite's compile cost is dominated by volume
+    # (hundreds of 0.3-1 s compiles), not by a few large ones
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

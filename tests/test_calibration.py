@@ -18,7 +18,11 @@ from heston_tpu.models import calibration as calib
 from heston_tpu.parallel import make_mesh, sharded_pricing_fns
 
 SPEC = GridSpec(m1=30, m2=15)
+# smaller config for ENGINE-PARITY tests (trajectory equality is grid-
+# independent; fit-quality tests keep the resolution above)
+SPEC_EQ = GridSpec(m1=16, m2=10)
 SOLVER = SolverConfig(n_steps=10, theta=0.8, maturity=1.0, a2_variant="upwind")
+SOLVER_EQ = SolverConfig(n_steps=6, theta=0.8, maturity=1.0, a2_variant="upwind")
 
 
 def test_jacobian_matches_manual_fd(params):
@@ -138,9 +142,9 @@ def test_device_lm_multi_maturity_groups(params):
     init_vec = jnp.array(params.bumpable())
     cfg = CalibrationConfig(max_iter=2, tol=1e-8)
     tv, info = calib.calibrate_device(
-        SPEC, SOLVER, strikes, market, 100.0, init_vec,
+        SPEC_EQ, SOLVER_EQ, strikes, market, 100.0, init_vec,
         params.r_d, params.r_f, cfg=cfg,
-        group_steps=((0, 4, 5), (4, 8, 10)))
+        group_steps=((0, 4, 3), (4, 8, 6)))
     assert np.all(np.isfinite(np.array(tv)))
     assert int(info["iterations"]) >= 1
 
@@ -165,12 +169,12 @@ def test_device_lm_multi_maturity_dividends_one_launch(params):
     cfg = CalibrationConfig(max_iter=2, tol=1e-12, jacobian_mode="ad")
     res = {}
     for eng in ("scan", "pallas"):
-        sol = dataclasses.replace(SOLVER, solver_engine=eng)
+        sol = dataclasses.replace(SOLVER_EQ, solver_engine=eng)
         tv, info = calib.calibrate_device(
-            SPEC, sol, strikes, market, 100.0, init_vec,
+            SPEC_EQ, sol, strikes, market, 100.0, init_vec,
             params.r_d, params.r_f, cfg=cfg, american=True,
             dividends=GOLDEN_DIVIDENDS,
-            group_steps=((0, 4, 5), (4, 8, 10)))
+            group_steps=((0, 4, 3), (4, 8, 6)))
         res[eng] = (np.asarray(tv), float(info["final_error"]))
     np.testing.assert_allclose(res["pallas"][0], res["scan"][0],
                                rtol=1e-6, atol=1e-8)
@@ -207,20 +211,22 @@ def test_device_lm_ad_pallas_cs_scheme(params):
     from heston_tpu.pallas import fused_do
 
     p = params
-    solver_p = dataclasses.replace(SOLVER, scheme="cs",
+    solver_p = dataclasses.replace(SOLVER_EQ, scheme="cs",
                                    solver_engine="pallas")
-    solver_s = dataclasses.replace(SOLVER, scheme="cs",
+    solver_s = dataclasses.replace(SOLVER_EQ, scheme="cs",
                                    solver_engine="scan")
-    assert fused_do.use_fused(SPEC, solver_p,
+    assert fused_do.use_fused(SPEC_EQ, solver_p,
                               n_tangents=fused_do.JAC_TANGENTS)
     strikes = jnp.linspace(90.0, 110.0, 5)
     market = bs.generate_market_data(100.0, 1.0, p.r_d, strikes)
     init = jnp.array([1.2, 0.05, 0.4, -0.5, 0.05])
     cfg = CalibrationConfig(max_iter=2, tol=1e-12, jacobian_mode="ad")
     tv_p, info_p = calib.calibrate_device(
-        SPEC, solver_p, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
+        SPEC_EQ, solver_p, strikes, market, 100.0, init, p.r_d, p.r_f,
+        cfg=cfg)
     tv_s, info_s = calib.calibrate_device(
-        SPEC, solver_s, strikes, market, 100.0, init, p.r_d, p.r_f, cfg=cfg)
+        SPEC_EQ, solver_s, strikes, market, 100.0, init, p.r_d, p.r_f,
+        cfg=cfg)
     np.testing.assert_allclose(np.array(tv_p), np.array(tv_s),
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(float(info_p["final_error"]),

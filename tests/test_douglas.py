@@ -85,8 +85,8 @@ def test_do_loop_matches_dense_oracle(params, rng):
         inst = douglas.prepare_instance(
             spec, solver, 100.0, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f)
-        got = np.array(douglas.run_time_loop(inst, solver, p.r_f,
-                                             american=american))
+        got = np.array(jax.jit(lambda i, a=american: douglas.run_time_loop(
+            i, solver, p.r_f, american=a))(inst))
         np.testing.assert_allclose(
             got, want.reshape(m2 + 1, m1 + 1), rtol=0, atol=1e-10)
 
@@ -205,8 +205,10 @@ def test_american_exercise_floor(params):
     inst = douglas.prepare_instance(
         spec, solver, 90.0, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
         p.r_d, p.r_f)
-    u = douglas.run_time_loop(inst, solver, p.r_f, american=True,
-                              dividends=GOLDEN_DIVIDENDS)
+    # jit the whole loop: eager mode compiles every lax.scan per call and
+    # none of it lands in the persistent cache
+    u = jax.jit(lambda i: douglas.run_time_loop(
+        i, solver, p.r_f, american=True, dividends=GOLDEN_DIVIDENDS))(inst)
     assert float(jnp.min(u - inst.u0)) >= -1e-12
 
 

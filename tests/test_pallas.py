@@ -520,22 +520,41 @@ def test_per_lane_early_exit_multi_tile_bitwise(params):
     got = np.array(fused_do.fused_price_batch(
         spec, sol, ks, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0,
         p.r_d, p.r_f, american=True, interpret=True, n_steps_per=nst))
-    tv = jnp.array(p.bumpable())
-    gb, gj = fused_do.fused_theta_jacobian(
-        spec, sol, ks, 100.0, tv, p.r_d, p.r_f, american=True,
-        interpret=True, n_steps_per=nst)
-    want, wb, wj = [], [], []
+    want = []
     for (a, b, n) in ((0, 128, 3), (128, 140, 6)):
         sg = dataclasses.replace(sol, n_steps=n, maturity=n * sol.delta_t)
         want.append(np.array(fused_do.fused_price_batch(
             spec, sg, ks[a:b], 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f, american=True, interpret=True)))
+    np.testing.assert_array_equal(got, np.concatenate(want))
+
+
+@pytest.mark.slow
+def test_per_lane_early_exit_multi_tile_jacobian_bitwise(params):
+    """Jacobian arm of the multi-tile early-exit contract (slow tier:
+    the 6 tangent fields make this the most expensive interpret run in
+    the suite; the price arm above covers the early-exit logic fast)."""
+    import dataclasses
+
+    p = params
+    spec = GridSpec(m1=10, m2=6)
+    sol = SolverConfig(n_steps=6, theta=0.8, maturity=1.0,
+                       a2_variant="upwind")
+    ks = jnp.concatenate([jnp.linspace(80.0, 120.0, 128),
+                          jnp.linspace(85.0, 115.0, 12)])
+    nst = jnp.concatenate([jnp.full(128, 3), jnp.full(12, 6)])
+    tv = jnp.array(p.bumpable())
+    gb, gj = fused_do.fused_theta_jacobian(
+        spec, sol, ks, 100.0, tv, p.r_d, p.r_f, american=True,
+        interpret=True, n_steps_per=nst)
+    wb, wj = [], []
+    for (a, b, n) in ((0, 128, 3), (128, 140, 6)):
+        sg = dataclasses.replace(sol, n_steps=n, maturity=n * sol.delta_t)
         bb, jj = fused_do.fused_theta_jacobian(
             spec, sg, ks[a:b], 100.0, tv, p.r_d, p.r_f, american=True,
             interpret=True)
         wb.append(np.array(bb))
         wj.append(np.array(jj))
-    np.testing.assert_array_equal(got, np.concatenate(want))
     np.testing.assert_array_equal(np.array(gb), np.concatenate(wb))
     np.testing.assert_array_equal(np.array(gj), np.concatenate(wj))
 

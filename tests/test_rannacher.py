@@ -155,7 +155,7 @@ def test_fused_damped_matches_xla(params, kw):
         solver = SolverConfig(n_steps=20, scheme=scheme,
                               rannacher_steps=rann,
                               solver_engine="pallas")
-        spec = GridSpec(m1=20, m2=10)
+        spec = GridSpec(m1=12, m2=8)
         assert fused_do.use_fused(spec, solver)
         ks = jnp.linspace(85.0, 115.0, 4, dtype=jnp.float64)
         args = tuple(jnp.float64(a) for a in (

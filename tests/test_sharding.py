@@ -15,8 +15,8 @@ from heston_tpu.parallel import (
     sharded_pricing_fns,
 )
 
-SPEC = GridSpec(m1=30, m2=15)
-SOLVER = SolverConfig(n_steps=10, theta=0.8, maturity=1.0, a2_variant="upwind")
+SPEC = GridSpec(m1=16, m2=10)
+SOLVER = SolverConfig(n_steps=6, theta=0.8, maturity=1.0, a2_variant="upwind")
 
 
 @pytest.fixture(scope="module")
@@ -200,7 +200,7 @@ def test_sharded_mixed_maturity_book_risk(params, mesh, engine):
     from heston_tpu.parallel import batch_greeks_sharded
 
     ks = jnp.linspace(85.0, 115.0, 11)          # 11 % 8 != 0
-    groups = ((0, 5, 5), (5, 11, 10))
+    groups = ((0, 5, 3), (5, 11, 6))
     se = dataclasses.replace(SOLVER, solver_engine=engine)
     tv = _theta(params)
     want = greeks.batch_greeks(
@@ -234,8 +234,8 @@ def test_sharded_mixed_maturity_normal_eq_one_launch(params, mesh):
 
     solver = dataclasses.replace(SOLVER, solver_engine="pallas")
     ks = jnp.concatenate([jnp.linspace(90.0, 110.0, 8)] * 2)
-    groups = ((0, 8, 5), (8, 16, 10))
-    nst = jnp.concatenate([jnp.full(8, 5), jnp.full(8, 10)])
+    groups = ((0, 8, 3), (8, 16, 6))
+    nst = jnp.concatenate([jnp.full(8, 3), jnp.full(8, 6)])
     market = jnp.concatenate([
         bs.generate_market_data(100.0, 0.5, params.r_d, ks[:8]),
         bs.generate_market_data(100.0, 1.0, params.r_d, ks[8:]),
@@ -271,7 +271,7 @@ def test_sharded_mixed_maturity_normal_eq_rejects_xla_engine(params, mesh):
         jacobian_normal_eq_sharded(
             mesh, SPEC, SOLVER, ks, market, 100.0, _theta(params),
             params.r_d, params.r_f, lam=0.01,
-            group_steps=((0, 4, 5), (4, 8, 10)))
+            group_steps=((0, 4, 3), (4, 8, 6)))
 
 
 def test_calibrate_sharded_mixed_ladder(params, mesh):
@@ -288,7 +288,7 @@ def test_calibrate_sharded_mixed_ladder(params, mesh):
 
     solver = dataclasses.replace(SOLVER, solver_engine="pallas")
     ks = jnp.concatenate([jnp.linspace(90.0, 110.0, 8)] * 2)
-    groups = ((0, 8, 5), (8, 16, 10))
+    groups = ((0, 8, 3), (8, 16, 6))
     market = jnp.concatenate([
         bs.generate_market_data(100.0, 0.5, params.r_d, ks[:8]),
         bs.generate_market_data(100.0, 1.0, params.r_d, ks[8:]),
@@ -324,7 +324,7 @@ def test_price_batch_sharded_mixed(params, mesh, engine):
 
     se = dataclasses.replace(SOLVER, solver_engine=engine)
     ks = jnp.linspace(85.0, 115.0, 11)
-    groups = ((0, 5, 5), (5, 11, 10))
+    groups = ((0, 5, 3), (5, 11, 6))
     tv = _theta(params)
     got = price_batch_sharded(
         mesh, SPEC, se, ks, 100.0, tv, params.r_d, params.r_f,
@@ -374,8 +374,8 @@ def test_sharded_mixed_normal_eq_fd_mode(params, mesh):
 
     solver = dataclasses.replace(SOLVER, solver_engine="pallas")
     ks = jnp.concatenate([jnp.linspace(90.0, 110.0, 8)] * 2)
-    groups = ((0, 8, 5), (8, 16, 10))
-    nst = jnp.concatenate([jnp.full(8, 5), jnp.full(8, 10)])
+    groups = ((0, 8, 3), (8, 16, 6))
+    nst = jnp.concatenate([jnp.full(8, 3), jnp.full(8, 6)])
     market = jnp.concatenate([
         bs.generate_market_data(100.0, 0.5, params.r_d, ks[:8]),
         bs.generate_market_data(100.0, 1.0, params.r_d, ks[8:]),
