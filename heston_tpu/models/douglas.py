@@ -539,6 +539,48 @@ def run_time_loop(
     with_lambda: bool = False,
     rate_schedule=None,
 ):
+    """Jit-dispatching wrapper over the raw loop: a direct (eager) call
+    otherwise compiles every lax loop piecemeal per call and lands
+    nothing in the persistent compilation cache (same rationale as
+    _price_option_exec; direct eager calls are common in tests and
+    notebooks). Inside a trace the raw body runs inline as before."""
+    leaves = jax.tree_util.tree_leaves((inst, b_rate))
+    if any(isinstance(x, jax.core.Tracer) for x in leaves):
+        return _run_time_loop_impl(inst, solver, b_rate, american,
+                                   dividends, option_type, with_lambda,
+                                   rate_schedule)
+    # inst.barrier is a static config object riding the pytree — hoist
+    # it into the executable cache key (jit would reject a non-array
+    # leaf) and re-attach inside the trace
+    return _run_time_loop_exec(solver, american, dividends, option_type,
+                               with_lambda, rate_schedule,
+                               inst.barrier)(
+        inst._replace(barrier=None), b_rate)
+
+
+@functools.lru_cache(maxsize=None)
+def _run_time_loop_exec(solver, american, dividends, option_type,
+                        with_lambda, rate_schedule, barrier):
+    @jax.jit
+    def run(inst, b_rate):
+        return _run_time_loop_impl(inst._replace(barrier=barrier),
+                                   solver, b_rate, american,
+                                   dividends, option_type, with_lambda,
+                                   rate_schedule)
+
+    return run
+
+
+def _run_time_loop_impl(
+    inst: PreparedInstance,
+    solver: SolverConfig,
+    b_rate,
+    american: bool = False,
+    dividends: Optional[DividendSchedule] = None,
+    option_type: str = "call",
+    with_lambda: bool = False,
+    rate_schedule=None,
+):
     """Run all N DO steps (with dividend re-maps between segments, and
     the Rannacher start-up sub-steps when solver.rannacher_steps > 0);
     returns the terminal surface, or (u, lambda) when with_lambda=True.
