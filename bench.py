@@ -157,7 +157,61 @@ def _fallback_aggregate(partial, reason):
 # the supervisor deadline via the stage budget below
 # --------------------------------------------------------------------------
 
+_JOURNAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "bench_journal.json")
+_EMITTED_KEYS = set()
+
+
+def _journal_load():
+    try:
+        with open(_JOURNAL_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _journal_update(d):
+    """Persist measured metrics (not stage/skip/error markers) so a
+    later deadline-bounded run can fill its aggregate with the last
+    measurement of any stage it had to skip — explicitly age-labeled
+    (see _emit_journal_fill). One run cannot hold every stage's
+    executable-load overhead inside the 420 s window even fully cached;
+    the journal keeps the full surface in the artifact without
+    laundering stale numbers as fresh ones."""
+    if os.environ.get("HESTON_BENCH_FAKE_HANG"):
+        return  # protocol tests must not pollute the journal
+    keep = {k: v for k, v in d.items()
+            if not (k in ("stage", "arm", "t_s")
+                    or k.endswith("_skipped") or k.endswith("_error"))}
+    if not keep:
+        return
+    j = _journal_load()
+    now = time.time()
+    for k, v in keep.items():
+        j[k] = {"value": v, "ts": now}
+    try:
+        os.makedirs(os.path.dirname(_JOURNAL_PATH), exist_ok=True)
+        with open(_JOURNAL_PATH, "w") as f:
+            json.dump(j, f)
+    except OSError:
+        pass
+
+
+def _emit_journal_fill():
+    """Emit prior-run measurements for every metric NOT measured in this
+    run, under the separate `journal_fill` key with per-metric age in
+    seconds — never merged into the top-level (fresh) fields."""
+    j = _journal_load()
+    now = time.time()
+    fill = {k: {"value": rec["value"], "age_s": round(now - rec["ts"])}
+            for k, rec in j.items() if k not in _EMITTED_KEYS}
+    if fill:
+        emit({"journal_fill": fill})
+
+
 def emit(d):
+    _EMITTED_KEYS.update(d.keys())
+    _journal_update(d)
     print(METRIC_PREFIX + json.dumps(d), flush=True)
 
 
@@ -269,18 +323,36 @@ def child_main():
         budget.run("selftest_ext", 150,
                    lambda: _selftest_ext(spec, solver, p, dtype))
 
-    # 5) perf extras
+    # 5) perf extras — ROTATED: a 420 s window cannot hold every stage's
+    # executable-load overhead even fully cached, so stages missing from
+    # the journal run first, then the stalest; over successive runs the
+    # whole surface stays covered and journal_fill labels the rest by age
     if selftest_on or engine == "pallas":
-        budget.run("schemes", 60,
-                   lambda: _scheme_timings(spec, p, batch, dtype))
-        budget.run("lm", 40, lambda: _lm_timing(spec, p, dtype))
-        budget.run("lm_multi", 90, lambda: _lm_multi_timing(spec, p, dtype))
-        budget.run("book_risk", 60,
-                   lambda: _book_risk(spec, p, batch, dtype))
-        budget.run("mixed5000", 80, lambda: _throughput_mixed(spec, p, dtype))
-        if value:
-            budget.run("cpu_arm", 30,
-                       lambda: _cpu_arm(spec, p, batch, value))
+        cpu_ref = value or _journal_load().get(
+            "american_dividend_batch500_m1_50_m2_25_N20_"
+            "float32_pallas_tpu", {}).get("value")
+        extras = [
+            ("schemes", 60, lambda: _scheme_timings(spec, p, batch, dtype),
+             f"batch{batch}_cs_amer_div_s"),
+            ("lm", 40, lambda: _lm_timing(spec, p, dtype),
+             "lm60_ad_pallas_s"),
+            ("lm_multi", 90, lambda: _lm_multi_timing(spec, p, dtype),
+             "lm_multi200_s"),
+            ("book_risk", 60, lambda: _book_risk(spec, p, batch, dtype),
+             f"book_risk{batch}_s"),
+            ("mixed5000", 80, lambda: _throughput_mixed(spec, p, dtype),
+             "mixed5000_euro_s"),
+        ]
+        if cpu_ref:
+            extras.append(("cpu_arm", 30,
+                           lambda: _cpu_arm(spec, p, batch, cpu_ref),
+                           f"cpu_batch{batch}_omp1t_s"))
+        j = _journal_load()
+        extras.sort(key=lambda e: (e[3] in j,
+                                   j.get(e[3], {}).get("ts", 0.0)))
+        for name, est, fn, _key in extras:
+            budget.run(name, est, fn)
+    _emit_journal_fill()
     return 0
 
 
@@ -374,17 +446,21 @@ def _harness_floor(example, reps: int = 500):
 
 # On-chip f32-vs-f64 RMSE budget PER ARM (VERDICT r3 #8: one global 1e-4
 # max let a regression in one variant hide under the loosest arm). Values
-# = measured real-TPU ceiling x ~2 margin, capped at the 1e-4 BASELINE
-# target; tightened whenever a captured BENCH artifact shows headroom.
+# = the 2026-08-20 real-TPU capture x ~2.5-3 margin, capped at the 1e-4
+# BASELINE target (measured: euro 5.5e-6, amer 1.28e-5, div 1.31e-5,
+# amer_div 8.6e-6, jac 1.0e-5, put_euro 1.10e-5, put_amer_div 1.17e-5,
+# cs 7.9e-6, mcs 1.64e-5, hv 5.2e-6, rann 1.26e-5, rann_amer_div
+# 1.15e-5, digital 1.0e-6, digital_amer 1.57e-5, single_rann 6.6e-7,
+# single_amer_div 5.0e-7, barrier_amer_div 4.47e-5, jac_cs 1.12e-5).
 SELFTEST_BUDGET = {
-    "euro": 1e-4, "amer": 1e-4, "div": 1e-4, "amer_div": 1e-4,
-    "put_euro": 1e-4, "put_amer_div": 1e-4,
-    "cs": 1e-4, "mcs": 1e-4, "hv": 1e-4,
-    "rann": 1e-4, "rann_amer_div": 1e-4,
-    "digital": 1e-4, "digital_amer": 1e-4,
-    "single_rann": 1e-4, "single_amer_div": 1e-4,
+    "euro": 2e-5, "amer": 4e-5, "div": 4e-5, "amer_div": 3e-5,
+    "put_euro": 3e-5, "put_amer_div": 3.5e-5,
+    "cs": 2.5e-5, "mcs": 5e-5, "hv": 2e-5,
+    "rann": 4e-5, "rann_amer_div": 3.5e-5,
+    "digital": 5e-6, "digital_amer": 5e-5,
+    "single_rann": 3e-6, "single_amer_div": 3e-6,
     "barrier_amer_div": 1e-4,
-    "jac": 2e-4, "jac_cs": 2e-4,  # normalized Jacobian-entry RMSE
+    "jac": 3e-5, "jac_cs": 3.5e-5,  # normalized Jacobian-entry RMSE
 }
 
 _SELFTEST_SEEN = {}

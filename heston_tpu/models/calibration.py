@@ -187,7 +187,8 @@ def jacobian_and_prices_ad(
         from heston_tpu.pallas import fused_do
 
         n_tg = fused_do.JAC_TANGENTS if stencil else 5
-        if fused_do.use_fused(spec, solver, n_tangents=n_tg):
+        if fused_do.use_fused(spec, solver, n_tangents=n_tg,
+                              american=american, dividends=dividends):
             base, jac = fused_do.fused_theta_jacobian(
                 spec, solver, strikes, s0, jnp.asarray(theta_vec),
                 r_d, r_f, american=american, dividends=dividends,
@@ -523,7 +524,9 @@ def calibrate_device(
         from heston_tpu.pallas import fused_do
 
         if not fused_do.use_fused(spec, solver,
-                                  n_tangents=fused_do.JAC_TANGENTS):
+                                  n_tangents=fused_do.JAC_TANGENTS,
+                                  american=american,
+                                  dividends=dividends):
             # AD cannot trace through pallas_call (input_output_aliases
             # has no JVP rule), and in the primal-fits-but-5-tangents-
             # don't VMEM window price_batch WOULD still dispatch the
@@ -564,7 +567,8 @@ def calibrate_device(
                 if (multi_nsteps is not None
                         and fused_do.use_fused(
                             spec, sol_max,
-                            n_tangents=fused_do.JAC_TANGENTS)):
+                            n_tangents=fused_do.JAC_TANGENTS,
+                            american=american, dividends=dividends)):
                     # whole mixed-maturity Jacobian (primal + tangent
                     # surfaces, every maturity) in ONE kernel launch
                     bb, jj = fused_do.fused_theta_jacobian(
@@ -574,7 +578,9 @@ def calibrate_device(
                         n_steps_per=multi_nsteps)
                     return jj, bb
                 if fused_do.use_fused(spec, solver,
-                                      n_tangents=fused_do.JAC_TANGENTS):
+                                      n_tangents=fused_do.JAC_TANGENTS,
+                                      american=american,
+                                      dividends=dividends):
                     # exact forward-mode AD THROUGH the fused kernel: one
                     # launch per maturity group carries the tangent
                     # surfaces alongside the primal (v0 rides as a

@@ -278,7 +278,8 @@ def price_and_greeks(
         from heston_tpu.pallas import fused_do
 
         if fused_do.use_fused(spec, solver,
-                              n_tangents=fused_do.JAC_TANGENTS):
+                              n_tangents=fused_do.JAC_TANGENTS,
+                              american=american, dividends=dividends):
             import dataclasses
 
             tv = jnp.stack([jnp.asarray(v, dtype)
@@ -528,7 +529,8 @@ def batch_greeks(
                 dividends=dividends, option_type=option_type,
                 rate_schedule=rate_schedule)
         elif fused_do.use_fused(spec, solver,
-                                n_tangents=fused_do.JAC_TANGENTS):
+                                n_tangents=fused_do.JAC_TANGENTS,
+                                american=american, dividends=dividends):
             _, jac = fused_do.fused_theta_jacobian(
                 spec, solver, ks, s0, tv, r_d, r_f,
                 american=american, dividends=dividends,

@@ -183,6 +183,33 @@ def _scheme_tangent_extra_fields(scheme: str, n_tangents: int) -> int:
     return extra
 
 
+def _exercise_tangent_extra_fields(n_tangents: int, american: bool,
+                                   dividends,
+                                   dtype_bytes: int = 4) -> int:
+    """Extra resident VMEM fields for forward-mode kernels with an
+    American floor and/or dividend re-maps.
+
+    Calibrated from a REAL-CHIP compile failure (2026-08-20, v5e): the
+    200-point mixed-ladder american+dividend Jacobian at tile 256 needed
+    108.8 MiB scoped VMEM against the model's 45 MiB (3-fields-per-
+    tangent only) — the tangent remap/floor temporaries the Mosaic
+    scheduler keeps live cost ~(3 + n_events) additional fields PER
+    tangent. Counting them drops the chosen tile to 128, which fits.
+    Zero when there are no tangents or no exercise/dividend features
+    (the plain price kernels have compiled at the old model's tiles for
+    three rounds of on-chip captures). Applied to the f32 working set
+    only: f32 is the production on-chip dtype the calibration was
+    measured at; the f64 interpret/test paths keep the historical model
+    (their VMEM is not real, and gating them off would silently retire
+    the one-launch contract coverage the f64 suite provides)."""
+    if dtype_bytes != 4:
+        return 0
+    if not n_tangents or not (american or dividends):
+        return 0
+    n_events = len(dividends.dates) if dividends else 0
+    return (3 + n_events) * n_tangents
+
+
 def _barrier_positions(spec):
     """Static tuple of knocked s indices for the kernels' barrier masks
     (lru_cache-hashable): None for vanilla specs, else a subset of
@@ -194,7 +221,8 @@ def _barrier_positions(spec):
                                 (spec.m1, barrier.knock_top)) if k)
 
 
-def use_fused(spec, solver, n_tangents: int = 0) -> bool:
+def use_fused(spec, solver, n_tangents: int = 0, american: bool = False,
+              dividends=None) -> bool:
     """THE dispatch predicate for every fused-kernel call site
     (price_batch, calibrate_device's AD Jacobian, greeks, the sharded
     LM): the kernel implements the Douglas, Craig-Sneyd, modified
@@ -214,7 +242,10 @@ def use_fused(spec, solver, n_tangents: int = 0) -> bool:
     _make_kernel's barrier_pos)."""
     if solver.scheme not in ("do", "cs", "mcs", "hv"):
         return False
-    extra = _scheme_tangent_extra_fields(solver.scheme, n_tangents)
+    extra = (_scheme_tangent_extra_fields(solver.scheme, n_tangents)
+             + _exercise_tangent_extra_fields(n_tangents, american,
+                                              dividends,
+                                              _live_dtype_bytes()))
     return (solver.solver_engine == "pallas"
             and fits_vmem(spec, _live_dtype_bytes(), n_tangents,
                           extra_fields=extra))
@@ -1894,7 +1925,9 @@ def fused_theta_jacobian(
     strikes_p, tile, n_tiles, nsteps_p = _pad_strikes(
         spec, strikes, n_tangents=n_tg, strict=not interpret,
         nsteps=n_steps_per,
-        extra_fields=_scheme_tangent_extra_fields(solver.scheme, n_tg))
+        extra_fields=_scheme_tangent_extra_fields(solver.scheme, n_tg)
+        + _exercise_tangent_extra_fields(n_tg, american, dividends,
+                                         _live_dtype_bytes()))
     dtype = jnp.result_type(float)   # matches the grid/field build dtype
     theta_vec = theta_vec.astype(dtype)
 

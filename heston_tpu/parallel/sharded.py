@@ -157,7 +157,8 @@ def _local_jac(spec, solver, american, dividends, eps, option_type,
         from heston_tpu.pallas import fused_do
 
         if fused_do.use_fused(spec, solver,
-                              n_tangents=fused_do.JAC_TANGENTS):
+                              n_tangents=fused_do.JAC_TANGENTS,
+                              american=american, dividends=dividends):
             # exact forward-mode AD through the fused kernel, one launch
             # per shard (the distributed analog of
             # calibrate_device(jacobian_mode='ad')); use_fused guards the
@@ -459,7 +460,9 @@ def jacobian_normal_eq_sharded(
         # bumped primal launches and only needs the primal working set
         need = fused_do.JAC_TANGENTS if mode == "ad" else 0
         if not (solver.solver_engine == "pallas"
-                and fused_do.use_fused(spec, solver, n_tangents=need)):
+                and fused_do.use_fused(spec, solver, n_tangents=need,
+                                       american=american,
+                                       dividends=dividends)):
             raise ValueError(
                 "group_steps needs the fused engine (per-lane step "
                 "counts); price each maturity group separately via "

@@ -127,3 +127,40 @@ def test_vmem_budget_device_derivation():
     default, keeping the gate identical to the measured constants."""
     assert fused_do._vmem_budget_bytes() == 64 * 1024 * 1024
     assert fused_do._vmem_limit_bytes() == 100 * 1024 * 1024
+
+
+def test_exercise_tangent_extra_fields_model():
+    """Per-tangent remap/floor temporaries for American/dividend
+    forward-mode kernels (calibrated from the 2026-08-20 real-v5e
+    compile failure: the amer+div ladder Jacobian at tile 256 needed
+    108.8 MiB scoped VMEM against the old model's 45 MiB -> the model
+    must size that config down to tile 128, which fits)."""
+    from heston_tpu.config import GOLDEN_DIVIDENDS
+
+    # no tangents or no exercise features -> no extra fields
+    assert fused_do._exercise_tangent_extra_fields(0, True,
+                                                   GOLDEN_DIVIDENDS) == 0
+    assert fused_do._exercise_tangent_extra_fields(4, False, None) == 0
+    # 4 tangents, American + 4 events -> (3+4)*4 = 28
+    assert fused_do._exercise_tangent_extra_fields(
+        4, True, GOLDEN_DIVIDENDS) == 28
+
+    # f32-only: the calibration was measured at the production on-chip
+    # dtype; f64 interpret/test paths keep the historical model
+    assert fused_do._exercise_tangent_extra_fields(
+        4, True, GOLDEN_DIVIDENDS, dtype_bytes=8) == 0
+
+    spec = GridSpec(m1=50, m2=25)
+    extra = fused_do._exercise_tangent_extra_fields(4, True,
+                                                    GOLDEN_DIVIDENDS)
+    # the failing config now sizes to the 128-lane tile (fits on-chip,
+    # verified by a real-v5e compile after the fix); the plain Jacobian
+    # keeps its wider tile
+    assert fused_do.pick_tile(spec, 200, 4, 4, extra_fields=extra) == 128
+    assert fused_do.pick_tile(spec, 200, 4, 4) == 256
+    # the f32 model still admits the production grid at tile 128...
+    assert fused_do.fits_vmem(spec, 4, n_tangents=4, extra_fields=extra)
+    # ...but gates OFF the golden grid, where even tile 128 cannot hold
+    # the amer+div tangent working set
+    assert not fused_do.fits_vmem(GridSpec(m1=100, m2=75), 4,
+                                  n_tangents=4, extra_fields=extra)
