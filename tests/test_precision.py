@@ -55,12 +55,23 @@ def test_fused_kernel_f32_rmse_margin(params):
                     option_type="put")):
         want = np.array(douglas.price_batch(
             spec, solver, ks64, 100.0, *args64, **kw))
-        got = np.array(jax.jit(
-            lambda k, kw=kw: fused_do.fused_price_batch(
-                spec, solver, k, jnp.float32(100.0), *args32,
-                interpret=True, **kw))(ks32))
+        # enable_x64(False): under the suite's global x64 the fused
+        # field assembly silently promotes to f64 (round-4 finding: the
+        # old margin here measured ~1.2e-6 f64-promoted arithmetic, a
+        # toothless guard) — force TRUE f32 for the kernel side
+        with jax.enable_x64(False):
+            got = np.array(jax.jit(
+                lambda k, kw=kw: fused_do.fused_price_batch(
+                    spec, solver, k, jnp.float32(100.0),
+                    *(jnp.float32(v) for v in args64),
+                    interpret=True, **kw))(ks32))
         rmse = float(np.sqrt(np.mean((want - got) ** 2)))
-        assert rmse < 4e-5, f"fused f32 rmse {rmse} exceeds margin for {kw}"
+        # per-arm margins at measured true-f32 x ~2.5 (put payoffs round
+        # worse in interpret f32 than on real Mosaic — on-chip captures
+        # show put_amer_div at 1.17e-5)
+        margin = 1e-4 if kw.get("option_type") == "put" else 6e-5
+        assert rmse < margin, (
+            f"fused f32 rmse {rmse} exceeds margin {margin} for {kw}")
 
 
 # Per-arm interpret-mode f32 budgets (VERDICT r3 #8: one global max let a
@@ -69,21 +80,27 @@ def test_fused_kernel_f32_rmse_margin(params):
 # runs the kernel's arithmetic at the same precision; real-Mosaic
 # rounding differs ~2x and is gated on-chip by bench.py's per-arm
 # SELFTEST_BUDGET). Calibration run: see ROUND4_NOTES.md.
+# measured TRUE-f32 interpret RMSE (2026-08-20, see ROUND4_NOTES.md):
+# euro 1.92e-6, amer 1.23e-5, div 8.13e-6, amer_div 2.57e-5, put_euro
+# 4.07e-5, put_amer_div 6.28e-5, cs 7.46e-6, mcs 2.14e-5, hv 4.70e-5,
+# rann 4.16e-5, rann_amer_div 2.61e-5, digital 2.98e-7, digital_amer
+# 3.48e-6, barrier_amer_div 2.77e-6; budget = ~2.5x, capped at the 1e-4
+# BASELINE target. On-chip (Mosaic) per-arm budgets live in bench.py.
 ARM_BUDGETS = {
-    "euro": 6e-5,
-    "amer": 6e-5,
-    "div": 6e-5,
+    "euro": 6e-6,
+    "amer": 3e-5,
+    "div": 2.5e-5,
     "amer_div": 6e-5,
-    "put_euro": 6e-5,
-    "put_amer_div": 6e-5,
-    "cs": 6e-5,
-    "mcs": 6e-5,
-    "hv": 6e-5,
-    "rann": 6e-5,
-    "rann_amer_div": 6e-5,
-    "digital": 6e-5,
-    "digital_amer": 6e-5,
-    "barrier_amer_div": 6e-5,
+    "put_euro": 1e-4,
+    "put_amer_div": 1e-4,
+    "cs": 2e-5,
+    "mcs": 5.5e-5,
+    "hv": 1e-4,
+    "rann": 1e-4,
+    "rann_amer_div": 6.5e-5,
+    "digital": 2e-6,
+    "digital_amer": 1e-5,
+    "barrier_amer_div": 1e-5,
 }
 
 
@@ -127,10 +144,13 @@ def _arm_rmse(params, tag):
     args32 = tuple(jnp.float32(v) for v in args64)
     want = np.array(douglas.price_batch(
         spec, solver, ks64, 100.0, *args64, **kw))
-    got = np.array(jax.jit(
-        lambda k: fused_do.fused_price_batch(
-            spec, solver, k, jnp.float32(100.0), *args32,
-            interpret=True, **kw))(ks64.astype(jnp.float32)))
+    # TRUE f32 kernel side (see test_fused_kernel_f32_rmse_margin)
+    with jax.enable_x64(False):
+        got = np.array(jax.jit(
+            lambda k: fused_do.fused_price_batch(
+                spec, solver, k, jnp.float32(100.0),
+                *(jnp.float32(v) for v in args64),
+                interpret=True, **kw))(ks64.astype(jnp.float32)))
     return float(np.sqrt(np.mean((want - got) ** 2)))
 
 
