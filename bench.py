@@ -181,8 +181,15 @@ def _journal_update(d):
     if os.environ.get("HESTON_BENCH_FAKE_HANG"):
         return  # protocol tests must not pollute the journal
     keep = {k: v for k, v in d.items()
-            if not (k in ("stage", "arm", "t_s")
+            if not (k in ("stage", "arm", "t_s",
+                          "metric", "value", "unit", "vs_baseline")
                     or k.endswith("_skipped") or k.endswith("_error"))}
+    # The headline record carries its name in `metric` and its time in
+    # `value`; persist it under the metric-name key so later runs (and the
+    # cpu_arm fallback) can look it up by name instead of the generic
+    # aggregate field names.
+    if "metric" in d and "value" in d:
+        keep[d["metric"]] = d["value"]
     if not keep:
         return
     j = _journal_load()

@@ -63,7 +63,17 @@ def ensure_distributed(**kwargs) -> None:
     framework is the 5x5+5 LM normal-equation reduction once per
     iteration (SURVEY.md §5) — a few hundred bytes, so DCN latency is
     irrelevant; everything bandwidth-heavy stays chip-local."""
-    if jax.process_count() > 1:
+    # Detect prior initialization WITHOUT touching the XLA backend:
+    # jax.process_count() would itself initialize the backend, after which
+    # jax.distributed.initialize() unconditionally raises ("must be called
+    # before any JAX calls ..."), killing the multi-process path this
+    # function exists for.
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # pragma: no cover - jax < 0.4.34
+        from jax._src.distributed import global_state
+        already = global_state.client is not None
+    if already:
         return  # already initialized by us or the caller
     if not (kwargs or os.environ.get("JAX_COORDINATOR_ADDRESS")
             or os.environ.get("COORDINATOR_ADDRESS")):
