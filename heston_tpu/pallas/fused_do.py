@@ -55,6 +55,7 @@ index operation is a comparison-count or one-hot contraction instead.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -255,21 +256,24 @@ def pick_tile(spec, batch: int, dtype_bytes: int = 4,
               n_tangents: int = 0, strict: bool = True,
               vmem_physical: Optional[int] = None,
               extra_fields: int = 0) -> int:
-    """Widest lane-tile whose working set still fits VMEM.
+    """Widest WELL-PERFORMING lane-tile whose working set fits VMEM.
 
-    The sequential sweep loops cost ~O(10^2) cycles of loop/addressing
-    overhead per iteration regardless of vector width, so the fewer
-    kernel-tiles the batch needs, the better: a 512-lane tile runs the
-    same iteration count as a 128-lane one but serves 4x the options.
-    The forward-mode kernel holds ~3 extra full fields per tangent
-    (carry in/out + live temporaries).
+    Measured on v5e (round 5, batch-500 american+dividend headline):
+    256 lanes is the sweet spot — 0.867 ms vs 0.908 ms at 512 and
+    1.051 ms at 128. Wider tiles amortize the sequential sweeps' per-
+    iteration overhead over more lanes, but a 512-lane working set
+    (~64 MiB with scratch) runs close enough to the VMEM budget that
+    the multi-segment dividend launches degrade; 256 keeps ~2x
+    headroom and pipelines tiles through the pallas grid instead. The
+    forward-mode kernel holds ~3 extra full fields per tangent (carry
+    in/out + live temporaries).
 
     strict=False (interpret mode, where VMEM is not real) falls back to
     the minimum tile when nothing fits."""
     n_fields = _FIELDS_RESIDENT + extra_fields + 3 * n_tangents
     budget = _vmem_budget_bytes(vmem_physical)
     b_pad = max(128, -128 * (-batch // 128))
-    for tile in (1024, 512, 256, 128):
+    for tile in (256, 128):
         if tile <= b_pad and (n_fields * _field_bytes(
                 spec, tile, dtype_bytes) <= budget):
             return tile
@@ -454,6 +458,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             return (vfull[None, :, :] * p_ref[:][:, None, :]
                     + q_ref[:][:, None, :])
 
+        def sdiffs(x):
+            """Both s-neighbor differences of x — shared by ds_of and the
+            A1 multiply so each step traverses x along s only once."""
+            return _shift_s(x, -1) - x, _shift_s(x, 1) - x
+
         # Thomas factorization of the A1 implicit system. s is the OUTER
         # axis, so each sweep iteration touches a dense [nv, TILE] block.
         # Runs once per tile — and again after dividend re-maps, which
@@ -588,6 +597,36 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         react_v2 = jnp.where(_v_iota < n_react, react_row[None, :],
                              jnp.zeros_like(react_row)[None, :])
 
+        # loop-invariant full fields — the A0 coefficient product and
+        # both boundary injection patterns (only their SCALAR step
+        # coefficients kb1/kb2a/kb2b vary per step). HOISTED out of the
+        # time loop only for single-segment launches: measured on v5e
+        # (batch-500 headline), hoisting wins ~4-6% there (three fewer
+        # fused rebuild passes per step), but in a multi-segment
+        # dividend launch ANY hoisting — one shared set of values OR a
+        # fresh set per segment — runs ~25% slower (0.86 -> 1.10 ms):
+        # Mosaic materializes full-field values captured by fori_loops
+        # that coexist with the remap phases instead of folding them
+        # into the step's fused pass. Dividend launches therefore
+        # rebuild the three products inside every step, where they fuse.
+        _hoist = div_plan is None
+        if _hoist:
+            c_a0_h = sfac[:, None, :] * vfac[None, :, :]
+            b1f_h = b1_mask[:, :, None] * b1v[None, None, :]
+            b2f_h = bottom2d[:, :, None] * b2r[:, None, :]
+
+        def get_c_a0():
+            return (c_a0_h if _hoist
+                    else sfac[:, None, :] * vfac[None, :, :])
+
+        def get_b1f():
+            return (b1f_h if _hoist
+                    else b1_mask[:, :, None] * b1v[None, None, :])
+
+        def get_b2f():
+            return (b2f_h if _hoist
+                    else bottom2d[:, :, None] * b2r[:, None, :])
+
         def ds_of(x):
             """beta_s first-derivative stencil along s (A0 inner factor;
             zero-sum weights, difference form)."""
@@ -600,12 +639,24 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             return (wm[None, :, :] * (_shift_v(x, -1) - x)
                     + wp[None, :, :] * (_shift_v(x, 1) - x))
 
+        def a1mul_d(dlo, dhi, x):
+            """Explicit A1 multiply on precomputed s-diffs, with the
+            rank-2 band regrouped: band = v*P + Q, so
+            A1 x = v*(Pl*dlo + Pu*dhi) + (Ql*dlo + Qu*dhi) + react*x —
+            two fewer full-field traversals than materializing both
+            dense bands (a1full) before multiplying."""
+            pterm = (a1pl_ref[:][:, None, :] * dlo
+                     + a1pu_ref[:][:, None, :] * dhi)
+            qterm = (a1ql_ref[:][:, None, :] * dlo
+                     + a1qu_ref[:][:, None, :] * dhi)
+            return (vfull[None, :, :] * pterm + qterm
+                    + react_s2[:, None, :] * x)
+
         def a1mul(x):
             """Explicit A1 tridiagonal multiply (difference form +
             analytic reaction row)."""
-            return (a1full(a1pl_ref, a1ql_ref) * (_shift_s(x, -1) - x)
-                    + a1full(a1pu_ref, a1qu_ref) * (_shift_s(x, 1) - x)
-                    + react_s2[:, None, :] * x)
+            dlo, dhi = sdiffs(x)
+            return a1mul_d(dlo, dhi, x)
 
         def a2mul(x, c2, c1b, cu1, cu2, react=None):
             """Pentadiagonal multiply along v (difference form; `react`
@@ -702,6 +753,18 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             err = (a - (s - bb)) + (b - bb)
             return s, err
 
+        def fast_two_sum(a, b):
+            """Dekker Fast2Sum — 3 VPU ops instead of 2Sum's 6. Exact
+            when exp(a) >= exp(b): true for the state update's a = u
+            vs b = dt-scale increment everywhere the captured rounding
+            matters (|u| >= |b| wherever eps*|u| dominates); where
+            u < |b| the residual error is at eps*|increment| scale,
+            orders below the surface RMSE. Used ONLY for the per-step
+            state update; remaps keep the unconditional 2Sum."""
+            s = a + b
+            err = b - (s - a)
+            return s, err
+
         def unpack(carry):
             i = 0
             u = carry[i]; i += 1
@@ -715,6 +778,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 
         def step(n, carry):
             u, lam_c, comp, dus, dlams = unpack(carry)
+            c_a0, b1f, b2f = get_c_a0(), get_b1f(), get_b2f()
             nf = n.astype(u.dtype)
             e0 = jnp.exp(rf * dt * (nf - 1.0))
             e1 = jnp.exp(rf * dt * nf)
@@ -733,23 +797,31 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # Identical algebra to rhs1/rhs2 of models.douglas._do_step
             # (substitute y1 = u + z1): bnd1 carries the SAME kb1/kb2a
             # boundary coefficients.
-            dsu = ds_of(u)
+            dlo, dhi = sdiffs(u)
+            dsu = bsm[:, None, :] * dlo + bsp[:, None, :] * dhi
             a2r = a2mul(u, l2b, l1b, u1b, u2b, react_v2)
-            # boundary injections as rank-1 full-array adds
-            # (b1 = scalar x static mask; b2 = one v-row)
-            bnd1 = ((kb1 * b1v) * b1_mask[:, :, None]
-                    + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
-            c_a0 = sfac[:, None, :] * vfac[None, :, :]
-            lu = c_a0 * dv_of(dsu, bvm, bvp) + a1mul(u) + a2r
+            # boundary injections: scalar coefficients times the hoisted
+            # loop-invariant patterns b1f/b2f
+            bnd1 = kb1 * b1f + kb2a * b2f
+            lu = c_a0 * dv_of(dsu, bvm, bvp) + a1mul_d(dlo, dhi, u) + a2r
+            # the LCP multiplier is carried PRE-SCALED as dtlam = dt*lam
+            # (lam_c here): the rhs needs dt*(L u + lam) and the update
+            # needs z2 - dt*lam, so the dt-scaled carry saves a multiply
+            # and a divide per step (and two roundings)
+            rhs1 = dt * lu + bnd1
             if american:
-                lu = lu + lam_c
-            d_ref[:] = dt * lu + bnd1
+                rhs1 = rhs1 + lam_c
+            d_ref[:] = rhs1
 
             tri_solve()
             z1 = d_ref[:]
 
-            e_ref[:] = jnp.swapaxes(
-                z1 + kb2b * bottom2d[:, :, None] * b2r[:, None, :], 0, 1)
+            # the b2 boundary term lives ONLY on v-row nv-1 (host prep
+            # zeroes b2r[0], so bottom2d's s>=1 mask is already in the
+            # data): add it to that single row AFTER the transpose —
+            # [ns, T] row op instead of a full-field multiply-add
+            e_ref[:] = jnp.swapaxes(z1, 0, 1)
+            e_ref[nv - 1] = e_ref[nv - 1] + kb2b * b2r
             penta_solve()
             z2 = jnp.swapaxes(e_ref[:], 0, 1)
             # predictor-stage increments, needed by the CS/MCS/HV tangent
@@ -768,21 +840,22 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # here rather than kept live across the predictor's
                 # solves — cheap VPU work that caps resident VMEM
                 # (_CS_EXTRA_FIELDS) instead of +4 full fields.
-                a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
-                    ds_of(z2), bvm, bvp)
-                lu2 = ((sfac[:, None, :] * vfac[None, :, :])
-                       * dv_of(ds_of(u), bvm, bvp)
+                a0z2 = c_a0 * dv_of(ds_of(z2), bvm, bvp)
+                # rhs1 is REBUILT from u (not reused from the predictor):
+                # keeping dsu/dlo/dhi live across the predictor's two
+                # solves would cost 3 resident fields — cheap VPU work
+                # instead (see _CS_EXTRA_FIELDS)
+                lu2 = (c_a0 * dv_of(ds_of(u), bvm, bvp)
                        + a1mul(u) + a2mul(u, l2b, l1b, u1b, u2b, react_v2))
+                rhs1c = (dt * lu2 + (0.5 * dt) * a0z2
+                         + kb1 * b1f + kb2a * b2f)
                 if american:
-                    lu2 = lu2 + lam_c
-                d_ref[:] = (dt * lu2 + (0.5 * dt) * a0z2
-                            + (kb1 * b1v) * b1_mask[:, :, None]
-                            + kb2a * bottom2d[:, :, None] * b2r[:, None, :])
+                    rhs1c = rhs1c + lam_c
+                d_ref[:] = rhs1c
                 tri_solve()
                 z1c = d_ref[:]
-                e_ref[:] = jnp.swapaxes(
-                    z1c + kb2b * bottom2d[:, :, None]
-                    * b2r[:, None, :], 0, 1)
+                e_ref[:] = jnp.swapaxes(z1c, 0, 1)
+                e_ref[nv - 1] = e_ref[nv - 1] + kb2b * b2r
                 penta_solve()
                 z2 = jnp.swapaxes(e_ref[:], 0, 1)
             elif scheme == "mcs":
@@ -793,26 +866,22 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # delta form (y2 = u + z2, operators linear) the
                 # corrector's stage-1 rhs is the predictor's rhs1 plus
                 # td*A0(z2) + (1/2-theta)*dt*(L z2 + (e1-e0)*(b1+b2)).
-                a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
-                    ds_of(z2), bvm, bvp)
+                a0z2 = c_a0 * dv_of(ds_of(z2), bvm, bvp)
                 lz2 = (a0z2 + a1mul(z2)
                        + a2mul(z2, l2b, l1b, u1b, u2b, react_v2))
-                lu2 = ((sfac[:, None, :] * vfac[None, :, :])
-                       * dv_of(ds_of(u), bvm, bvp)
+                lu2 = (c_a0 * dv_of(ds_of(u), bvm, bvp)
                        + a1mul(u) + a2mul(u, l2b, l1b, u1b, u2b, react_v2))
-                if american:
-                    lu2 = lu2 + lam_c
                 kmc = (0.5 - theta) * dt * (e1 - e0)
-                d_ref[:] = (dt * lu2 + td * a0z2
-                            + ((0.5 - theta) * dt) * lz2
-                            + ((kb1 + kmc) * b1v) * b1_mask[:, :, None]
-                            + (kb2a + kmc) * bottom2d[:, :, None]
-                            * b2r[:, None, :])
+                rhs1c = (dt * lu2 + td * a0z2
+                         + ((0.5 - theta) * dt) * lz2
+                         + (kb1 + kmc) * b1f + (kb2a + kmc) * b2f)
+                if american:
+                    rhs1c = rhs1c + lam_c
+                d_ref[:] = rhs1c
                 tri_solve()
                 z1c = d_ref[:]
-                e_ref[:] = jnp.swapaxes(
-                    z1c + kb2b * bottom2d[:, :, None]
-                    * b2r[:, None, :], 0, 1)
+                e_ref[:] = jnp.swapaxes(z1c, 0, 1)
+                e_ref[nv - 1] = e_ref[nv - 1] + kb2b * b2r
                 penta_solve()
                 z2 = jnp.swapaxes(e_ref[:], 0, 1)
             elif scheme == "hv":
@@ -823,20 +892,17 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 #   T1 w1 = dt*(L u [+lam]) + (dt*e0 + khv)*(b1 + b2)
                 #           + 0.5*dt*L z2 - z2
                 #   T2 w2 = w1;   u' = u + (z2 + w2)
-                a0z2 = (sfac[:, None, :] * vfac[None, :, :]) * dv_of(
-                    ds_of(z2), bvm, bvp)
+                a0z2 = c_a0 * dv_of(ds_of(z2), bvm, bvp)
                 lz2 = (a0z2 + a1mul(z2)
                        + a2mul(z2, l2b, l1b, u1b, u2b, react_v2))
-                lu2 = ((sfac[:, None, :] * vfac[None, :, :])
-                       * dv_of(ds_of(u), bvm, bvp)
+                lu2 = (c_a0 * dv_of(ds_of(u), bvm, bvp)
                        + a1mul(u) + a2mul(u, l2b, l1b, u1b, u2b, react_v2))
-                if american:
-                    lu2 = lu2 + lam_c
                 khv = 0.5 * dt * (e1 - e0)
-                d_ref[:] = (dt * lu2 + (0.5 * dt) * lz2 - z2
-                            + ((dt * e0 + khv) * b1v) * b1_mask[:, :, None]
-                            + (dt * e0 + khv) * bottom2d[:, :, None]
-                            * b2r[:, None, :])
+                rhs1c = (dt * lu2 + (0.5 * dt) * lz2 - z2
+                         + (dt * e0 + khv) * (b1f + b2f))
+                if american:
+                    rhs1c = rhs1c + lam_c
+                d_ref[:] = rhs1c
                 tri_solve()
                 z1c = d_ref[:]
                 e_ref[:] = jnp.swapaxes(z1c, 0, 1)
@@ -862,7 +928,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # positive lobes is exact; lam_c stays 0 and the
                 # compensation resets wherever either bound binds
                 t_inc = z2 + comp
-                q, err = two_sum(u, t_inc)
+                q, err = fast_two_sum(u, t_inc)
                 pin = u0 == 1.0
                 qm = jnp.maximum(q, u0)
                 u_new = jnp.where(pin, u0, jnp.minimum(qm, 1.0))
@@ -874,21 +940,22 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 lam_arg = None
                 lam_new = lam_c
             elif american:
-                t_inc = (z2 - dt * lam_c) + comp
-                q, err = two_sum(u, t_inc)       # q + err = u_bar - dt*lam
+                t_inc = (z2 - lam_c) + comp
+                q, err = fast_two_sum(u, t_inc)  # q + err = u_bar - dt*lam
                 u_new = jnp.maximum(q, u0)
                 comp_new = jnp.where(q > u0, err, jnp.zeros_like(err))
-                # lam_c + (u0 - u_bar)/dt with u_bar = q + err + dt*lam_c
-                # is ALGEBRAICALLY (u0 - q - err)/dt — and (u0 - q) is a
-                # cancellation of two like-scale values (exact by
-                # Sterbenz where the constraint is near-active, i.e.
-                # exactly where lam matters)
-                lam_arg = ((u0 - q) - err) / dt
+                # dt*(lam_c/dt + (u0 - u_bar)/dt) with
+                # u_bar = q + err + lam_c is ALGEBRAICALLY
+                # (u0 - q) - err — and (u0 - q) is a cancellation of two
+                # like-scale values (exact by Sterbenz where the
+                # constraint is near-active, i.e. exactly where lam
+                # matters). lam_arg is the dt-scaled multiplier dt*lam.
+                lam_arg = (u0 - q) - err
                 lam_new = (jnp.maximum(0.0, lam_arg)
                            * smax_mask[:, :, None])
             else:
                 t_inc = z2 + comp
-                q, err = two_sum(u, t_inc)
+                q, err = fast_two_sum(u, t_inc)
                 u_new, comp_new, lam_new = q, err, lam_c
 
             # ---- tangent phase: for each direction k, push the tangent
@@ -927,7 +994,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 # parameter directions): dz1 = T1^-1 (dR1 + td * dA1 z1)
                 trhs = dt * (a0t + mt_exp(u) + a1mul(du) + a2t)
                 if american:
-                    trhs = trhs + dt * dlams[k]
+                    trhs = trhs + dlams[k]   # dlam carried dt-scaled
                 d_ref[:] = trhs + td * mt_exp(z1p)
                 tri_solve()
                 # tangent penta: T2 z2 = z1 + kb2b*b2 gives
@@ -1005,10 +1072,10 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                     # match XLA's maximum-JVP exactly (0.5 weight on
                     # ties), branching on the SAME compensated primal
                     # values (q, lam_arg) the state update used
-                    da = dubar - dt * dlams[k]
+                    da = dubar - dlams[k]
                     du_new = jnp.where(
                         q > u0, da, jnp.where(q < u0, 0.0, 0.5 * da))
-                    darg = dlams[k] - dubar / dt
+                    darg = dlams[k] - dubar   # tangent of dt-scaled lam_arg
                     dlam_new = jnp.where(
                         lam_arg > 0.0, darg,
                         jnp.where(lam_arg < 0.0, 0.0, 0.5 * darg)
@@ -1078,10 +1145,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
 
         carry = [u_ref[:]]
         if american:
-            carry.append(lam_ref[:])
+            # dt-scaled multiplier carry (see the rhs1 comment in step)
+            carry.append(dt * lam_ref[:])
         carry.append(jnp.zeros_like(u_ref[:]))   # compensation field
         carry += [r[:] for r in du_refs]
-        carry += [r[:] for r in dlam_refs]
+        carry += [dt * r[:] for r in dlam_refs]
         carry = tuple(carry)
 
         if div_plan is None:
@@ -1108,13 +1176,34 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 for _ in range(k_events):
                     # the re-map is linear and parameter-independent, so
                     # it applies identically to u, the compensation and
-                    # every tangent (comp must ride the remap — holding
-                    # it at the OLD s-locations would misattribute an
-                    # eps*|u|-scale field); the u remap's own captured
-                    # rounding e2 joins the remapped compensation
+                    # every tangent. The compensation is FOLDED into u
+                    # (2Sum: u_f + res == u + comp exactly) before the
+                    # remap rather than remapped in its own O(ns^2)
+                    # contraction — the round-4 second contraction per
+                    # event cost ~10% of the batch500 headline. The
+                    # fold's sub-ulp residue `res` is dropped (its remap
+                    # would cost a full contraction to move an
+                    # eps*|u|-scale field a few columns): at most one
+                    # uncompensated rounding per event, measured well
+                    # inside every selftest arm's budget. The u remap's
+                    # own captured rounding e2 restarts the compensation.
                     u_c, lam_c, comp_c, dus, dlams = unpack(carry)
-                    u_c, e2 = remap(u_c, e_idx)
-                    comp_c = remap(comp_c, e_idx)[0] + e2
+                    if barrier_pos or put:
+                        # barrier and put kernels keep the full comp
+                        # remap: the knock discontinuity (and the put's
+                        # deep-ITM K-scale plateau, whose remap copies
+                        # column 0) puts eps*|u|-scale compensation
+                        # right where the remap moves mass — folding it
+                        # into u costs 3x the arm RMSE there (measured:
+                        # up-out amer+div 4.9e-5 -> 1.4e-4 over the
+                        # 1e-4 budget; put amer+div 1.2e-5 -> 2.8e-5
+                        # against a 3.5e-5 budget)
+                        u_c, e2 = remap(u_c, e_idx)
+                        comp_c = remap(comp_c, e_idx)[0] + e2
+                    else:
+                        u_f, _res = two_sum(u_c, comp_c)
+                        u_c, e2 = remap(u_f, e_idx)
+                        comp_c = e2
                     dus = [remap(d, e_idx)[0] for d in dus]
                     carry = tuple(([u_c, lam_c] if american else [u_c])
                                   + [comp_c] + list(dus) + list(dlams))
@@ -1126,11 +1215,11 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
         # rounding the output dtype cannot avoid)
         uo_ref[:] = u_c + comp_c
         if american:
-            lamo_ref[:] = lam_c
+            lamo_ref[:] = lam_c / dt   # un-scale the dt*lam carry
         for k in range(K):
             duo_refs[k][:] = dus[k]
             if american:
-                dlamo_refs[k][:] = dlams[k]
+                dlamo_refs[k][:] = dlams[k] / dt
 
     return kernel
 

@@ -100,8 +100,9 @@ def test_vmem_capacity_model_boundaries():
     n_fields = fused_do._FIELDS_RESIDENT
 
     # v5e: production grid fits at wide tiles; exact flip when the
-    # budget crosses n_fields * field(tile)
-    for tile in (1024, 512, 256, 128):
+    # budget crosses n_fields * field(tile). The preference order caps
+    # at 256 lanes (measured optimum on v5e, see pick_tile docstring).
+    for tile in (256, 128):
         need = n_fields * fused_do._field_bytes(spec, tile, 4)
         if need <= v5e // 2:
             assert fused_do.pick_tile(spec, 2048, 4,
