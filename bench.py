@@ -681,6 +681,42 @@ def _selftest_jac_arm(tag, spec, solver, p, dtype):
     _selftest_arm(tag, rel, 0.0 * rel)
 
 
+def _iv_rmse(fitted, market, strikes, s0, r_d, mat_slices):
+    """RMSE of implied-vol differences between fitted and market prices
+    (the reference's fit-quality export, heston_calibration.cpp:443-511).
+    mat_slices: [(lo, hi, maturity)] chain segments. Inverted on the host
+    CPU backend in f64 — quality evidence, not a timed path."""
+    import jax
+    import numpy as np
+
+    from heston_tpu.models import bs
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # pragma: no cover
+        cpu = None
+    diffs = []
+    with jax.enable_x64():
+        for lo, hi, t in mat_slices:
+            def invert(prices, lo=lo, hi=hi, t=t):
+                return bs.implied_vol_chain(
+                    jnp.asarray(np.asarray(prices)[lo:hi], jnp.float64),
+                    float(s0), jnp.asarray(strikes[lo:hi], jnp.float64),
+                    float(r_d), float(t))
+            import jax.numpy as jnp
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    iv_f = np.asarray(invert(fitted))
+                    iv_m = np.asarray(invert(market))
+            else:  # pragma: no cover
+                iv_f, iv_m = np.asarray(invert(fitted)), np.asarray(
+                    invert(market))
+            diffs.append(iv_f - iv_m)
+    d = np.concatenate(diffs)
+    d = d[np.isfinite(d)]
+    return float(np.sqrt(np.mean(d ** 2))) if d.size else float("nan")
+
+
 def _lm_timing(spec, p, dtype):
     """Wall time of the fully on-chip 60-strike LM calibration with the
     fused-kernel AD Jacobian (one jitted while_loop = one dispatch;
@@ -709,7 +745,14 @@ def _lm_timing(spec, p, dtype):
     iters = int(np.asarray(info["iterations"]))
     assert np.all(np.isfinite(tv))
     dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=100)
-    emit({"lm60_ad_pallas_s": dt, "lm60_iterations": iters})
+    # converged-fit quality next to the timing (ref exports fit SSE +
+    # IV diffs, src/heston_calibration.cpp:331, 443-511): final SSE and
+    # the fitted-vs-market implied-vol RMSE at the converged params
+    emit({"lm60_ad_pallas_s": dt, "lm60_iterations": iters,
+          "lm60_final_sse": float(np.asarray(info["final_error"])),
+          "lm60_iv_rmse": _iv_rmse(
+              np.asarray(info["fitted_prices"]), np.asarray(market),
+              np.asarray(strikes), 100.0, p.r_d, [(0, 60, 1.0)])})
 
 
 def _lm_multi_timing(spec, p, dtype):
@@ -753,8 +796,13 @@ def _lm_multi_timing(spec, p, dtype):
     iters = int(np.asarray(info["iterations"]))
     assert np.all(np.isfinite(tv))
     dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=50)
+    sse = float(np.asarray(info["final_error"]))
     emit({"lm_multi200_s": dt, "lm_multi200_iterations": iters,
-          "lm_multi200_sse": float(np.asarray(info["final_error"]))})
+          "lm_multi200_sse": sse, "lm_multi200_final_sse": sse,
+          "lm_multi200_iv_rmse": _iv_rmse(
+              np.asarray(info["fitted_prices"]), market, strikes, 100.0,
+              p.r_d, [(i * per, (i + 1) * per, t)
+                      for i, t in enumerate(mats)])})
 
     # the reference's LARGEST scenario: american + dividends over the
     # same 200-point ladder (ref: src/heston_calibration.cpp:3245-3821)
@@ -944,12 +992,21 @@ def _single_option_golden_grid(p, dtype):
     solver = SolverConfig(n_steps=20, theta=0.8, maturity=1.0,
                           a2_variant="central", solver_engine="pallas")
     ks = jnp.array([100.0], dtype=dtype)
+    # reps=2000 shrinks the tunnel's fixed ~29 ms dispatch+fetch RPC to
+    # ~15 us/rep so the per-call number is dominated by the kernel, and
+    # the same-reps trivial-body floor decomposes the remainder:
+    # kernel-only ~= end-to-end - floor (both reported, nothing
+    # subtracted silently)
+    reps = 2000
     dt = _device_time_per_call(
         lambda k: douglas.price_batch(
             spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f), ks, reps=500)
+            p.v0, p.r_d, p.r_f), ks, reps=reps)
+    floor = _harness_floor(ks, reps=reps)
     dk = jax.devices()[0].device_kind
     rec = {"single_option_100x75_s": dt,
+           "single_option_floor_s": floor,
+           "single_option_kernel_s": max(dt - floor, 0.0),
            "single_option_vs_a100": 0.003 / dt}
     rec.update({k: v for k, v in roofline.report(
         "single_option", dt,
@@ -964,8 +1021,9 @@ def _single_option_golden_grid(p, dtype):
         lambda k: douglas.price_batch(
             spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
             p.v0, p.r_d, p.r_f, american=True,
-            dividends=GOLDEN_DIVIDENDS), ks, reps=500)
-    emit({"single_option_amer_div_100x75_s": dt_ad})
+            dividends=GOLDEN_DIVIDENDS), ks, reps=reps)
+    emit({"single_option_amer_div_100x75_s": dt_ad,
+          "single_option_amer_div_kernel_s": max(dt_ad - floor, 0.0)})
 
 
 if __name__ == "__main__":

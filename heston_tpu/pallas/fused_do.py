@@ -1104,7 +1104,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 return (u_new, lam_new, comp_new, *new_dus, *new_dlams)
             return (u_new, comp_new, *new_dus)
 
-        def remap(u, e_idx):
+        def remap(u, e_idx, ev_step=None):
             """u <- contract(u, R_e) over the s axis, returning
             (value, err) with err the exactly-captured rounding of the
             final u-scale add. R_e is rank-structured:
@@ -1140,7 +1140,17 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                 w_ref[:] = w_ref[:] + (rc[:, None, :]
                                        * (d_ref[c][None, :, :] - d_ref[:]))
                 return 0
-            lax.fori_loop(0, ns, contract, 0)
+            # per-TILE event skip in mixed-maturity books: when every
+            # lane of this tile matured before the event (tile max step
+            # < ev_step), every remap row is the IDENTITY (see
+            # _build_remap_fields nsteps) and each identity column's
+            # contraction term is exactly rc*(d[i]-d[i]) = 0 — so the
+            # whole O(ns^2) contraction can be skipped (w_ref stays 0,
+            # wsum is 1, output = u exactly)
+            n_hi = ns
+            if ev_step is not None and tile_n1 is not None:
+                n_hi = jnp.where(tile_n1 > ev_step, ns, 0)
+            lax.fori_loop(0, n_hi, contract, 0)
             return two_sum(wsum[:, None, :] * d_ref[:], w_ref[:])
 
         carry = [u_ref[:]]
@@ -1156,12 +1166,7 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             # per-lane books: the bound is ALREADY an SMEM scalar, so
             # min() with the tile max keeps the while-loop lowering (and
             # with it bitwise equality to the per-group launches) while
-            # letting short-maturity tiles exit early. Dividend segments
-            # below deliberately KEEP their static bounds: turning them
-            # dynamic would switch lax.fori_loop's scan lowering to
-            # while_loop, whose different fusion/FMA contraction shifts
-            # results by an ulp vs the per-group path (measured) — there
-            # the frozen lanes' steps run and are discarded instead.
+            # letting short-maturity tiles exit early.
             hi = n1 if tile_n1 is None else jnp.minimum(n1, tile_n1)
             carry = lax.fori_loop(n0, hi, step, carry)
         else:
@@ -1170,9 +1175,34 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
             for (seg_a, seg_b, k_events) in div_plan:
                 if seg_b > seg_a:
                     if w_dirty:
-                        factorize()
+                        if tile_n1 is None:
+                            factorize()
+                        else:
+                            # skip the re-factorization sweep for tiles
+                            # whose segment loop below is empty (their
+                            # lanes all matured — w/itmp are never read
+                            # again); pl.when is legal here because
+                            # factorize only writes refs
+                            @pl.when(tile_n1 > seg_a)
+                            def _refac():
+                                factorize()
                         w_dirty = False
-                    carry = lax.fori_loop(seg_a, seg_b, step, carry)
+                    # per-TILE early exit for mixed-maturity dividend
+                    # books too: steps past the tile's own max lane
+                    # count would freeze every lane (see `act`), so
+                    # clamping each segment's bound is arithmetically
+                    # identical and a maturity-sorted book's short
+                    # tiles skip most of the ladder (round-4's mixed
+                    # 5000-option american+dividend launch ran every
+                    # tile to the full 20 steps — half its 7% VPU
+                    # utilization was frozen-lane work). The dynamic
+                    # bound switches the fori lowering scan->while,
+                    # which shifts real-chip results by ~1 ulp vs the
+                    # per-group launches (fusion/FMA contraction);
+                    # interpret-mode equality is unaffected.
+                    hi_seg = (seg_b if tile_n1 is None
+                              else jnp.minimum(seg_b, tile_n1))
+                    carry = lax.fori_loop(seg_a, hi_seg, step, carry)
                 for _ in range(k_events):
                     # the re-map is linear and parameter-independent, so
                     # it applies identically to u, the compensation and
@@ -1198,13 +1228,13 @@ def _make_kernel(m1: int, m2: int, theta: float, delta_t: float,
                         # up-out amer+div 4.9e-5 -> 1.4e-4 over the
                         # 1e-4 budget; put amer+div 1.2e-5 -> 2.8e-5
                         # against a 3.5e-5 budget)
-                        u_c, e2 = remap(u_c, e_idx)
-                        comp_c = remap(comp_c, e_idx)[0] + e2
+                        u_c, e2 = remap(u_c, e_idx, seg_b)
+                        comp_c = remap(comp_c, e_idx, seg_b)[0] + e2
                     else:
                         u_f, _res = two_sum(u_c, comp_c)
-                        u_c, e2 = remap(u_f, e_idx)
+                        u_c, e2 = remap(u_f, e_idx, seg_b)
                         comp_c = e2
-                    dus = [remap(d, e_idx)[0] for d in dus]
+                    dus = [remap(d, e_idx, seg_b)[0] for d in dus]
                     carry = tuple(([u_c, lam_c] if american else [u_c])
                                   + [comp_c] + list(dus) + list(dlams))
                     e_idx += 1
