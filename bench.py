@@ -54,81 +54,144 @@ def main():
 # --------------------------------------------------------------------------
 
 def supervisor_main():
+    """Spawn/monitor the measuring child. Beyond the round-4 probe
+    window + global deadline, round 5 adds STALL RECOVERY: this
+    machine's axon backend can wedge on ONE specific executable (hang
+    inside a C call, while trivial jits still work — DESIGN.md 5.6);
+    without recovery the first wedged selftest arm burns the whole
+    window (observed live: a 420 s run that died inside arm `euro`
+    with 17 stages unmeasured). When no metric line arrives for
+    HESTON_BENCH_STALL_S (default 150 s) the supervisor kills the
+    child, adds the in-flight stage/arm to a skip list, and respawns —
+    one wedged executable now costs one skipped arm, not the window."""
     import signal
     import subprocess
     import threading
 
     deadline_s = float(os.environ.get("HESTON_BENCH_DEADLINE_S", "420"))
     probe_s = float(os.environ.get("HESTON_BENCH_PROBE_S", "60"))
+    stall_s = float(os.environ.get("HESTON_BENCH_STALL_S", "150"))
+    max_respawns = int(os.environ.get("HESTON_BENCH_RESPAWNS", "3"))
     t0 = time.time()
-    env = dict(os.environ, HESTON_BENCH_CHILD="1")
-    try:
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, start_new_session=True)
-    except Exception as exc:  # pragma: no cover - spawn failure
-        print(json.dumps(_fallback_aggregate(
-            {}, f"could not spawn child: {exc}")), flush=True)
-        return 0
 
     acc = {}
-    state = {"first_metric": False}
-    drained = threading.Event()
-
-    def reader():
-        try:
-            for raw in proc.stdout:
-                line = raw.rstrip("\n")
-                if line.startswith(METRIC_PREFIX):
-                    try:
-                        d = json.loads(line[len(METRIC_PREFIX):])
-                    except ValueError:
-                        continue
-                    state["first_metric"] = True
-                    acc.update(d)
-                    print(json.dumps(d), flush=True)
-                elif line:
-                    # child chatter / warnings: relay as comments so the
-                    # driver's tail parser never mistakes them for data
-                    print("# " + line, flush=True)
-        finally:
-            drained.set()
-
-    threading.Thread(target=reader, daemon=True).start()
-
+    skips = []          # "arm:euro" / "stage:lm_multi" tokens
     outage = None
-    while True:
-        if proc.poll() is not None:
-            drained.wait(timeout=15)
-            break
-        now = time.time()
-        if not state["first_metric"] and now - t0 > probe_s:
-            outage = (f"no sign of life within probe window {probe_s:.0f}s"
-                      " — backend init hang/outage")
-            break
-        if now - t0 > deadline_s:
-            outage = (f"global deadline {deadline_s:.0f}s expired;"
-                      " partial results flushed")
-            break
-        time.sleep(0.25)
+    notes = []
+    attempt = 0
 
-    if outage is not None:
+    while True:
+        env = dict(os.environ, HESTON_BENCH_CHILD="1",
+                   HESTON_BENCH_SKIP=",".join(skips))
         try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except (ProcessLookupError, PermissionError, OSError):
-            pass
-        try:
-            proc.wait(timeout=10)
-        except Exception:
-            pass
-        drained.wait(timeout=5)
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, start_new_session=True)
+        except Exception as exc:  # pragma: no cover - spawn failure
+            print(json.dumps(_fallback_aggregate(
+                {}, f"could not spawn child: {exc}")), flush=True)
+            return 0
+
+        spawn_t = time.time()
+        state = {"first_metric": False, "last_line": time.time(),
+                 "marker": None, "data_since_marker": True}
+        drained = threading.Event()
+
+        def reader(proc=proc, state=state, drained=drained):
+            try:
+                for raw in proc.stdout:
+                    line = raw.rstrip("\n")
+                    state["last_line"] = time.time()
+                    if line.startswith(METRIC_PREFIX):
+                        try:
+                            d = json.loads(line[len(METRIC_PREFIX):])
+                        except ValueError:
+                            continue
+                        state["first_metric"] = True
+                        if "arm" in d:
+                            state["marker"] = ("arm", d["arm"])
+                            state["data_since_marker"] = False
+                        elif "stage" in d:
+                            state["marker"] = ("stage", d["stage"])
+                            state["data_since_marker"] = False
+                        else:
+                            state["data_since_marker"] = True
+                        acc.update(d)
+                        print(json.dumps(d), flush=True)
+                    elif line:
+                        # child chatter / warnings: relay as comments so
+                        # the driver's tail parser never mistakes them
+                        # for data
+                        print("# " + line, flush=True)
+            finally:
+                drained.set()
+
+        threading.Thread(target=reader, daemon=True).start()
+
+        stalled = None
+        while True:
+            if proc.poll() is not None:
+                drained.wait(timeout=15)
+                break
+            now = time.time()
+            if not state["first_metric"] and now - spawn_t > probe_s:
+                outage = (f"no sign of life within probe window "
+                          f"{probe_s:.0f}s — backend init hang/outage")
+                break
+            if now - t0 > deadline_s:
+                outage = (f"global deadline {deadline_s:.0f}s expired;"
+                          " partial results flushed")
+                break
+            if (state["first_metric"]
+                    and now - state["last_line"] > stall_s):
+                marker = state["marker"]
+                if (marker and marker[0] == "arm"
+                        and not state["data_since_marker"]):
+                    stalled = f"arm:{marker[1]}"
+                elif marker:
+                    stalled = f"stage:{marker[1]}"
+                else:   # pragma: no cover - stall before any marker
+                    stalled = "stage:selftest_core"
+                break
+            time.sleep(0.25)
+
+        if outage is not None or stalled is not None:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                pass
+            try:
+                proc.wait(timeout=10)
+            except Exception:
+                pass
+            drained.wait(timeout=5)
+
+        if stalled is None:
+            rc = proc.returncode
+            break
+        # wedged-executable recovery: skip the in-flight unit, respawn
+        notes.append(f"{stalled} wedged (no output {stall_s:.0f}s), "
+                     "skipped on respawn")
+        skips.append(stalled)
+        attempt += 1
+        rc = proc.returncode
+        # a respawn is only worth it if a child can at least re-init the
+        # backend inside the remaining window (probe_s is that estimate)
+        if (attempt > max_respawns
+                or time.time() - t0 + probe_s > deadline_s):
+            outage = outage or (
+                f"gave up after {attempt} stall respawns")
+            break
+        print(json.dumps({"respawn": attempt, "skipping": skips}),
+              flush=True)
 
     final = dict(acc)
+    if notes:
+        final["wedge_notes"] = notes
     if outage:
         final["outage"] = outage
-    rc = proc.returncode
-    if rc not in (0, None) and not outage:
+    if rc not in (0, None) and not outage and not notes:
         final["child_rc"] = rc
     if final.get("value") is None:
         final = _fallback_aggregate(final, outage or f"child rc={rc}"
@@ -181,8 +244,9 @@ def _journal_update(d):
     if os.environ.get("HESTON_BENCH_FAKE_HANG"):
         return  # protocol tests must not pollute the journal
     keep = {k: v for k, v in d.items()
-            if not (k in ("stage", "arm", "t_s",
+            if not (k in ("stage", "arm", "t_s", "journal_fill",
                           "metric", "value", "unit", "vs_baseline")
+                    or k.startswith("selftest_budget_exceeded")
                     or k.endswith("_skipped") or k.endswith("_error"))}
     # The headline record carries its name in `metric` and its time in
     # `value`; persist it under the metric-name key so later runs (and the
@@ -236,6 +300,10 @@ class StageBudget:
         self.margin = margin_s
 
     def run(self, name, est_s, fn):
+        if f"stage:{name}" in _SKIP_TOKENS:
+            emit({f"{name}_skipped": "wedged executable "
+                                     "(supervisor stall recovery)"})
+            return None
         if time.time() - self.t0 + est_s + self.margin > self.deadline:
             emit({f"{name}_skipped": "deadline"})
             return None
@@ -262,6 +330,17 @@ def child_main():
               "vs_baseline": BASELINE_SECONDS / 0.5})
         if fake == "mid":
             time.sleep(10 ** 6)
+        return 0
+    if fake == "stall":
+        # wedged-executable simulation: hang INSIDE arm `euro`; a
+        # respawn with that arm skipped completes the run
+        emit({"device_kind": "fake", "platform": "fake"})
+        emit({"stage": "selftest_core", "t_s": 0.0})
+        if _arm_start("euro"):
+            time.sleep(10 ** 6)
+        emit({"selftest_rmse_amer": 2e-6, "selftest_rmse_max": 2e-6})
+        emit({"metric": "fake_headline", "value": 0.5, "unit": "s",
+              "vs_baseline": BASELINE_SECONDS / 0.5})
         return 0
 
     budget = StageBudget()
@@ -339,15 +418,18 @@ def child_main():
             "american_dividend_batch500_m1_50_m2_25_N20_"
             "float32_pallas_tpu", {}).get("value")
         extras = [
-            ("schemes", 60, lambda: _scheme_timings(spec, p, batch, dtype),
+            ("schemes", 50, lambda: _scheme_timings(spec, p, batch, dtype),
              f"batch{batch}_cs_amer_div_s"),
-            ("lm", 40, lambda: _lm_timing(spec, p, dtype),
+            ("lm", 35, lambda: _lm_timing(spec, p, dtype),
              "lm60_ad_pallas_s"),
-            ("lm_multi", 90, lambda: _lm_multi_timing(spec, p, dtype),
+            ("lm_multi", 55, lambda: _lm_multi_timing(spec, p, dtype),
              "lm_multi200_s"),
-            ("book_risk", 60, lambda: _book_risk(spec, p, batch, dtype),
+            ("lm_multi_ad", 50,
+             lambda: _lm_multi_ad_timing(spec, p, dtype),
+             "lm_multi200_amer_div_s"),
+            ("book_risk", 50, lambda: _book_risk(spec, p, batch, dtype),
              f"book_risk{batch}_s"),
-            ("mixed5000", 80, lambda: _throughput_mixed(spec, p, dtype),
+            ("mixed5000", 60, lambda: _throughput_mixed(spec, p, dtype),
              "mixed5000_euro_s"),
         ]
         if cpu_ref:
@@ -473,6 +555,23 @@ SELFTEST_BUDGET = {
 _SELFTEST_SEEN = {}
 
 
+# units the supervisor told us to skip after a wedged-executable stall
+# ("arm:euro" / "stage:lm_multi" tokens — see supervisor_main)
+_SKIP_TOKENS = set(
+    t for t in os.environ.get("HESTON_BENCH_SKIP", "").split(",") if t)
+
+
+def _arm_start(tag):
+    """Emit the arm marker, or the skip record if the supervisor flagged
+    this arm as wedged on a previous attempt. Returns True to proceed."""
+    if f"arm:{tag}" in _SKIP_TOKENS:
+        emit({f"selftest_skipped_{tag}": "wedged executable "
+                                         "(supervisor stall recovery)"})
+        return False
+    emit({"arm": tag})
+    return True
+
+
 def _selftest_arm(tag, got, want):
     import numpy as np
 
@@ -518,13 +617,19 @@ def _emit_selftest_summary():
           "selftest_arms_run": len(_SELFTEST_SEEN)})
 
 
-def _run_selftest_arms(spec, solver, p, dtype, arms):
+def _run_selftest_arms(spec, solver, p, dtype, arms, group):
     """On-chip cross-check of the fused kernel against the XLA path run in
     FLOAT64 (the true error of the f32 kernel, not the difference of two
     f32 roundings). Interpret-mode CPU tests have missed a real-TPU crash
     mode here once (HBM-DMA variant, round 1) — this runs the actual
-    Mosaic kernel on the actual chip; each arm's RMSE is streamed the
-    moment it is measured."""
+    Mosaic kernel on the actual chip.
+
+    ROUND-5 WINDOW FIX: every arm of the group runs inside ONE jitted
+    call — one executable, one ~10-15 s tunnel load, instead of one per
+    arm (per-arm loads alone were ~200 s of the 420 s window). `group`
+    is the marker/skip unit the supervisor's stall recovery acts on;
+    per-arm RMSEs are still computed and streamed individually. The f64
+    references stay per-arm jits on the host CPU backend (no tunnel)."""
     import dataclasses
 
     import jax
@@ -535,24 +640,46 @@ def _run_selftest_arms(spec, solver, p, dtype, arms):
     from heston_tpu.pallas import fused_do
 
     ks = np.linspace(75.0, 125.0, 64)
+    cfgs = []
     for tag, kw in arms:
-        emit({"arm": tag})
         kw = dict(kw)
         rep = {k: kw.pop(k) for k in ("scheme", "rannacher_steps")
                if k in kw}
         sol = dataclasses.replace(solver, **rep) if rep else solver
+        cfgs.append((tag, kw, sol))
+
+    grouped = f"arm:{group}" not in _SKIP_TOKENS
+    if grouped:
+        emit({"arm": group})
+
+        def all_arms(k):
+            return tuple(fused_do.fused_price_batch(
+                spec, sol, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f, **kw) for _, kw, sol in cfgs)
+
+        fused_all = jax.jit(all_arms)(jnp.asarray(ks, dtype))
+    else:
+        # the GROUP executable wedged on a previous attempt: fall back
+        # to one executable per arm (different HLO hashes — an
+        # individually wedged arm then stalls/skips on its own)
+        fused_all = [None] * len(cfgs)
+
+    for (tag, kw, sol), fused in zip(cfgs, fused_all):
+        if fused is None:
+            if not _arm_start(tag):
+                continue
+            fused = jax.jit(lambda k, kw=kw, sol=sol:
+                            fused_do.fused_price_batch(
+                spec, sol, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f, **kw))(jnp.asarray(ks, dtype))
         xsol = dataclasses.replace(sol, solver_engine="scan")
-        fused = np.array(jax.jit(lambda k, kw=kw, sol=sol:
-                                 fused_do.fused_price_batch(
-            spec, sol, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f, **kw))(jnp.asarray(ks, dtype)))
         with jax.enable_x64():
             want = np.array(_cpu_f64_jit(
                 lambda k, kw=kw, xsol=xsol: douglas.price_batch(
                     spec, xsol, k, 100.0, p.kappa, p.eta, p.sigma,
                     p.rho, p.v0, p.r_d, p.r_f, **kw)
             )(jnp.asarray(ks, jnp.float64)))
-        _selftest_arm(tag, fused, want)
+        _selftest_arm(tag, np.array(fused), want)
 
 
 def _selftest_core(spec, solver, p, dtype):
@@ -563,7 +690,7 @@ def _selftest_core(spec, solver, p, dtype):
         ("amer", dict(american=True)),
         ("div", dict(dividends=GOLDEN_DIVIDENDS)),
         ("amer_div", dict(american=True, dividends=GOLDEN_DIVIDENDS)),
-    ])
+    ], group="core")
     # the forward-mode Mosaic kernel — the path the on-chip LM rests on
     _selftest_jac_arm("jac", spec, solver, p, dtype)
     _emit_selftest_summary()
@@ -599,50 +726,54 @@ def _selftest_ext(spec, solver, p, dtype):
         ("digital", dict(option_type="digital_call")),
         ("digital_amer", dict(american=True,
                               option_type="digital_call")),
-    ])
+    ], group="ext")
 
     # latency-kernel damped window (fused_single two-phase run): route
     # through price_batch's batch==1 dispatch so the real entry path is
     # what executes on-chip
+    # PCR latency-kernel arms (damped window + in-kernel dividend
+    # re-maps/American floor), one jitted call = one executable load
     k1 = np.array([100.0])
-    sol1 = dataclasses.replace(solver, rannacher_steps=2)
-    xsol1 = dataclasses.replace(sol1, solver_engine="scan")
-    got1 = np.array(jax.jit(lambda k: douglas.price_batch(
-        spec, sol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-        p.v0, p.r_d, p.r_f))(jnp.asarray(k1, dtype)))
-    with jax.enable_x64():
-        want1 = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
-            spec, xsol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f))(jnp.asarray(k1, jnp.float64)))
-    _selftest_arm("single_rann", got1, want1)
-
-    # latency-kernel in-kernel dividend re-maps + American floor
-    kwd = dict(american=True, dividends=GOLDEN_DIVIDENDS)
-    got_d = np.array(jax.jit(lambda k: douglas.price_batch(
-        spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-        p.v0, p.r_d, p.r_f, **kwd))(jnp.asarray(k1, dtype)))
-    with jax.enable_x64():
-        want_d = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
-            spec, dataclasses.replace(solver, solver_engine="scan"),
-            k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d,
-            p.r_f, **kwd))(jnp.asarray(k1, jnp.float64)))
-    _selftest_arm("single_amer_div", got_d, want_d)
+    if _arm_start("singles"):
+        sol1 = dataclasses.replace(solver, rannacher_steps=2)
+        xsol1 = dataclasses.replace(sol1, solver_engine="scan")
+        kwd = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+        got1, got_d = jax.jit(lambda k: (
+            douglas.price_batch(
+                spec, sol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f),
+            douglas.price_batch(
+                spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f, **kwd)))(jnp.asarray(k1, dtype))
+        with jax.enable_x64():
+            want1 = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
+                spec, xsol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+                p.v0, p.r_d, p.r_f))(jnp.asarray(k1, jnp.float64)))
+            want_d = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
+                spec, dataclasses.replace(solver, solver_engine="scan"),
+                k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d,
+                p.r_f, **kwd))(jnp.asarray(k1, jnp.float64)))
+        _selftest_arm("single_rann", np.array(got1), want1)
+        _selftest_arm("single_amer_div", np.array(got_d), want_d)
 
     # knock-out barrier kernel (static column masks): the American-floor
     # mask and the up-out dividend-remap re-knock are real-Mosaic paths
     # interpret mode cannot certify — one arm covers both
     ks = np.linspace(75.0, 125.0, 64)
-    spec_b = dataclasses.replace(spec, barrier=Barrier("up-out", 160.0))
-    kwb = dict(american=True, dividends=GOLDEN_DIVIDENDS)
-    got_b = np.array(jax.jit(lambda k: fused_do.fused_price_batch(
-        spec_b, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-        p.v0, p.r_d, p.r_f, **kwb))(jnp.asarray(ks, dtype)))
-    with jax.enable_x64():
-        want_b = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
-            spec_b, dataclasses.replace(solver, solver_engine="scan"),
-            k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d,
-            p.r_f, **kwb))(jnp.asarray(ks, jnp.float64)))
-    _selftest_arm("barrier_amer_div", got_b, want_b)
+    if _arm_start("barrier_amer_div"):
+        spec_b = dataclasses.replace(spec,
+                                     barrier=Barrier("up-out", 160.0))
+        kwb = dict(american=True, dividends=GOLDEN_DIVIDENDS)
+        got_b = np.array(jax.jit(lambda k: fused_do.fused_price_batch(
+            spec_b, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
+            p.v0, p.r_d, p.r_f, **kwb))(jnp.asarray(ks, dtype)))
+        with jax.enable_x64():
+            want_b = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
+                spec_b,
+                dataclasses.replace(solver, solver_engine="scan"),
+                k, 100.0, p.kappa, p.eta, p.sigma, p.rho, p.v0, p.r_d,
+                p.r_f, **kwb))(jnp.asarray(ks, jnp.float64)))
+        _selftest_arm("barrier_amer_div", got_b, want_b)
 
     import dataclasses as _dc
 
@@ -656,6 +787,8 @@ def _selftest_jac_arm(tag, spec, solver, p, dtype):
     f32 Jacobian vs the f64 XLA AD Jacobian, normalized per entry by
     max(1, |J64|) so the K-dollar-scale vega column doesn't mask
     kappa-scale errors (raw entry magnitudes span 4 orders)."""
+    if not _arm_start(tag):
+        return
     import dataclasses
 
     import jax
@@ -768,6 +901,38 @@ def _lm_multi_timing(spec, p, dtype):
     from heston_tpu.config import CalibrationConfig, SolverConfig
     from heston_tpu.models import bs, calibration as calib
 
+    strikes, market, group_steps, solver, cfg, mats, per = \
+        _lm_multi_ladder(spec, p, dtype)
+    init = jnp.asarray([1.2, 0.05, 0.4, -0.5, 0.05], dtype)
+
+    def run(init_vec):
+        return calib.calibrate_device(
+            spec, solver, jnp.asarray(strikes, dtype),
+            jnp.asarray(market, dtype), 100.0, init_vec, p.r_d, p.r_f,
+            cfg=cfg, group_steps=group_steps)
+
+    tv, info = jax.jit(run)(init)   # compile + warm
+    tv = np.asarray(tv)
+    iters = int(np.asarray(info["iterations"]))
+    assert np.all(np.isfinite(tv))
+    dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=30)
+    sse = float(np.asarray(info["final_error"]))
+    emit({"lm_multi200_s": dt, "lm_multi200_iterations": iters,
+          "lm_multi200_sse": sse, "lm_multi200_final_sse": sse,
+          "lm_multi200_iv_rmse": _iv_rmse(
+              np.asarray(info["fitted_prices"]), market, strikes, 100.0,
+              p.r_d, [(i * per, (i + 1) * per, t)
+                      for i, t in enumerate(mats)])})
+
+
+def _lm_multi_ladder(spec, p, dtype):
+    """Shared 10-maturity x 20-strike ladder setup."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heston_tpu.config import CalibrationConfig, SolverConfig
+    from heston_tpu.models import bs
+
     spy = 20
     mats = [0.1 * (i + 1) for i in range(10)]
     per = 20
@@ -782,33 +947,27 @@ def _lm_multi_timing(spec, p, dtype):
         for i, t in enumerate(mats))
     solver = SolverConfig(n_steps=spy, theta=0.8, maturity=1.0,
                           a2_variant="upwind", solver_engine="pallas")
-    init = jnp.asarray([1.2, 0.05, 0.4, -0.5, 0.05], dtype)
     cfg = CalibrationConfig(max_iter=15, tol=0.1, jacobian_mode="ad")
+    return strikes, market, group_steps, solver, cfg, mats, per
 
-    def run(init_vec):
-        return calib.calibrate_device(
-            spec, solver, jnp.asarray(strikes, dtype),
-            jnp.asarray(market, dtype), 100.0, init_vec, p.r_d, p.r_f,
-            cfg=cfg, group_steps=group_steps)
 
-    tv, info = jax.jit(run)(init)   # compile + warm
-    tv = np.asarray(tv)
-    iters = int(np.asarray(info["iterations"]))
-    assert np.all(np.isfinite(tv))
-    dt = _device_time_per_call(lambda iv: run(iv)[0], init, reps=50)
-    sse = float(np.asarray(info["final_error"]))
-    emit({"lm_multi200_s": dt, "lm_multi200_iterations": iters,
-          "lm_multi200_sse": sse, "lm_multi200_final_sse": sse,
-          "lm_multi200_iv_rmse": _iv_rmse(
-              np.asarray(info["fitted_prices"]), market, strikes, 100.0,
-              p.r_d, [(i * per, (i + 1) * per, t)
-                      for i, t in enumerate(mats)])})
+def _lm_multi_ad_timing(spec, p, dtype):
+    """The reference's LARGEST scenario: american + dividends over the
+    200-point ladder (ref: src/heston_calibration.cpp:3245-3821) —
+    still one fused launch per Jacobian pass (per-lane dividend events
+    ride identity remap rows past each lane's maturity). Its OWN bench
+    stage: the executable is the biggest in the suite and must not
+    hold the euro-ladder metric (or the rest of the window) hostage."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    # the reference's LARGEST scenario: american + dividends over the
-    # same 200-point ladder (ref: src/heston_calibration.cpp:3245-3821)
-    # — still one fused launch per Jacobian pass (per-lane dividend
-    # events ride identity remap rows past each lane's maturity)
     from heston_tpu.config import GOLDEN_DIVIDENDS
+    from heston_tpu.models import calibration as calib
+
+    strikes, market, group_steps, solver, cfg, _, _ = _lm_multi_ladder(
+        spec, p, dtype)
+    init = jnp.asarray([1.2, 0.05, 0.4, -0.5, 0.05], dtype)
 
     def run_ad(init_vec):
         return calib.calibrate_device(
@@ -820,7 +979,7 @@ def _lm_multi_timing(spec, p, dtype):
     tv2, info2 = jax.jit(run_ad)(init)
     assert np.all(np.isfinite(np.asarray(tv2)))
     emit({"lm_multi200_amer_div_s": _device_time_per_call(
-              lambda iv: run_ad(iv)[0], init, reps=50),
+              lambda iv: run_ad(iv)[0], init, reps=12),
           "lm_multi200_amer_div_iterations": int(
               np.asarray(info2["iterations"]))})
 
@@ -899,9 +1058,10 @@ def _scheme_timings(spec, p, batch, dtype):
                 p.v0, p.r_d, p.r_f, american=True,
                 dividends=GOLDEN_DIVIDENDS)
 
-        v = np.array(jax.jit(fn)(ks))
-        assert np.all(np.isfinite(v))
-        t = _device_time_per_call(fn, ks, reps=200)
+        # correctness of cs/mcs/hv vs f64 is certified by the selftest
+        # arms; a separate plain-jit warmup here would cost one more
+        # executable load through the tunnel per scheme
+        t = _device_time_per_call(fn, ks, reps=150)
         rec = {f"batch{batch}_{scheme}_amer_div_s": t}
         rec[f"batch{batch}_{scheme}_pct_vpu_peak"] = roofline.report(
             "x", t, roofline.batch_launch_flops(

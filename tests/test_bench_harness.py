@@ -71,6 +71,30 @@ def test_mid_run_hang_flushes_partials():
     assert final["metric"] == "fake_headline"
 
 
+def test_wedged_arm_respawn_skips_and_completes():
+    """Round-5 stall recovery: the axon backend can wedge on ONE
+    executable (observed live: arm `euro` hung a whole 420 s window).
+    The supervisor must detect the stall, respawn the child with that
+    arm skipped, and the rest of the surface must land — rc=0, headline
+    measured, a skip record and wedge note in the aggregate."""
+    env = dict(os.environ,
+               HESTON_BENCH_FAKE_HANG="stall",
+               HESTON_BENCH_PROBE_S="30",
+               HESTON_BENCH_DEADLINE_S="60",
+               HESTON_BENCH_STALL_S="2")
+    env.pop("HESTON_BENCH_CHILD", None)
+    res = subprocess.run([sys.executable, BENCH], capture_output=True,
+                         text=True, env=env, timeout=90)
+    lines = [ln for ln in res.stdout.splitlines() if ln.strip()]
+    final = json.loads(lines[-1])
+    assert res.returncode == 0
+    assert final["value"] == 0.5                  # run completed
+    assert final["selftest_rmse_amer"] == 2e-6    # post-wedge arm ran
+    assert final["selftest_skipped_euro"].startswith("wedged")
+    assert any("arm:euro" in n for n in final["wedge_notes"])
+    assert "outage" not in final
+
+
 def test_child_crash_yields_partial_aggregate():
     res, _, final = _run("crash", probe_s=30, deadline_s=60)
     assert res.returncode == 0

@@ -44,6 +44,26 @@ def test_reference_range_convergence_study(tmp_path):
     assert errs[-1] < errs[0] / 10.0, errs
 
 
+@pytest.mark.slow
+def test_reference_range_timestep_study(tmp_path):
+    """The reference ConvergenceExporter's OTHER sweep: time steps
+    refined at the fixed golden grid (ref: src/solver.cpp:50-312,
+    timestep mode). Writes the CSV artifact (checked-in copy:
+    benchmarks/convergence_steps.csv) and asserts monotone decay of the
+    time error against the sweep's own finest-N anchor (the error vs the
+    analytic golden bottoms out at the m2=75 spatial floor ~4.5e-3, so
+    the in-sweep anchor isolates the TIME order)."""
+    rows = benchmarks.run_timestep_study(
+        n_values=(10, 20, 40, 80, 160, 320),
+        csv_path=str(tmp_path / "convergence_steps.csv"))
+    p_ref = rows[-1]["price"]
+    errs = [abs(r["price"] - p_ref) for r in rows[:-1]]
+    assert all(e2 < e1 for e1, e2 in zip(errs, errs[1:])), errs
+    # first-order DO at theta=0.8: halving dt ~halves the error
+    r1 = errs[0] / errs[1]
+    assert 1.5 < r1 < 3.0, (r1, errs)
+
+
 def test_timestep_first_order_douglas():
     """Douglas with theta != 1/2 is first order in time: halving dt should
     roughly halve the time error (measured against a small-dt anchor)."""
