@@ -75,9 +75,15 @@ def supervisor_main():
     t0 = time.time()
 
     acc = {}
-    skips = []          # "arm:euro" / "stage:lm_multi" tokens
+    # wedged units persist across runs (the wedge is per-executable and
+    # durable — an entry that hung once hangs on every later load):
+    # preload the quarantine so a known-wedged unit costs this run
+    # nothing instead of another 150 s stall. Entries expire after
+    # HESTON_BENCH_QUARANTINE_TTL_S (executables get new hashes on any
+    # code change anyway, so stale tokens are harmless but retired).
+    skips = _quarantine_load()
     outage = None
-    notes = []
+    notes = [f"{tok} preloaded from quarantine" for tok in skips]
     attempt = 0
 
     while True:
@@ -174,6 +180,7 @@ def supervisor_main():
         notes.append(f"{stalled} wedged (no output {stall_s:.0f}s), "
                      "skipped on respawn")
         skips.append(stalled)
+        _quarantine_add(stalled)
         attempt += 1
         rc = proc.returncode
         # a respawn is only worth it if a child can at least re-init the
@@ -185,6 +192,11 @@ def supervisor_main():
             break
         print(json.dumps({"respawn": attempt, "skipping": skips}),
               flush=True)
+        # a SIGKILLed child's device lease lingers server-side for a
+        # few seconds; an immediate respawn sees FAILED_PRECONDITION on
+        # every execute (observed live: one respawn burned 11 stages
+        # that way). Let the lease lapse first.
+        time.sleep(min(20.0, max(0.0, deadline_s - (time.time() - t0))))
 
     final = dict(acc)
     if notes:
@@ -193,12 +205,63 @@ def supervisor_main():
         final["outage"] = outage
     if rc not in (0, None) and not outage and not notes:
         final["child_rc"] = rc
+    # journal fill from the SUPERVISOR side: a deadline/stall-killed
+    # child never reaches its own _emit_journal_fill, which round 5's
+    # first wedge-lottery run demonstrated by shipping an aggregate
+    # with no fill at all. The journal is plain JSON — no jax needed.
+    fill = dict(final.get("journal_fill") or {})
+    now = time.time()
+    for k, rec in _journal_load().items():
+        if (k not in final and k not in fill
+                and isinstance(rec, dict) and "ts" in rec):
+            fill[k] = {"value": rec["value"],
+                       "age_s": round(now - rec["ts"])}
+    if fill:
+        final["journal_fill"] = fill
     if final.get("value") is None:
         final = _fallback_aggregate(final, outage or f"child rc={rc}"
                                     " before headline")
     final["elapsed_s"] = round(time.time() - t0, 3)
     print(json.dumps(final), flush=True)
     return 0
+
+
+_QUARANTINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "bench_quarantine.json")
+
+
+def _quarantine_load():
+    """Un-expired wedged-unit tokens from previous runs (see
+    supervisor_main). Pure JSON — used on the no-jax supervisor path."""
+    if os.environ.get("HESTON_BENCH_FAKE_HANG"):
+        return []   # protocol tests must not see real machine state
+    ttl = float(os.environ.get("HESTON_BENCH_QUARANTINE_TTL_S", "86400"))
+    try:
+        with open(_QUARANTINE_PATH) as f:
+            q = json.load(f)
+    except (OSError, ValueError):
+        return []
+    now = time.time()
+    return [tok for tok, ts in q.items()
+            if isinstance(ts, (int, float)) and now - ts < ttl]
+
+
+def _quarantine_add(token):
+    if os.environ.get("HESTON_BENCH_FAKE_HANG"):
+        return      # protocol tests must not pollute machine state
+    try:
+        with open(_QUARANTINE_PATH) as f:
+            q = json.load(f)
+    except (OSError, ValueError):
+        q = {}
+    q[token] = time.time()
+    try:
+        os.makedirs(os.path.dirname(_QUARANTINE_PATH), exist_ok=True)
+        with open(_QUARANTINE_PATH, "w") as f:
+            json.dump(q, f)
+    except OSError:  # pragma: no cover
+        pass
 
 
 def _fallback_aggregate(partial, reason):
@@ -311,7 +374,17 @@ class StageBudget:
         try:
             return fn()
         except Exception as exc:  # soft-fail: one stage must not erase
-            emit({f"{name}_error": f"{type(exc).__name__}: {exc}"[:300]})
+            msg = f"{type(exc).__name__}: {exc}"
+            if "FAILED_PRECONDITION" in msg:
+                # a just-killed sibling's device lease can linger a few
+                # seconds (respawn path); settle once and retry the
+                # stage before recording the failure
+                time.sleep(10.0)
+                try:
+                    return fn()
+                except Exception as exc2:
+                    msg = f"{type(exc2).__name__}: {exc2}"
+            emit({f"{name}_error": msg[:300]})
             return None
 
 
