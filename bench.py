@@ -82,13 +82,15 @@ def supervisor_main():
     # HESTON_BENCH_QUARANTINE_TTL_S (executables get new hashes on any
     # code change anyway, so stale tokens are harmless but retired).
     skips = _quarantine_load()
+    completed = set()    # units measured by an earlier child this run
     outage = None
     notes = [f"{tok} preloaded from quarantine" for tok in skips]
     attempt = 0
 
     while True:
         env = dict(os.environ, HESTON_BENCH_CHILD="1",
-                   HESTON_BENCH_SKIP=",".join(skips))
+                   HESTON_BENCH_SKIP=",".join(
+                       list(skips) + sorted(completed)))
         try:
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)],
@@ -115,15 +117,28 @@ def supervisor_main():
                         except ValueError:
                             continue
                         state["first_metric"] = True
-                        if "arm" in d:
-                            state["marker"] = ("arm", d["arm"])
-                            state["data_since_marker"] = False
-                        elif "stage" in d:
-                            state["marker"] = ("stage", d["stage"])
+                        if "arm" in d or "stage" in d:
+                            # the PREVIOUS unit finished if it produced
+                            # data: a respawned child skips it instead
+                            # of re-measuring (a respawn re-ran 260 s
+                            # of already-measured arms before this)
+                            prev = state["marker"]
+                            if prev and state["data_since_marker"]:
+                                completed.add(f"{prev[0]}:{prev[1]}")
+                            kind = "arm" if "arm" in d else "stage"
+                            state["marker"] = (kind, d[kind])
                             state["data_since_marker"] = False
                         else:
                             state["data_since_marker"] = True
-                        acc.update(d)
+                        for k, v in d.items():
+                            # deep-merge dict-valued metrics (the
+                            # selftest summary of a respawned child
+                            # covers only its own arms)
+                            if (isinstance(v, dict)
+                                    and isinstance(acc.get(k), dict)):
+                                acc[k].update(v)
+                            else:
+                                acc[k] = v
                         print(json.dumps(d), flush=True)
                     elif line:
                         # child chatter / warnings: relay as comments so
@@ -199,6 +214,10 @@ def supervisor_main():
         time.sleep(min(20.0, max(0.0, deadline_s - (time.time() - t0))))
 
     final = dict(acc)
+    if isinstance(final.get("selftest_rmse"), dict):
+        # respawned children emit partial summaries; the merged dict is
+        # the authoritative count
+        final["selftest_arms_run"] = len(final["selftest_rmse"])
     if notes:
         final["wedge_notes"] = notes
     if outage:
@@ -628,6 +647,26 @@ SELFTEST_BUDGET = {
 _SELFTEST_SEEN = {}
 
 
+# Fingerprint revision: embedded into each selftest/LM executable's
+# graph as an exact no-op (x + float(REV)*0.0). Bump it when a cached
+# executable wedges permanently (the axon cache-hit hang, DESIGN.md
+# 5.6): the new constant gives every arm a fresh module fingerprint, so
+# the wedged server-side entries are never touched again. rev history:
+# 1 = implicit (round 4/5 originals; euro-arm + lm_multi_ad entries
+# wedged 2026-08-20), 2 = first rotation.
+_FP_REV = 2
+
+
+def _fp(x):
+    """Exact fingerprint no-op: x + float(_FP_REV) * 0.0 == x, but the
+    revision constant lands in the jaxpr/HLO, changing the compile-cache
+    key without changing a single bit of any result."""
+    import jax.numpy as jnp
+
+    return x + jnp.asarray(float(_FP_REV), x.dtype) * jnp.asarray(
+        0.0, x.dtype)
+
+
 # units the supervisor told us to skip after a wedged-executable stall
 # ("arm:euro" / "stage:lm_multi" tokens — see supervisor_main)
 _SKIP_TOKENS = set(
@@ -682,6 +721,8 @@ def _cpu_f64_jit(fn):
 
 
 def _emit_selftest_summary():
+    if not _SELFTEST_SEEN:
+        return   # every arm skipped (respawn after full coverage)
     emit({"selftest_rmse": dict(_SELFTEST_SEEN),
           "selftest_rmse_max": max(_SELFTEST_SEEN.values()),
           "selftest_arms_over_budget": sorted(
@@ -726,6 +767,7 @@ def _run_selftest_arms(spec, solver, p, dtype, arms, group):
         emit({"arm": group})
 
         def all_arms(k):
+            k = _fp(k)
             return tuple(fused_do.fused_price_batch(
                 spec, sol, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
                 p.v0, p.r_d, p.r_f, **kw) for _, kw, sol in cfgs)
@@ -743,8 +785,9 @@ def _run_selftest_arms(spec, solver, p, dtype, arms, group):
                 continue
             fused = jax.jit(lambda k, kw=kw, sol=sol:
                             fused_do.fused_price_batch(
-                spec, sol, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-                p.v0, p.r_d, p.r_f, **kw))(jnp.asarray(ks, dtype))
+                spec, sol, _fp(k), 100.0, p.kappa, p.eta, p.sigma,
+                p.rho, p.v0, p.r_d, p.r_f, **kw))(
+                    jnp.asarray(ks, dtype))
         xsol = dataclasses.replace(sol, solver_engine="scan")
         with jax.enable_x64():
             want = np.array(_cpu_f64_jit(
@@ -813,11 +856,12 @@ def _selftest_ext(spec, solver, p, dtype):
         kwd = dict(american=True, dividends=GOLDEN_DIVIDENDS)
         got1, got_d = jax.jit(lambda k: (
             douglas.price_batch(
-                spec, sol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-                p.v0, p.r_d, p.r_f),
+                spec, sol1, _fp(k), 100.0, p.kappa, p.eta, p.sigma,
+                p.rho, p.v0, p.r_d, p.r_f),
             douglas.price_batch(
-                spec, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-                p.v0, p.r_d, p.r_f, **kwd)))(jnp.asarray(k1, dtype))
+                spec, solver, _fp(k), 100.0, p.kappa, p.eta, p.sigma,
+                p.rho, p.v0, p.r_d, p.r_f, **kwd)))(
+                    jnp.asarray(k1, dtype))
         with jax.enable_x64():
             want1 = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
                 spec, xsol1, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
@@ -838,8 +882,8 @@ def _selftest_ext(spec, solver, p, dtype):
                                      barrier=Barrier("up-out", 160.0))
         kwb = dict(american=True, dividends=GOLDEN_DIVIDENDS)
         got_b = np.array(jax.jit(lambda k: fused_do.fused_price_batch(
-            spec_b, solver, k, 100.0, p.kappa, p.eta, p.sigma, p.rho,
-            p.v0, p.r_d, p.r_f, **kwb))(jnp.asarray(ks, dtype)))
+            spec_b, solver, _fp(k), 100.0, p.kappa, p.eta, p.sigma,
+            p.rho, p.v0, p.r_d, p.r_f, **kwb))(jnp.asarray(ks, dtype)))
         with jax.enable_x64():
             want_b = np.array(_cpu_f64_jit(lambda k: douglas.price_batch(
                 spec_b,
@@ -1045,8 +1089,8 @@ def _lm_multi_ad_timing(spec, p, dtype):
     def run_ad(init_vec):
         return calib.calibrate_device(
             spec, solver, jnp.asarray(strikes, dtype),
-            jnp.asarray(market, dtype), 100.0, init_vec, p.r_d, p.r_f,
-            cfg=cfg, group_steps=group_steps, american=True,
+            jnp.asarray(market, dtype), 100.0, _fp(init_vec), p.r_d,
+            p.r_f, cfg=cfg, group_steps=group_steps, american=True,
             dividends=GOLDEN_DIVIDENDS)
 
     tv2, info2 = jax.jit(run_ad)(init)
