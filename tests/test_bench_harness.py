@@ -102,3 +102,46 @@ def test_child_crash_yields_partial_aggregate():
     assert final["selftest_rmse_euro"] == 1e-6
     assert final["value"] is None
     assert "error" in final
+
+
+def test_quarantine_roundtrip_and_ttl(tmp_path, monkeypatch):
+    """Wedged-unit quarantine: persisted tokens come back until their
+    TTL lapses; protocol-test runs (FAKE_HANG) see no machine state."""
+    import time as _time
+
+    import bench
+
+    monkeypatch.setattr(bench, "_QUARANTINE_PATH",
+                        str(tmp_path / "q.json"))
+    monkeypatch.delenv("HESTON_BENCH_FAKE_HANG", raising=False)
+    assert bench._quarantine_load() == []
+    bench._quarantine_add("arm:euro")
+    assert bench._quarantine_load() == ["arm:euro"]
+    # expire it
+    monkeypatch.setenv("HESTON_BENCH_QUARANTINE_TTL_S", "0")
+    _time.sleep(0.01)
+    assert bench._quarantine_load() == []
+    # FAKE_HANG isolation: neither reads nor writes
+    monkeypatch.setenv("HESTON_BENCH_QUARANTINE_TTL_S", "86400")
+    monkeypatch.setenv("HESTON_BENCH_FAKE_HANG", "ok")
+    assert bench._quarantine_load() == []
+    bench._quarantine_add("arm:fake")
+    monkeypatch.delenv("HESTON_BENCH_FAKE_HANG")
+    assert bench._quarantine_load() == ["arm:euro"]
+
+
+def test_fingerprint_noop_is_exact():
+    """_fp embeds the revision constant in the graph WITHOUT changing a
+    single bit of the result (x + float(rev)*0.0 == x)."""
+    import numpy as np
+
+    import bench
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.linspace(-5.0, 700.0, 64), jnp.float32)
+    np.testing.assert_array_equal(np.array(jax.jit(bench._fp)(x)),
+                                  np.array(x))
