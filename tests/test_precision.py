@@ -86,9 +86,14 @@ def test_fused_kernel_f32_rmse_margin(params):
 # rann 4.16e-5, rann_amer_div 2.61e-5, digital 2.98e-7, digital_amer
 # 3.48e-6, barrier_amer_div 2.77e-6; budget = ~2.5x, capped at the 1e-4
 # BASELINE target. On-chip (Mosaic) per-arm budgets live in bench.py.
+# round-5 recalibration: the perf-pass kernel (rank-2 A1 regroup,
+# Fast2Sum update, comp-fold remaps) reshuffles roundings — re-measured
+# interpret true-f32: euro 9.49e-6 (was 1.92e-6), amer 1.96e-5,
+# amer_div 1.84e-5; on-chip the same arms sit at 9.1e-6 / 5.9e-6 /
+# 9.1e-6 vs 2e-5 / 4e-5 / 3e-5 bench budgets
 ARM_BUDGETS = {
-    "euro": 6e-6,
-    "amer": 3e-5,
+    "euro": 2.5e-5,
+    "amer": 5e-5,
     "div": 2.5e-5,
     "amer_div": 6e-5,
     "put_euro": 1e-4,
