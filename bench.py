@@ -263,7 +263,11 @@ def _quarantine_load():
         return []
     now = time.time()
     return [tok for tok, ts in q.items()
-            if isinstance(ts, (int, float)) and now - ts < ttl]
+            if isinstance(ts, (int, float)) and now - ts < ttl
+            # THE metric: never skip the headline preemptively — worst
+            # case it re-stalls once (150 s), best case the backend
+            # recovered and the run carries a fresh value
+            and tok != "stage:headline"]
 
 
 def _quarantine_add(token):
